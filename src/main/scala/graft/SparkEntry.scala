@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from the SURVEY.md §2 inventory (and the LLM-pipeline
+  * extensions) is registered here as a named query; those with ANSI-SQL
+  * equivalents carry a DuckDB oracle for the driver's hash compare.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** All judged queries, grouped by module. */
+  val all: Map[String, Q] =
+    Relational.queries ++ Analytics.queries ++ Events.queries ++
+      TextOps.queries ++ Similarity.queries ++ Multimodal.queries
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the migration pipeline's global count-reconciliation (T6).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    all("t6_validate_counts").fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (k, q) => k -> q.fn }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    all.collect { case (k, Q(_, Some(sql), _)) => k -> sql.stripMargin }
 }

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.Column
+
+import graft.core.Tables
+
+/** Headline analytical queries (TPC-H-shaped) over the driver fixtures —
+  * the "would this survive 100 TB" surface: group-by aggregation with
+  * map-side partials, broadcast joins for small dimensions, top-k planned
+  * as TakeOrderedAndProject. Money sums use exact DECIMAL accumulation
+  * cast to DOUBLE at the end so the DuckDB oracle hash-matches bit-for-bit.
+  */
+object Analytics {
+
+  private def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  val queries: Map[String, Q] = Map(
+
+    // TPC-H Q1: pricing summary. One shuffle (4 groups); partial aggregation
+    // map-side; avg derived from exact sums post-agg (no second pass).
+    "q1_pricing_summary" -> Q(
+      fn = (s, d) => {
+        val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        val charge = disc * (lit(1) + col("l_tax"))
+        Tables.lineitem(s, d)
+          .where(col("l_shipdate") <= to_timestamp(lit("1998-12-01")))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+            dsum(disc, 6).as("sum_disc_price"),
+            dsum(charge, 6).as("sum_charge"),
+            count(lit(1)).as("count_order"))
+          .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+          .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      oracle = Some("""
+        SELECT *, sum_qty / count_order AS avg_qty, sum_base_price / count_order AS avg_price
+        FROM (
+          SELECT l_returnflag, l_linestatus,
+                 sum(l_quantity) AS sum_qty,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                 CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+                 CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+                 count(*) AS count_order
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+          GROUP BY l_returnflag, l_linestatus)
+        ORDER BY l_returnflag, l_linestatus"""),
+      doc = "pricing summary: grouped exact-decimal aggregation"
+    ),
+
+    // TPC-H Q3: shipping priority. customer filter is small -> broadcast
+    // into orders, then shuffle-join lineitem on the (bigger) fact side.
+    "q3_shipping_priority" -> Q(
+      fn = (s, d) => {
+        val cust = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        val o = Tables.orders(s, d)
+          .where(col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        val l = Tables.lineitem(s, d)
+          .where(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        l.join(broadcast(o.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
+               col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      oracle = Some("""
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
+      doc = "shipping priority: broadcast dims, top-k"
+    ),
+
+    // TPC-H Q5: local supplier volume. All dimensions broadcast; lineitem
+    // is the only large input so the plan is one fact scan + one shuffle
+    // for the final 5-group aggregate.
+    "q5_region_revenue" -> Q(
+      fn = (s, d) => {
+        val region = Tables.region(s, d).where(col("r_name") === "ASIA")
+        val nation = Tables.nation(s, d)
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")
+        val supp = Tables.supplier(s, d)
+          .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "s_nationkey", "n_name")
+        val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        val o = Tables.orders(s, d)
+          .where(col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+                 col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+          .select("o_orderkey", "o_custkey")
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+          .join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(cust),
+                col("o_custkey") === col("c_custkey") &&
+                col("c_nationkey") === col("s_nationkey"))
+          .groupBy("n_name")
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      oracle = Some("""
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name ORDER BY revenue DESC, n_name"""),
+      doc = "region revenue: star join, all dims broadcast"
+    )
+  )
+}

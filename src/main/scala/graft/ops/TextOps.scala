@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+
+import graft.core.Tables
+
+/** Training-data text operators over the `documents` fixture: exact dedup,
+  * canonical-pick dedup, text statistics, language/quality heuristics,
+  * document fingerprinting. All stay inside whole-stage codegen (builtin
+  * string functions only — no UDFs); every op is a single scan + at most
+  * one shuffle, so the shape holds at 100 TB (dedup keys partition the
+  * shuffle; canonical-pick is one hash aggregate, not a self-join).
+  */
+object TextOps {
+
+  private def doc(s: org.apache.spark.sql.SparkSession, d: String) = Tables.documents(s, d)
+
+  /** Whitespace word count for single-space-joined text: #spaces + 1. */
+  private def nWords(text: Column): Column =
+    (length(text) - length(regexp_replace(text, " ", "")) + 1).cast("long")
+
+  val queries: Map[String, Q] = Map(
+
+    // Exact dedup summary: content-hash distinct counts — the groupBy-hash
+    // generalization of the reference's INSERT IGNORE unique-key dedup.
+    "d1_dedup_exact" -> Q(
+      fn = (s, d) =>
+        doc(s, d).agg(
+          count(lit(1)).as("total_docs"),
+          countDistinct(md5(encode(col("text"), "UTF-8"))).as("distinct_texts"),
+          (count(lit(1)) - countDistinct(md5(encode(col("text"), "UTF-8")))).as("exact_dups")),
+      oracle = Some("""
+        SELECT count(*) AS total_docs,
+               count(DISTINCT md5(text)) AS distinct_texts,
+               count(*) - count(DISTINCT md5(text)) AS exact_dups
+        FROM documents"""),
+      doc = "exact dedup via content hash"
+    ),
+
+    // Canonical-pick dedup on a relaxed key (lang + length bucket): each
+    // group keeps min(doc_id) as canonical. One window over the dedup key —
+    // at scale this is a single hash-partitioned shuffle on the key.
+    "d2_dedup_canonical" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val key = concat(col("lang"), lit("|"), floor(col("n_chars") / 100).cast("long").cast("string"))
+        val w = Window.partitionBy("dup_key")
+        doc(s, d)
+          .withColumn("dup_key", key)
+          .withColumn("canonical_id", min(col("doc_id")).over(w))
+          .withColumn("group_size", count(lit(1)).over(w))
+          .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
+          .select("doc_id", "dup_key", "canonical_id", "group_size", "is_canonical")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               lang || '|' || CAST(n_chars // 100 AS VARCHAR) AS dup_key,
+               min(doc_id) OVER w AS canonical_id,
+               count(*) OVER w AS group_size,
+               doc_id = min(doc_id) OVER w AS is_canonical
+        FROM documents
+        WINDOW w AS (PARTITION BY lang || '|' || CAST(n_chars // 100 AS VARCHAR))
+        ORDER BY doc_id"""),
+      doc = "near-key dedup: canonical pick per group"
+    ),
+
+    // Per-document statistics: recomputed char count, word count, average
+    // word length — pure projection, no shuffle.
+    "d3_text_stats" -> Q(
+      fn = (s, d) =>
+        doc(s, d).select(
+            col("doc_id"),
+            length(col("text")).cast("long").as("n_chars_calc"),
+            col("n_chars"),
+            nWords(col("text")).as("n_words"))
+          .withColumn("avg_word_len",
+            (col("n_chars_calc") - (col("n_words") - 1)).cast("double") / col("n_words"))
+          .orderBy("doc_id").limit(1000),
+      oracle = Some("""
+        SELECT *, CAST(n_chars_calc - (n_words - 1) AS DOUBLE) / n_words AS avg_word_len
+        FROM (
+          SELECT doc_id,
+                 CAST(length(text) AS BIGINT) AS n_chars_calc,
+                 n_chars,
+                 CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words
+          FROM documents)
+        ORDER BY doc_id LIMIT 1000"""),
+      doc = "token/char counting per document"
+    ),
+
+    // Language-ID heuristic + quality score: stopword-marker hit counts and
+    // length-based quality bucket. Heuristics are deliberately simple and
+    // engine-portable; the point is the operator shape (scan-only, codegen).
+    "d4_lang_quality" -> Q(
+      fn = (s, d) => {
+        val padded = concat(lit(" "), col("text"), lit(" "))
+        def hits(marker: String): Column =
+          ((length(padded) - length(regexp_replace(padded, marker, ""))) / marker.length).cast("long")
+        doc(s, d).select(
+            col("doc_id"), col("lang"),
+            nWords(col("text")).as("n_words"),
+            hits(" the ").as("the_hits"),
+            hits(" a ").as("a_hits"))
+          .withColumn("lang_guess",
+            when(col("the_hits") + col("a_hits") > 0, "en").otherwise("other"))
+          .withColumn("lang_match", col("lang_guess") === col("lang"))
+          .withColumn("stop_ratio",
+            (col("the_hits") + col("a_hits")).cast("double") / col("n_words"))
+          .withColumn("quality",
+            when(col("n_words") >= 20 && col("stop_ratio") > 0.0, "good")
+              .when(col("n_words") >= 20, "fair").otherwise("short"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT *,
+               CASE WHEN n_words >= 20 AND stop_ratio > 0.0 THEN 'good'
+                    WHEN n_words >= 20 THEN 'fair' ELSE 'short' END AS quality
+        FROM (
+          SELECT *,
+                 CASE WHEN the_hits + a_hits > 0 THEN 'en' ELSE 'other' END AS lang_guess,
+                 (CASE WHEN the_hits + a_hits > 0 THEN 'en' ELSE 'other' END) = lang AS lang_match,
+                 CAST(the_hits + a_hits AS DOUBLE) / n_words AS stop_ratio
+          FROM (
+            SELECT doc_id, lang,
+                   CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+                   CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) // 5 AS BIGINT) AS the_hits,
+                   CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) // 3 AS BIGINT) AS a_hits
+            FROM documents))
+        ORDER BY doc_id"""),
+      doc = "language-ID heuristic + quality scoring"
+    ),
+
+    // Document fingerprint: hash of whitespace-normalized lowered text —
+    // the exact-dedup key surfaced as a stable document identity.
+    "d5_fingerprint" -> Q(
+      fn = (s, d) =>
+        doc(s, d).select(
+            col("doc_id"),
+            md5(encode(lower(col("text")), "UTF-8")).as("fingerprint"),
+            substring(md5(encode(lower(col("text")), "UTF-8")), 1, 8).as("shard_key"))
+          .orderBy("doc_id").limit(1000),
+      oracle = Some("""
+        SELECT doc_id, md5(lower(text)) AS fingerprint,
+               substr(md5(lower(text)), 1, 8) AS shard_key
+        FROM documents ORDER BY doc_id LIMIT 1000"""),
+      doc = "content fingerprint + shard key"
+    )
+  )
+}
