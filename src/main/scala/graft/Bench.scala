@@ -1,5 +1,21 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
+  * prints one JSON line {"metric":"total", ...} with per-query seconds.
+  *
+  * Tuning notes (local bench vs cluster):
+  *  - AQE on: runtime coalescing + skew handling, same as a real cluster.
+  *  - files.maxPartitionBytes lowered to 2 MB: the sf0.1 fixtures are
+  *    single ~1-11 MB parquet files, which at the 128 MB default become
+  *    ONE scan task and serialize the whole bench on a single core. At
+  *    cluster scale (100 TB across many files) the default is correct;
+  *    this knob only re-creates normal multi-task scans at toy scale.
+  *  - a warm-up pass exercises codegen, parquet reader, shuffle and
+  *    broadcast machinery once, so per-query numbers measure the engine,
+  *    not first-use JIT/classloading.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +23,38 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", (2 * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Warm-up: one scan+agg, one broadcast join, one window — triggers
+    // codegen compilation and classloading outside the timed region.
+    {
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      li.agg(sum("l_quantity")).collect()
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      li.join(broadcast(o.limit(1000)), li("l_orderkey") === o("o_orderkey"))
+        .count()
+      import org.apache.spark.sql.expressions.Window
+      li.limit(10000).withColumn("rn",
+        row_number().over(Window.partitionBy("l_returnflag").orderBy("l_orderkey")))
+        .count()
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -15,7 +15,8 @@ object SparkEntry {
   /** All judged queries, grouped by module. */
   val all: Map[String, Q] =
     Relational.queries ++ Analytics.queries ++ Events.queries ++
-      TextOps.queries ++ Similarity.queries ++ Multimodal.queries
+      TextOps.queries ++ Dedup.queries ++ Similarity.queries ++
+      Multimodal.queries ++ CustomFns.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the migration pipeline's global count-reconciliation (T6).

@@ -65,7 +65,56 @@ object Similarity {
   private def norm2Sql(a: String): String =
     s"CAST(list_sum(list_transform(range(1, ${Dim + 1}), i -> ${qElemSql(s"$a[i]")} * ${qElemSql(s"$a[i]")})) AS BIGINT)"
 
+  // Deterministic random-hyperplane coefficients for LSH bucketing
+  // (fixed seed — bucket assignment must be stable across runs).
+  private val NPlanes = 8
+  private val planeRnd = new scala.util.Random(7)
+  private val planes: Array[Array[Int]] =
+    Array.fill(NPlanes)(Array.fill(Dim)(planeRnd.nextInt(1001) - 500))
+
+  /** Random-hyperplane signature: bit j = sign of <quantized vec, plane j>.
+    * Exact int64 arithmetic (|dot| <= 64 * 10^4*|x| * 500 << 2^63).
+    */
+  def hyperplaneBucket(vec: Column): Column = {
+    val bits = (0 until NPlanes).map { j =>
+      val dotJ = aggregate(
+        zip_with(vec, typedLit(planes(j)), (x, w) => qElem(x) * w.cast("long")),
+        lit(0L), (acc, v) => acc + v)
+      when(dotJ > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: candidates share a hyperplane-signature bucket;
+    * exact cosine re-rank within the bucket. The scale path: bucket is an
+    * equi-join key, so candidate generation is shuffle-bounded (vs the
+    * brute-force cross product).
+    */
+  def annLsh(spark: SparkSession, sfDir: String, nProbes: Int, k: Int): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("bucket", hyperplaneBucket(col("embedding")))
+    val probes = e.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("bucket"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    corpus.join(broadcast(probes), Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", qCosine(qDot(col("qv"), col("cv")), qNorm2(col("qv")), qNorm2(col("cv"))))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk", "sim")
+      .orderBy("query_id", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+
+    // LSH-bucketed ANN (scale path of v1; recall measured in tests
+    // against the exact brute-force baseline).
+    "v3_ann_lsh" -> Q(
+      fn = (s, d) => annLsh(s, d, nProbes = 10, k = 3),
+      oracle = None, // bucket assignment (seeded hyperplanes) not SQL-portable
+      doc = "LSH-bucketed approximate nearest neighbors"
+    ),
 
     // ANN baseline: brute-force exact cosine top-5 for 10 probes.
     "v1_cosine_topk" -> Q(

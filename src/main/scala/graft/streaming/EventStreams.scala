@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming bindings of the event-time operators whose batch
+  * (oracle-checked) twins live in graft.ops.Events. The driver loop the
+  * reference hand-rolls (T2: `while True: fetch_incomplete_ranges`,
+  * snapshot_use_pyspark.py:465-478) is exactly what Structured Streaming's
+  * incremental execution + checkpointing replaces at scale.
+  *
+  * The fixture's events.parquet carries TIMESTAMP(NANOS); the stream reads
+  * ts as long nanos (same legacy conf as the batch loader) and converts to
+  * microsecond timestamps, so batch and stream agree row-for-row.
+  */
+object EventStreams {
+
+  val eventSchemaRaw: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos-as-long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over an sf directory's events parquet. The fixture
+    * is a single file (not a directory), so stream the directory with a
+    * glob filter — the same shape as tailing a landing directory in prod.
+    */
+  def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventSchemaRaw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Streaming twin of e1_tumbling_counts: watermarked tumbling windows. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+
+  // --- stateful sessionization (streaming twin of e3_sessionization) -----
+
+  final case class Ev(user_id: Long, ts_us: Long)
+  final case class SessionState(start_us: Long, end_us: Long, n: Long)
+  final case class SessionOut(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
+
+  val GapUs: Long = 30L * 60 * 1000 * 1000
+
+  /** flatMapGroupsWithState sessionizer: emits a session when a gap larger
+    * than 30 minutes closes it. Per-key state is one (start, end, count)
+    * triple — O(1) state per user, the shape that scales to billions of
+    * keys with RocksDB state store.
+    */
+  def sessionize(events: Dataset[Ev])(implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[List[SessionState]]) =>
+          // within one trigger, order this user's events by time
+          val sorted = evs.toSeq.sortBy(_.ts_us)
+          var sessions = state.getOption.getOrElse(Nil)
+          val closed = scala.collection.mutable.ListBuffer[SessionOut]()
+          var cur = sessions.headOption
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.ts_us - s.end_us <= GapUs =>
+                cur = Some(s.copy(end_us = e.ts_us, n = s.n + 1))
+              case Some(s) =>
+                closed += SessionOut(userId,
+                  new Timestamp(s.start_us / 1000), new Timestamp(s.end_us / 1000), s.n)
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+              case None =>
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+            }
+          }
+          state.update(cur.toList)
+          closed.iterator
+      }
+  }
+
+  /** Drain open sessions from a final state snapshot (test helper: after
+    * processAllAvailable, open sessions are still in state).
+    */
+  def runTumblingToMemory(spark: SparkSession, sfDir: String, queryName: String): Unit = {
+    val q = tumblingCounts(readEventStream(spark, sfDir))
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  /** Exact ground truth: all-pairs 3-gram Jaccard over the raw corpus. */
+  private def exactPairs(minJ: Double): Set[(Long, Long)] = {
+    val g = graft.core.Tables.documents(spark, SparkTestBase.Sf0001)
+      .select(col("doc_id"), Dedup.shingles("text").as("grams"))
+    val a = g.select(col("doc_id").as("doc_a"), col("grams").as("ga"))
+    val b = g.select(col("doc_id").as("doc_b"), col("grams").as("gb"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))))
+      .where(col("jaccard") >= minJ)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("minhash LSH re-finds every planted near-dup pair") {
+    val pairs = Dedup.minhashNearDups(spark, SparkTestBase.Sf0001, minJaccard = 0.5, plant = true)
+      .collect()
+    val planted = pairs.filter(_.getAs[Boolean]("is_planted"))
+    // 25 planted variants (doc_id < 25 -> doc_id + 1000000), all recalled
+    assert(planted.length == 25, s"recalled ${planted.length}/25 planted pairs")
+    planted.foreach(r => assert(r.getAs[Double]("jaccard") > 0.7))
+  }
+
+  test("minhash LSH achieves high recall of genuine high-similarity pairs") {
+    val truth = exactPairs(0.7) // above the 8x4 banding S-curve knee (~0.59)
+    assert(truth.nonEmpty, "fixture should contain genuine near-dups")
+    val got = Dedup.minhashNearDups(spark, SparkTestBase.Sf0001, minJaccard = 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalled = truth.intersect(got)
+    assert(recalled.size >= (truth.size * 0.9).toInt,
+      s"recall ${recalled.size}/${truth.size}")
+    // every reported pair truly clears the verification threshold
+    assert(got.subsetOf(exactPairs(0.5)), "LSH reported a pair below 0.5 true Jaccard")
+  }
+
+  test("simhash query flags planted pairs with small Hamming distance") {
+    val rows = SparkEntryQueries.run(spark, "d7_simhash")
+    val planted = rows.filter(_.getAs[Boolean]("is_planted"))
+    assert(planted.nonEmpty)
+  }
+
+  test("ngram jaccard top pairs are symmetric-free and ranked") {
+    val rows = SparkEntryQueries.run(spark, "d8_ngram_jaccard")
+    assert(rows.length == 20)
+    val rnks = rows.map(_.getAs[Long]("rnk"))
+    assert(rnks.toSeq == (1L to 20L))
+    rows.foreach(r => assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+  }
+}
+
+/** Helper: run a registered query at sf0.001. */
+object SparkEntryQueries {
+  def run(spark: org.apache.spark.sql.SparkSession, name: String) =
+    graft.SparkEntry.queries(name)(spark, SparkTestBase.Sf0001).collect()
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+
+import graft.SparkTestBase
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  /** Scala-side exact reference: quantized cosine, same math as the op. */
+  private def refCosine(a: Array[Float], b: Array[Float]): Double = {
+    def q(x: Float): Long = math.round(x.toDouble * 10000)
+    val dot = a.zip(b).map { case (x, y) => q(x) * q(y) }.sum
+    val na = a.map(x => q(x) * q(x)).sum
+    val nb = b.map(x => q(x) * q(x)).sum
+    dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
+  private lazy val vecs: Map[Long, Array[Float]] =
+    graft.core.Tables.embeddings(spark, SparkTestBase.Sf0001)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray)
+      .toMap
+
+  test("brute-force top-k matches an independent Scala computation") {
+    val got = Similarity.cosineTopK(spark, SparkTestBase.Sf0001, nProbes = 3, k = 5).collect()
+    (0L until 3L).foreach { q =>
+      val expect = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, refCosine(vecs(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5)
+      val mine = got.filter(_.getAs[Long]("query_id") == q)
+        .sortBy(_.getAs[Long]("rnk"))
+        .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim")))
+      assert(mine.toSeq == expect, s"query $q top-5 mismatch")
+    }
+  }
+
+  test("LSH ANN returns only same-bucket candidates, ranked consistently") {
+    val got = Similarity.annLsh(spark, SparkTestBase.Sf0001, nProbes = 10, k = 3).collect()
+    // sims must match the exact reference computation for each pair
+    got.foreach { r =>
+      val s = refCosine(vecs(r.getAs[Long]("query_id")), vecs(r.getAs[Long]("neighbor_id")))
+      assert(math.abs(s - r.getAs[Double]("sim")) < 1e-12)
+    }
+    // ranks are 1..k without gaps per query
+    got.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val rnks = rows.map(_.getAs[Long]("rnk")).sorted.toSeq
+      assert(rnks == (1L to rnks.size))
+    }
+  }
+}
