@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CassandraToken
+import graft.functions.{CassandraToken, MinHashSig, QCosine, ShingleHashes}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions for SQL use. Attach with
@@ -17,23 +17,38 @@ import graft.functions.CassandraToken
   *     of a bigint/text/binary partition key (reference F1).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(GraftExtensions.cassandraTokenDescriptor)
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(e.injectFunction)
 }
 
 object GraftExtensions {
-  val cassandraTokenDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
-    (FunctionIdentifier("cassandra_token"),
-      new ExpressionInfo(classOf[CassandraToken].getName, "cassandra_token"),
+  private def unary(name: String, clazz: Class[_], build: Expression => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, name),
       (children: Seq[Expression]) => {
-        require(children.size == 1, "cassandra_token takes exactly one argument")
-        CassandraToken(children.head)
+        require(children.size == 1, s"$name takes exactly one argument")
+        build(children.head)
       })
 
-  /** Register directly on an existing session (tests / REPL). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = cassandraTokenDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  private def binary(name: String, clazz: Class[_], build: (Expression, Expression) => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, name),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"$name takes exactly two arguments")
+        build(children.head, children(1))
+      })
+
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    unary("cassandra_token", classOf[CassandraToken], CassandraToken(_)),
+    unary("minhash_sig", classOf[MinHashSig], MinHashSig(_)),
+    unary("shingle_hashes", classOf[ShingleHashes], ShingleHashes(_)),
+    binary("qcosine", classOf[QCosine], QCosine(_, _)))
+
+  /** Register directly on an existing session (tests / REPL); idempotent. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -19,6 +19,55 @@ object Analytics {
 
   val queries: Map[String, Q] = Map(
 
+    // TPC-H Q6-shaped: tight filter + scalar aggregate — the pure
+    // scan-throughput probe (predicate fully pushed to the parquet reader).
+    "q6_forecast_revenue" -> Q(
+      fn = (s, d) =>
+        Tables.lineitem(s, d)
+          .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+                 col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+                 col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+                 col("l_quantity") < 24)
+          .agg(dsum(col("l_extendedprice") * col("l_discount"), 6).as("revenue"),
+               count(lit(1)).as("n_rows")),
+      oracle = Some("""
+        SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"""),
+      doc = "filter + scalar aggregate (scan-bound)"
+    ),
+
+    // ROLLUP: hierarchical totals in one pass (SURVEY §2.4 'free in Spark').
+    "a8_rollup" -> Q(
+      fn = (s, d) =>
+        Tables.orders(s, d)
+          .rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      oracle = Some("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""),
+      doc = "ROLLUP hierarchical aggregation"
+    ),
+
+    // HLL approximate distinct vs exact — the cardinality-sketch scale path
+    // (exact distinct of a high-cardinality key shuffles everything; HLL is
+    // one pass, mergeable, constant memory). rsd pinned for determinism;
+    // the exact twin rides along so the approximation error is visible.
+    "a9_approx_distinct" -> Q(
+      fn = (s, d) =>
+        Tables.lineitem(s, d).agg(
+          countDistinct(col("l_orderkey")).as("exact_keys"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_keys")),
+      oracle = None, // HLL estimate is engine-specific; DedupSpec-style
+                     // error bound asserted in AnalyticsSpec instead
+      doc = "approx_count_distinct (HLL) vs exact"
+    ),
+
     // TPC-H Q1: pricing summary. One shuffle (4 groups); partial aggregation
     // map-side; avg derived from exact sums post-agg (no second pass).
     "q1_pricing_summary" -> Q(

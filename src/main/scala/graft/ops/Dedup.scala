@@ -27,16 +27,7 @@ import graft.core.Tables
   */
 object Dedup {
 
-  private val P = 2147483647L // 2^31 - 1, Mersenne prime for minhash perms
-  private val K = 32          // signature length
-  private val Bands = 8       // 8 bands x 4 rows
-  private val Rows = K / Bands
-
-  // Deterministic permutation coefficients (fixed seed; must be stable
-  // across runs/sessions for resumable dedup state).
-  private val rnd = new scala.util.Random(42)
-  private val permA: Array[Long] = Array.fill(K)(1L + rnd.nextInt(Int.MaxValue - 1))
-  private val permB: Array[Long] = Array.fill(K)(rnd.nextInt(Int.MaxValue).toLong)
+  import graft.functions.MinHashImpl.{P, K, Bands, Rows}
 
   /** documents ∪ planted near-dup variants (deterministic). */
   def withPlantedDups(spark: SparkSession, sfDir: String): DataFrame = {
@@ -58,17 +49,20 @@ object Dedup {
                      try_element_at(split($textCol, ' '), i + 1), ' ',
                      try_element_at(split($textCol, ' '), i + 2)))"""))
 
-  /** MinHash signature: k permutations of xxhash64(shingle) mod P.
-    * Pure per-row compute, fully codegen'd; (a*h + b) stays < 2^62 so
-    * ANSI-mode arithmetic cannot overflow.
+  /** Positive shingle hashes: xxhash64 mod P, computed ONCE per row (the
+    * k permutations below reuse this array — hashing the strings k times
+    * was the dominant cost of the first implementation).
     */
-  def minhashSignature(shinglesCol: String): Column = {
-    val sigs = (0 until K).map { j =>
-      expr(s"array_min(transform(transform($shinglesCol, s -> pmod(xxhash64(s), ${P}L)), " +
-        s"h -> (h * ${permA(j)}L + ${permB(j)}L) % ${P}L))")
-    }
-    array(sigs: _*)
-  }
+  def shingleHashes(shinglesCol: String): Column =
+    expr(s"transform($shinglesCol, s -> pmod(xxhash64(s), ${P}L))")
+
+  /** MinHash signature via the custom MinHashSig Catalyst expression (one
+    * static call in codegen; the equivalent 32-lambda HOF formulation cost
+    * ~90 s of one-time Janino compilation). Requires GraftExtensions
+    * registration on the session.
+    */
+  def minhashSignature(shinglesCol: String): Column =
+    call_function("minhash_sig", col(shinglesCol))
 
   /** LSH band keys: hash of each r-row slice of the signature. */
   def bandKeys(sigCol: String): Column = {
@@ -86,34 +80,58 @@ object Dedup {
     */
   def minhashNearDups(spark: SparkSession, sfDir: String, minJaccard: Double,
                       plant: Boolean = false): DataFrame = {
+    graft.GraftExtensions.register(spark)
     val src = if (plant) withPlantedDups(spark, sfDir)
               else Tables.documents(spark, sfDir)
+    // Signature table: ONLY (doc_id, hpos, sig) — raw text and shingle
+    // strings never leave the first projection. Persisted because four
+    // plan branches (two band sides, two verify sides) consume it; at
+    // cluster scale this is the signature table written to storage once.
     val base = src
-      .withColumn("shingles", shingles("text"))
-      .withColumn("sig", minhashSignature("shingles"))
+      .select(col("doc_id"), call_function("shingle_hashes", col("text")).as("hpos"))
+      .withColumn("sig", call_function("minhash_sig", col("hpos")))
+      .persist()
+    // Band keys only ride the candidate shuffle (ids + two longs per row).
     val banded = base
-      .select(col("doc_id"), col("shingles"), explode(bandKeys("sig")).as("bk"))
-      .select(col("doc_id"), col("shingles"), col("bk.band"), col("bk.bh"))
-    val a = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("band"), col("bh"), col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    a.join(b, Seq("band", "bh")).where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+      .select(col("doc_id"), explode(bandKeys("sig")).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bh"))
+    val pairs = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band"), col("bh"), col("doc_id").as("doc_b")),
+            Seq("band", "bh"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // Exact verification on the surviving pairs, over hashed shingle sets
+    // (collision probability ~|shingles|^2 / 2^31 per pair — negligible):
+    // long-array intersections, no string arrays in the join.
+    val hs = base.select(col("doc_id"), col("hpos"))
+    pairs
+      .join(hs.select(col("doc_id").as("doc_a"), col("hpos").as("h_a")), Seq("doc_a"))
+      .join(hs.select(col("doc_id").as("doc_b"), col("hpos").as("h_b")), Seq("doc_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        size(array_intersect(col("h_a"), col("h_b"))).cast("double") /
+          size(array_union(col("h_a"), col("h_b"))))
       .where(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
               (col("doc_b") - col("doc_a") === 1000000L).as("is_planted"))
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 32-bit SimHash over word hashes (sign-of-bit-sum per position). */
-  def simhash32(wordHashesCol: String): Column = {
-    val terms = (0 until 32).map { j =>
-      s"(CASE WHEN aggregate($wordHashesCol, 0L, (acc, h) -> acc + (CASE WHEN (h >> $j) & 1 = 1 THEN 1L ELSE -1L END)) > 0 THEN ${1L << j}L ELSE 0L END)"
-    }
-    expr(terms.mkString("(", " + ", ")"))
-  }
+  /** 32-bit SimHash over word hashes (sign-of-bit-sum per position).
+    * Single pass with a 32-wide vector accumulator, then the signs are
+    * packed into one long — one aggregate instead of 32 keeps the
+    * generated code small and the word array is traversed once.
+    */
+  def simhash32(wordHashesCol: String): Column =
+    expr(
+      s"""aggregate(
+            zip_with(
+              aggregate($wordHashesCol,
+                        array_repeat(0L, 32),
+                        (acc, h) -> zip_with(acc, sequence(0, 31),
+                                             (a, j) -> a + (CASE WHEN (h >> j) & 1 = 1 THEN 1L ELSE -1L END))),
+              sequence(0, 31),
+              (c, j) -> CASE WHEN c > 0 THEN shiftleft(1L, cast(j AS int)) ELSE 0L END),
+            0L, (acc, v) -> acc + v)""")
 
   val queries: Map[String, Q] = Map(
 

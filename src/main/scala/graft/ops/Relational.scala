@@ -201,17 +201,22 @@ object Relational {
     // deterministically (NULLIF) and then sanitized per the files-table
     // policy: NOT-NULL strings -> '', nullable kept, timestamp -> default.
     "p7_sanitize_nulls" -> Q(
-      fn = (s, d) =>
-        ord(s, d).select(
-            col("o_orderkey").as("file_id"),
-            coalesce(when(col("o_orderpriority") === "1-URGENT", lit(null))
-              .otherwise(col("o_orderpriority")), lit("")).as("client_name"),
-            when(col("o_orderstatus") === "F", lit(null))
-              .otherwise(col("o_orderstatus")).as("cluster"),
-            coalesce(when(col("o_orderdate") === to_timestamp(lit("1995-01-01")), lit(null))
-              .otherwise(col("o_orderdate")),
-              to_timestamp(lit("2025-01-01 00:00:00"))).as("modified"))
-          .orderBy("file_id").limit(2000),
+      fn = (s, d) => {
+        import graft.core.Sanitize
+        val withNulls = ord(s, d).select(
+          col("o_orderkey").as("file_id"),
+          when(col("o_orderpriority") === "1-URGENT", lit(null))
+            .otherwise(col("o_orderpriority")).as("client_name"),
+          when(col("o_orderstatus") === "F", lit(null))
+            .otherwise(col("o_orderstatus")).as("cluster"),
+          when(col("o_orderdate") === to_timestamp(lit("1995-01-01")), lit(null))
+            .otherwise(col("o_orderdate")).as("modified"))
+        Sanitize.sanitize(withNulls, Sanitize.NullPolicy(
+            emptyStringCols = Seq("client_name"),
+            keepNullCols = Seq("cluster"),
+            timestampDefaultCols = Map("modified" -> "2025-01-01 00:00:00")))
+          .orderBy("file_id").limit(2000)
+      },
       oracle = Some("""
         SELECT o_orderkey AS file_id,
                COALESCE(NULLIF(o_orderpriority, '1-URGENT'), '') AS client_name,

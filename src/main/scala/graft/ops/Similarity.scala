@@ -47,9 +47,9 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    graft.GraftExtensions.register(spark)
     corpus.join(broadcast(probes), col("query_id") =!= col("neighbor_id"))
-      .withColumn("dot", qDot(col("qv"), col("cv")))
-      .withColumn("sim", qCosine(col("dot"), qNorm2(col("qv")), qNorm2(col("cv"))))
+      .withColumn("sim", call_function("qcosine", col("qv"), col("cv")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
       .select("query_id", "neighbor_id", "rnk", "sim")
@@ -97,9 +97,10 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
     val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("bucket"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    graft.GraftExtensions.register(spark)
     corpus.join(broadcast(probes), Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", qCosine(qDot(col("qv"), col("cv")), qNorm2(col("qv")), qNorm2(col("cv"))))
+      .withColumn("sim", call_function("qcosine", col("qv"), col("cv")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
       .select("query_id", "neighbor_id", "rnk", "sim")
@@ -140,11 +141,12 @@ object Similarity {
     // self-join shape with an exact, order-independent aggregate output.
     "v2_sim_histogram" -> Q(
       fn = (s, d) => {
+        graft.GraftExtensions.register(s)
         val e = Tables.embeddings(s, d).where(col("vec_id") < 100)
         val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
         val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
         a.join(broadcast(b), col("id_a") < col("id_b"))
-          .withColumn("sim", qCosine(qDot(col("va"), col("vb")), qNorm2(col("va")), qNorm2(col("vb"))))
+          .withColumn("sim", call_function("qcosine", col("va"), col("vb")))
           .withColumn("bucket", floor(col("sim") * 10).cast("long"))
           .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
           .orderBy("bucket")

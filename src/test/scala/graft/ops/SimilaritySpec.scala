@@ -10,7 +10,11 @@ class SimilaritySpec extends AnyFunSuite {
 
   /** Scala-side exact reference: quantized cosine, same math as the op. */
   private def refCosine(a: Array[Float], b: Array[Float]): Double = {
-    def q(x: Float): Long = math.round(x.toDouble * 10000)
+    // round half away from zero, like Spark/DuckDB round()
+    def q(x: Float): Long = {
+      val v = x.toDouble * 10000
+      if (v >= 0) (v + 0.5).toLong else (v - 0.5).toLong
+    }
     val dot = a.zip(b).map { case (x, y) => q(x) * q(y) }.sum
     val na = a.map(x => q(x) * q(x)).sum
     val nb = b.map(x => q(x) * q(x)).sum
