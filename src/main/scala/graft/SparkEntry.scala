@@ -16,7 +16,7 @@ object SparkEntry {
   val all: Map[String, Q] =
     Relational.queries ++ Analytics.queries ++ Events.queries ++
       TextOps.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries ++ CustomFns.queries
+      Multimodal.queries ++ CustomFns.queries ++ Joins.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the migration pipeline's global count-reconciliation (T6).

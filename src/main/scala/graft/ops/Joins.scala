@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+
+/** Join-shape coverage beyond the reference's single anti-join (SURVEY
+  * §2.3 "free in Spark" row): semi join, non-equi range join, and an
+  * event-time AS-OF join.
+  *
+  * The as-of join is the prompt's canonical "operator Spark lacks":
+  * implemented by composition (preference (a) in SURVEY §7.3) — union the
+  * probe and build sides tagged, then `last(value, ignoreNulls)` over an
+  * event-time window per key. One shuffle on (key, time); no custom
+  * physical operator needed. DuckDB's native ASOF JOIN is the oracle.
+  */
+object Joins {
+
+  val queries: Map[String, Q] = Map(
+
+    // Semi join: orders having at least one high-value line (EXISTS).
+    "j3_semi_join" -> Q(
+      fn = (s, d) => {
+        val big = Tables.lineitem(s, d)
+          .where(col("l_extendedprice") > 80000).select("l_orderkey")
+        Tables.orders(s, d)
+          .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .select("o_orderkey", "o_totalprice")
+          .orderBy("o_orderkey").limit(500)
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_extendedprice > 80000)
+        ORDER BY o_orderkey LIMIT 500"""),
+      doc = "left_semi join (EXISTS)"
+    ),
+
+    // Non-equi range join: quantity tiers, broadcast nested-loop on a
+    // tiny interval table (the broadcastable side makes BETWEEN joins
+    // scale: the big side streams, never shuffles).
+    "j4_range_join" -> Q(
+      fn = (s, d) => {
+        import s.implicits._
+        val tiers = Seq(("t1_low", 0.0, 9.0), ("t2_mid", 10.0, 24.0),
+                        ("t3_high", 25.0, 39.0), ("t4_top", 40.0, 50.0))
+          .toDF("tier", "lo", "hi")
+        Tables.lineitem(s, d)
+          .join(broadcast(tiers),
+                col("l_quantity") >= col("lo") && col("l_quantity") <= col("hi"))
+          .groupBy("tier")
+          .agg(count(lit(1)).as("n"),
+               sum(col("l_quantity")).as("sum_qty"))
+          .orderBy("tier")
+      },
+      oracle = Some("""
+        WITH tiers(tier, lo, hi) AS (VALUES
+          ('t1_low', 0.0, 9.0), ('t2_mid', 10.0, 24.0),
+          ('t3_high', 25.0, 39.0), ('t4_top', 40.0, 50.0))
+        SELECT tier, count(*) AS n, sum(l_quantity) AS sum_qty
+        FROM lineitem JOIN tiers ON l_quantity >= lo AND l_quantity <= hi
+        GROUP BY tier ORDER BY tier"""),
+      doc = "non-equi interval join (broadcast)"
+    ),
+
+    // AS-OF join: enrich each event with the most recent prior "rate"
+    // observation of its type (rates = every 97th event). Composition:
+    // tagged union + last-non-null over (key, time) window; ties at equal
+    // ts resolve dim-first so the match is inclusive (rate_ts <= ts),
+    // matching DuckDB's ASOF ON e.ts >= d.rate_ts.
+    "j5_asof_join" -> Q(
+      fn = (s, d) => {
+        val ev = Tables.events(s, d)
+        val dim = ev.where(col("event_id") % 97 === 0)
+          .groupBy(col("event_type"), col("ts").as("rate_ts"))
+          .agg(max(col("value")).as("rate"))
+        val evTagged = ev.select(
+          col("event_type"), col("ts"), lit(1).as("is_event"), col("event_id"),
+          lit(null).cast("timestamp").as("r_ts"), lit(null).cast("double").as("r"))
+        val dimTagged = dim.select(
+          col("event_type"), col("rate_ts").as("ts"), lit(0).as("is_event"),
+          lit(-1L).as("event_id"), col("rate_ts").as("r_ts"), col("rate").as("r"))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("ts"), col("is_event"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        evTagged.union(dimTagged)
+          .withColumn("rate_ts", last(col("r_ts"), ignoreNulls = true).over(w))
+          .withColumn("rate", last(col("r"), ignoreNulls = true).over(w))
+          .where(col("is_event") === 1 && col("event_id") < 2000)
+          .select("event_id", "event_type", "ts", "rate_ts", "rate")
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH dim AS (
+          SELECT event_type, ts AS rate_ts, max(value) AS rate
+          FROM events WHERE event_id % 97 = 0 GROUP BY event_type, ts)
+        SELECT e.event_id, e.event_type, e.ts, d.rate_ts, d.rate
+        FROM events e ASOF LEFT JOIN dim d
+          ON e.event_type = d.event_type AND e.ts >= d.rate_ts
+        WHERE e.event_id < 2000 ORDER BY e.event_id"""),
+      doc = "as-of join by composition (tagged union + event-time window)"
+    )
+  )
+}

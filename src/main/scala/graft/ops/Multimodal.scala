@@ -13,7 +13,44 @@ import graft.core.Tables
   * computed executor-side. Real decoders (image/audio libs are not in this
   * container) plug in at graft.ops.MultimodalStub.decodeStub.
   */
+/** One media record: opaque payload + typed metadata. */
+final case class MediaRow(doc_id: Long, payload: Array[Byte], width: Long, height: Long)
+
+/** Decoded features per record (decode itself is stubbed — see below). */
+final case class MediaFeatures(
+    doc_id: Long, n_bytes: Long, mean_byte: Double, n_frames: Long)
+
 object Multimodal {
+
+  /** Partition-wise media decode — the Spark-side plumbing of a real
+    * decode/feature-extract stage: typed Dataset in, typed Dataset out,
+    * batch = one partition, payload bytes touched only executor-side.
+    * The DECODE ITSELF IS A STUB (no image/audio libs in this container):
+    * deterministic byte statistics + frame-sample count stand in for
+    * pixel decode; a real deployment swaps only the body of this loop.
+    */
+  def decodePartition(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+    rows.map { r =>
+      val n = r.payload.length
+      var sum = 0L
+      var i = 0
+      while (i < n) { sum += (r.payload(i) & 0xff); i += 1 }
+      // "frame sampling": one frame every 64 bytes, capped at 8
+      val frames = math.min(8L, n / 64 + 1)
+      MediaFeatures(r.doc_id, n.toLong, sum.toDouble / n, frames)
+    }
+
+  /** documents -> MediaRow -> mapPartitions decode -> MediaFeatures. */
+  def decodeFeatures(spark: org.apache.spark.sql.SparkSession, sfDir: String)
+      : org.apache.spark.sql.Dataset[MediaFeatures] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+              decodeStubWidth(col("n_chars")).as("width"),
+              decodeStubHeight(col("doc_id")).as("height"))
+      .as[MediaRow]
+      .mapPartitions(decodePartition _)
+  }
 
   /** Stand-in for a media decode (resize / frame-sample / feature-extract).
     * Deliberately deterministic and cheap: real deployments replace this
@@ -24,6 +61,21 @@ object Multimodal {
   def decodeStubHeight(docId: org.apache.spark.sql.Column) = (docId % 480).cast("long")
 
   val queries: Map[String, Q] = Map(
+
+    // Partition-wise typed decode; the oracle recomputes the byte stats
+    // from the text (ASCII corpus: codepoint == byte), proving the
+    // mapPartitions path end-to-end, not just the schema.
+    "m3_decode_features" -> Q(
+      fn = (s, d) => decodeFeatures(s, d).toDF().orderBy("doc_id").limit(500),
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               CAST(list_sum(list_transform(range(1, length(text) + 1),
+                    i -> unicode(text[i]))) AS DOUBLE) / strlen(text) AS mean_byte,
+               CAST(least(8, strlen(text) // 64 + 1) AS BIGINT) AS n_frames
+        FROM documents ORDER BY doc_id LIMIT 500"""),
+      doc = "typed mapPartitions media decode (stubbed decode body)"
+    ),
 
     // Binary payload + metadata projection: byte length, checksum, stub
     // "decoded" dimensions. Single scan, fully codegen'd.

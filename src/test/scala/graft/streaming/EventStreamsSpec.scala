@@ -24,6 +24,34 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("watermarked append-mode windows finalize only after the watermark passes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)](spark)
+    // (event_id, minutes) -> event-time rows
+    val withTs = mem.toDF().toDF("event_id", "mins")
+      .withColumn("ts", timestamp_micros(col("mins") * 60L * 1000000L))
+    val agg = withTs
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("wm_windows").start()
+
+    mem.addData((1L, 10L), (2L, 70L)) // windows [0h,1h) and [1h,2h)
+    q.processAllAvailable()
+    val afterBatch1 = spark.sql("SELECT * FROM wm_windows").count()
+    mem.addData((3L, 210L)) // 3h30 -> watermark 2h30 -> both earlier windows close
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM wm_windows ORDER BY win_start").collect()
+    q.stop()
+
+    assert(afterBatch1 == 0, "append mode must not emit unfinalized windows")
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Long]("n")).toSeq == Seq(1L, 1L))
+  }
+
   test("stateful sessionizer closes sessions on gap and keeps open ones in state") {
     import spark.implicits._
     implicit val s = spark
