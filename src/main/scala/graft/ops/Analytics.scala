@@ -68,6 +68,43 @@ object Analytics {
       doc = "approx_count_distinct (HLL) vs exact"
     ),
 
+    // Exact interpolated percentiles per group (both engines use the R-7
+    // definition; integer-valued doubles keep the interpolation exact).
+    "a10_percentiles" -> Q(
+      fn = (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+               expr("percentile(l_quantity, 0.9)").as("p90"),
+               min(col("l_quantity")).as("min_qty"),
+               max(col("l_quantity")).as("max_qty"))
+          .orderBy("l_returnflag"),
+      oracle = Some("""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.5) AS p50,
+               quantile_cont(l_quantity, 0.9) AS p90,
+               min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "exact percentiles (ordered-set aggregate)"
+    ),
+
+    // Date-part dimensional rollup (calendar functions surface).
+    "f3_date_parts" -> Q(
+      fn = (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+                   quarter(col("o_orderdate")).cast("long").as("q"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("y", "q"),
+      oracle = Some("""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+               CAST(quarter(o_orderdate) AS BIGINT) AS q,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY y, q ORDER BY y, q"""),
+      doc = "calendar extraction + grouped agg"
+    ),
+
     // TPC-H Q1: pricing summary. One shuffle (4 groups); partial aggregation
     // map-side; avg derived from exact sums post-agg (no second pass).
     "q1_pricing_summary" -> Q(

@@ -20,10 +20,10 @@ import graft.core.Tables
   *  - n-gram Jaccard all-pairs is the *oracle-checkable baseline* on a
   *    bounded sample (quadratic — deliberately capped).
   *
-  * The fixture has no real near-dups (synthetic random text), so MinHash /
-  * SimHash queries plant deterministic variants (append 3 marker words to
-  * docs with doc_id < 25 under doc_id+1000000) and must re-find them —
-  * self-demonstrating recall with deterministic output.
+  * The fixture corpus contains genuine near-dup pairs, which the judged
+  * MinHash query finds directly; the specs additionally plant deterministic
+  * variants (append 3 marker words to docs with doc_id < 25 under
+  * doc_id+1000000) and assert full recall of them.
   */
 object Dedup {
 

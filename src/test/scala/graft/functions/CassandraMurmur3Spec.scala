@@ -35,6 +35,27 @@ class CassandraMurmur3Spec extends AnyFunSuite {
     assert(t1 == CassandraMurmur3.tokenOfBytes(Array(0x80.toByte)))
   }
 
+  test("matches an independent implementation (cross-language vectors)") {
+    // Expected values computed by a separately-written Python
+    // implementation of Cassandra's Murmur3 variant (sign-extended tail,
+    // MIN->MAX normalization) — covers negative keys whose big-endian
+    // serialization exercises the 0xFF sign-extension path.
+    val longVectors = Seq(
+      -1L -> 7071048584287372947L,
+      -42L -> 3581121715631347611L,
+      Long.MinValue -> 9204767954415360687L,
+      1L -> 6292367497774912474L,
+      42L -> 8623491988607824794L,
+      Long.MaxValue -> -1722304415079482439L)
+    longVectors.foreach { case (k, expected) =>
+      assert(CassandraMurmur3.tokenOfLong(k) == expected, s"key $k")
+    }
+    assert(CassandraMurmur3.tokenOfBytes("hello".getBytes("UTF-8")) ==
+      -3758069500696749310L)
+    assert(CassandraMurmur3.tokenOfBytes("key with ÿ high bytes".getBytes("UTF-8")) ==
+      1152624536983467756L)
+  }
+
   test("all tail lengths 1..16 hash without error and differ") {
     val tokens = (1 to 16).map { len =>
       CassandraMurmur3.tokenOfBytes(Array.tabulate(len)(i => (i * 37 + 128).toByte))
