@@ -54,6 +54,20 @@ object Analytics {
       doc = "ROLLUP hierarchical aggregation"
     ),
 
+    // CUBE: all grouping-set combinations in one pass.
+    "a11_cube" -> Q(
+      fn = (s, d) =>
+        Tables.customer(s, d)
+          .cube(col("c_mktsegment"), col("c_nationkey").cast("long").as("nk"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("c_mktsegment").asc_nulls_first, col("nk").asc_nulls_first),
+      oracle = Some("""
+        SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS nk, count(*) AS n
+        FROM customer GROUP BY CUBE (c_mktsegment, nk)
+        ORDER BY c_mktsegment ASC NULLS FIRST, nk ASC NULLS FIRST"""),
+      doc = "CUBE grouping sets"
+    ),
+
     // HLL approximate distinct vs exact — the cardinality-sketch scale path
     // (exact distinct of a high-cardinality key shuffles everything; HLL is
     // one pass, mergeable, constant memory). rsd pinned for determinism;

@@ -316,6 +316,25 @@ object Relational {
       doc = "EXCEPT set difference (U1)"
     ),
 
+    // U — INTERSECT: customers active in both years (distinct semantics).
+    "u2_intersect" -> Q(
+      fn = (s, d) => {
+        def custIn(year: String) = ord(s, d)
+          .where(col("o_orderdate") >= to_timestamp(lit(s"$year-01-01")) &&
+                 col("o_orderdate") < to_timestamp(lit(s"${year.toInt + 1}-01-01")))
+          .select(col("o_custkey"))
+        custIn("1995").intersect(custIn("1996")).orderBy("o_custkey")
+      },
+      oracle = Some("""
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        INTERSECT
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        ORDER BY o_custkey"""),
+      doc = "INTERSECT set operation (U)"
+    ),
+
     // F1 — the token function surfaced directly.
     "f1_token_values" -> Q(
       fn = (s, d) =>

@@ -107,7 +107,35 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** Per-label centroids via the typed CentroidAgg Aggregator. */
+  def labelCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ds = Tables.embeddings(spark, sfDir)
+      .select(col("label"), col("embedding")).as[(Int, Array[Float])]
+    val agg = new graft.functions.CentroidAgg(Dim)
+    ds.groupByKey(_._1).agg(agg.toColumn.name("q_centroid"))
+      .toDF("label", "q_centroid")
+  }
+
   val queries: Map[String, Q] = Map(
+
+    // Typed-Aggregator (UDAF) surface: per-label embedding centroids in
+    // quantized units; first 8 dimensions exploded for the oracle.
+    "c1_label_centroids" -> Q(
+      fn = (s, d) =>
+        labelCentroids(s, d)
+          .select(col("label"), posexplode(slice(col("q_centroid"), 1, 8)))
+          .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+                  col("col").as("qc"))
+          .orderBy("label", "dim"),
+      oracle = Some("""
+        SELECT label, i AS dim,
+               CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)) AS DOUBLE)
+                 / count(*) AS qc
+        FROM embeddings, range(1, 9) t(i)
+        GROUP BY label, i ORDER BY label, dim"""),
+      doc = "typed Aggregator (UDAF): per-label vector centroids"
+    ),
 
     // LSH-bucketed ANN (scale path of v1; recall measured in tests
     // against the exact brute-force baseline).

@@ -52,6 +52,26 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n")).toSeq == Seq(1L, 1L))
   }
 
+  test("streaming exact dedup drops duplicates within the watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)](spark)
+    val withTs = mem.toDF().toDF("doc_key", "mins")
+      .withColumn("ts", timestamp_micros(col("mins") * 60L * 1000000L))
+    val deduped = withTs
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("doc_key")
+    val q = deduped.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("stream_dedup").start()
+    mem.addData((100L, 0L), (100L, 5L), (200L, 6L)) // 100 duplicated in-batch
+    q.processAllAvailable()
+    mem.addData((100L, 10L), (300L, 12L)) // 100 duplicated across batches
+    q.processAllAvailable()
+    val keys = spark.sql("SELECT doc_key FROM stream_dedup").collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(keys.toSeq == Seq(100L, 200L, 300L))
+  }
+
   test("stateful sessionizer closes sessions on gap and keeps open ones in state") {
     import spark.implicits._
     implicit val s = spark
