@@ -64,6 +64,31 @@ object Joins {
       doc = "non-equi interval join (broadcast)"
     ),
 
+    // AS-OF join via the engine's custom operator (LogicalPlan + Strategy
+    // + streaming-merge SparkPlan, graft.plans.AsOfJoin) — same semantics
+    // and same DuckDB ASOF oracle as j5's compositional form.
+    "j6_asof_custom" -> Q(
+      fn = (s, d) => {
+        val ev = Tables.events(s, d).where(col("event_id") < 2000)
+          .select("event_id", "event_type", "ts")
+        val dim = Tables.events(s, d).where(col("event_id") % 97 === 0)
+          .groupBy(col("event_type").as("r_type"), col("ts").as("rate_ts"))
+          .agg(max(col("value")).as("rate"))
+        graft.plans.AsOfJoinApi.asofJoin(s, ev, dim, "event_type", "ts", "r_type", "rate_ts")
+          .select("event_id", "event_type", "ts", "rate_ts", "rate")
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH dim AS (
+          SELECT event_type, ts AS rate_ts, max(value) AS rate
+          FROM events WHERE event_id % 97 = 0 GROUP BY event_type, ts)
+        SELECT e.event_id, e.event_type, e.ts, d.rate_ts, d.rate
+        FROM events e ASOF LEFT JOIN dim d
+          ON e.event_type = d.event_type AND e.ts >= d.rate_ts
+        WHERE e.event_id < 2000 ORDER BY e.event_id"""),
+      doc = "as-of join as custom LogicalPlan/Strategy/SparkPlan"
+    ),
+
     // AS-OF join: enrich each event with the most recent prior "rate"
     // observation of its type (rates = every 97th event). Composition:
     // tagged union + last-non-null over (key, time) window; ties at equal

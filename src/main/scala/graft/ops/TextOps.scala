@@ -90,6 +90,30 @@ object TextOps {
       doc = "token/char counting per document"
     ),
 
+    // Tokenizer statistics: whitespace tokens vs BPE-ish subword pieces
+    // (greedy 1-4 char regex chunks — the byte-pair shape without a merges
+    // table). Both engines count non-overlapping leftmost-greedy matches,
+    // so the counts are oracle-exact.
+    "d9_token_counts" -> Q(
+      fn = (s, d) =>
+        doc(s, d).select(
+            col("doc_id"),
+            nWords(col("text")).as("n_ws_tokens"),
+            regexp_count(col("text"), lit("[a-z0-9]{1,4}")).cast("long").as("n_subword_tokens"))
+          .withColumn("pieces_per_word",
+            col("n_subword_tokens").cast("double") / col("n_ws_tokens"))
+          .orderBy("doc_id").limit(1000),
+      oracle = Some("""
+        SELECT *, CAST(n_subword_tokens AS DOUBLE) / n_ws_tokens AS pieces_per_word
+        FROM (
+          SELECT doc_id,
+                 CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_ws_tokens,
+                 CAST(len(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS BIGINT) AS n_subword_tokens
+          FROM documents)
+        ORDER BY doc_id LIMIT 1000"""),
+      doc = "token counting: whitespace + BPE-ish subword pieces"
+    ),
+
     // Language-ID heuristic + quality score: stopword-marker hit counts and
     // length-based quality bucket. Heuristics are deliberately simple and
     // engine-portable; the point is the operator shape (scan-only, codegen).

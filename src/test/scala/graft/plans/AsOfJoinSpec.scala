@@ -1,0 +1,41 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("custom as-of operator matches the window-composition twin exactly") {
+    val custom = graft.SparkEntry.queries("j6_asof_custom")(spark, SparkTestBase.Sf0001)
+      .collect().map(_.toSeq)
+    val composed = graft.SparkEntry.queries("j5_asof_join")(spark, SparkTestBase.Sf0001)
+      .collect().map(_.toSeq)
+    assert(custom.length == composed.length)
+    custom.zip(composed).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("as-of operator handles empty right side (all nulls) and point hits") {
+    import spark.implicits._
+    val left = Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("k", "t")
+      .withColumn("ts", timestamp_micros(col("t")))
+    val rightEmpty = Seq.empty[(Long, Long, Double)].toDF("rk", "rt", "v")
+      .withColumn("rts", timestamp_micros(col("rt")))
+    val outEmpty = AsOfJoinApi.asofJoin(spark, left, rightEmpty, "k", "ts", "rk", "rts")
+    assert(outEmpty.count() == 3)
+    assert(outEmpty.where(col("v").isNotNull).count() == 0)
+
+    // inclusive match at equal time; latest-of-several; no-match before first
+    val right = Seq((1L, 10L, 1.0), (1L, 15L, 2.0), (2L, 6L, 9.0)).toDF("rk", "rt", "v")
+      .withColumn("rts", timestamp_micros(col("rt")))
+    val rows = AsOfJoinApi.asofJoin(spark, left, right, "k", "ts", "rk", "rts")
+      .select(col("k"), col("t"), col("v")).orderBy("k", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(rows.toSeq == Seq(
+      (1L, 10L, 1.0),  // inclusive: rt=10 matches ts=10
+      (1L, 20L, 2.0),  // latest prior (15), not the first (10)
+      (2L, 5L, null))) // before the key's first right row
+  }
+}
