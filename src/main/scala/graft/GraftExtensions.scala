@@ -17,8 +17,12 @@ import graft.functions.{CassandraToken, MinHashSig, QCosine, ShingleHashes}
   *     of a bigint/text/binary partition key (reference F1).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(e.injectFunction)
+    // custom-operator surface: as-of join planning + its pushdown rule
+    e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
+    e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
+  }
 }
 
 object GraftExtensions {

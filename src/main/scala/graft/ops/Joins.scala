@@ -64,6 +64,31 @@ object Joins {
       doc = "non-equi interval join (broadcast)"
     ),
 
+    // Skew-mitigation pattern: salted equi-join. The build side is
+    // replicated across SALT buckets, the probe side's key is salted by a
+    // deterministic hash — a hot key's rows spread over SALT reducer
+    // partitions instead of one. Result is provably identical to the
+    // plain join (the oracle IS the plain join).
+    "j7_salted_join" -> Q(
+      fn = (s, d) => {
+        val Salt = 8
+        val l = Tables.lineitem(s, d)
+          .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(Salt)))
+        val o = Tables.orders(s, d)
+          .withColumn("salt", explode(lit((0 until Salt).toArray)))
+        l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+               sum(col("l_quantity")).as("sum_qty"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      doc = "salted join: skew mitigation, plain-join oracle"
+    ),
+
     // AS-OF join via the engine's custom operator (LogicalPlan + Strategy
     // + streaming-merge SparkPlan, graft.plans.AsOfJoin) — same semantics
     // and same DuckDB ASOF oracle as j5's compositional form.

@@ -132,6 +132,24 @@ object AsOfStrategy extends Strategy {
   }
 }
 
+/** Optimizer rule: push left-side-only filters below the as-of join.
+  * Catalyst cannot see through a foreign logical node, so without this a
+  * `WHERE` on probe columns runs after the join — at scale that is the
+  * difference between shuffling the filtered probe set and the whole
+  * table. A left-side filter cannot change which right row is "as of"
+  * for the surviving rows, so the rewrite is semantics-preserving.
+  */
+object PushFilterThroughAsOfJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, a: AsOfJoin)
+        if cond.references.subsetOf(a.left.outputSet) && cond.deterministic =>
+      a.copy(left = Filter(cond, a.left))
+  }
+}
+
 object AsOfJoinApi {
   /** DataFrame API for the operator. Key columns may be any orderable
     * type; time columns must be timestamp (or long). Injects AsOfStrategy

@@ -17,6 +17,24 @@ class AsOfJoinSpec extends AnyFunSuite {
     custom.zip(composed).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("left-only filters are pushed below the as-of join by the optimizer rule") {
+    import spark.implicits._
+    val left = Seq((1L, 10L), (2L, 20L)).toDF("k", "t")
+      .withColumn("ts", timestamp_micros(col("t")))
+    val right = Seq((1L, 5L, 1.0)).toDF("rk", "rt", "v")
+      .withColumn("rts", timestamp_micros(col("rt")))
+    val joined = AsOfJoinApi.asofJoin(spark, left, right, "k", "ts", "rk", "rts")
+      .where(col("k") === 1L)
+    val optimized = joined.queryExecution.optimizedPlan
+    // after the rule, no Filter remains ABOVE the AsOfJoin node
+    val filterAboveJoin = optimized.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.child.isInstanceOf[AsOfJoin] => f
+    }
+    assert(filterAboveJoin.isEmpty, s"filter not pushed:\n$optimized")
+    assert(joined.count() == 1)
+  }
+
   test("as-of operator handles empty right side (all nulls) and point hits") {
     import spark.implicits._
     val left = Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("k", "t")
