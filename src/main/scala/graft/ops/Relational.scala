@@ -316,6 +316,45 @@ object Relational {
       doc = "EXCEPT set difference (U1)"
     ),
 
+    // T2 — the WHOLE migration pipeline as a judged query: token-split,
+    // checkpoint seed, range scan, sanitize, rename, idempotent
+    // partition-overwrite sink, per-range verify, resume loop, global
+    // validation. Returns the validation row; the oracle asserts the
+    // effectively-once contract (dst == src, diff 0, OK).
+    "t2_migrate_pipeline" -> Q(
+      fn = (s, d) => {
+        import graft.pipeline.{Migrate, MigrateConfig}
+        val dir = java.nio.file.Files.createTempDirectory("graft_t2").toString
+        val m = new Migrate(s, MigrateConfig(
+          srcPath = s"$d/lineitem.parquet", keyCol = "l_orderkey",
+          numRanges = 16, sinkPath = s"$dir/sink",
+          checkpointPath = s"$dir/checkpoints",
+          renames = Map("l_orderkey" -> "file_id")))
+        m.run()
+        val v = m.validate()
+        import s.implicits._
+        Seq(v).toDF()
+      },
+      oracle = Some("""
+        SELECT 'migrated' AS table_name, count(*) AS src_count,
+               count(*) AS dst_count, CAST(0 AS BIGINT) AS diff, 'OK' AS status
+        FROM lineitem"""),
+      doc = "end-to-end checkpointed migration + validation (T1-T6)"
+    ),
+
+    // S7 — schema introspection as a relation (catalog surface).
+    "s7_introspect" -> Q(
+      fn = (s, d) => {
+        import s.implicits._
+        li(s, d).schema.fields.toSeq
+          .map(f => (f.name, f.dataType.simpleString, f.nullable))
+          .toDF("column_name", "data_type", "nullable")
+          .orderBy("column_name")
+      },
+      oracle = None, // type-name spellings are engine-specific
+      doc = "schema/catalog introspection (S7)"
+    ),
+
     // U — INTERSECT: customers active in both years (distinct semantics).
     "u2_intersect" -> Q(
       fn = (s, d) => {
