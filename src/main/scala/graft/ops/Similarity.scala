@@ -165,6 +165,41 @@ object Similarity {
       doc = "brute-force cosine top-k (exact ANN baseline)"
     ),
 
+    // Embedding-cosine near-dup: the dedup-flavored use of the similarity
+    // machinery — most-similar pairs over a corpus sample with a dup flag
+    // at the 0.9 threshold (exact quantized math, so the flag and ranking
+    // are oracle-stable).
+    "d10_embedding_neardup" -> Q(
+      fn = (s, d) => {
+        graft.GraftExtensions.register(s)
+        val e = Tables.embeddings(s, d).where(col("vec_id") < 200)
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+        a.join(broadcast(b), col("id_a") < col("id_b"))
+          .withColumn("sim", call_function("qcosine", col("va"), col("vb")))
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("sim").desc, col("id_a"), col("id_b"))).cast("long"))
+          .where(col("rnk") <= 20)
+          .select(col("rnk"), col("id_a"), col("id_b"), col("sim"),
+                  (col("sim") >= 0.9).as("is_dup"))
+          .orderBy("rnk")
+      },
+      oracle = Some(
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+            p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     CAST(${dotSql("a.embedding", "b.embedding")} AS DOUBLE) /
+                       (sqrt(CAST(${norm2Sql("a.embedding")} AS DOUBLE)) *
+                        sqrt(CAST(${norm2Sql("b.embedding")} AS DOUBLE))) AS sim
+              FROM e a, e b WHERE a.vec_id < b.vec_id),
+            r AS (
+              SELECT CAST(row_number() OVER (ORDER BY sim DESC, id_a, id_b) AS BIGINT) AS rnk,
+                     id_a, id_b, sim FROM p)
+            SELECT rnk, id_a, id_b, sim, sim >= 0.9 AS is_dup
+            FROM r WHERE rnk <= 20 ORDER BY rnk"""),
+      doc = "embedding-cosine near-dup pairs (dedup-flavored similarity)"
+    ),
+
     // Pairwise similarity histogram of a vector sample — demonstrates the
     // self-join shape with an exact, order-independent aggregate output.
     "v2_sim_histogram" -> Q(
