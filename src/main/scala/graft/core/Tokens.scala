@@ -91,6 +91,29 @@ object Tokens {
     s"(($tok) // $step)"
   }
 
+  /** range_id for an n-way split of any supported ring.
+    *
+    * Full signed-64 ring (power-of-two n): arithmetic-shift bucketing —
+    * `((tok - 1) >> (64 - log2 n)) + n/2` after Cassandra-style
+    * normalization of MIN to MAX (MIN is excluded from the ring, so
+    * tok - 1 cannot overflow). The -1 makes the closed range END
+    * (MIN + (i+1)*step) land in bucket i, matching the half-open
+    * `(start, end]` split.
+    *
+    * Compact non-negative rings (oracle ring): plain floor division.
+    */
+  def rangeId(tok: Column, n: Int, min: Long = RingMin, max: Long = RingMax): Column =
+    if (min == RingMin && max == RingMax) {
+      require(Integer.bitCount(n) == 1 && n > 1, s"full-ring split needs power-of-two n, got $n")
+      val shift = 64 - Integer.numberOfTrailingZeros(n)
+      val norm = when(tok === lit(Long.MinValue), lit(Long.MaxValue)).otherwise(tok)
+      (shiftright(norm - lit(1L), shift) + lit(n / 2L)).cast("long")
+    } else {
+      require(min == OracleRingMin && max == OracleRingMax,
+        s"unsupported ring ($min, $max]")
+      oracleRangeId(tok, n)
+    }
+
   /** Half-open range predicate `(start, end]` — reference P4
     * (snapshot_use_pyspark.py:219-220).
     */

@@ -37,6 +37,12 @@ final case class MigrateConfig(
     checkpointPath: String,
     policy: Sanitize.NullPolicy = Sanitize.NullPolicy(),
     renames: Map[String, String] = Map.empty,
+    // Token function + ring are pluggable (SURVEY §7.4): the oracle-ring
+    // multiplicative hash by default (DuckDB-checkable), full signed-64
+    // ring with xxhash64 or cassandra_token for production parity.
+    tokenFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column = Tokens.tokenOracle,
+    ringMin: Long = Tokens.OracleRingMin,
+    ringMax: Long = Tokens.OracleRingMax,
     // test hook: ranges whose processing throws (simulates executor death)
     failRanges: Set[Long] = Set.empty)
 
@@ -47,15 +53,15 @@ class Migrate(spark: SparkSession, cfg: MigrateConfig) {
   import spark.implicits._
 
   private val ranges: Seq[TokenRange] =
-    Tokens.split(cfg.numRanges, Tokens.OracleRingMin, Tokens.OracleRingMax)
+    Tokens.split(cfg.numRanges, cfg.ringMin, cfg.ringMax)
   private val checkpoints = new Checkpoints(spark, cfg.checkpointPath)
 
   private def source(): DataFrame = spark.read.parquet(cfg.srcPath)
 
   private def tokenized(): DataFrame =
     source()
-      .withColumn("token_key", Tokens.tokenOracle(col(cfg.keyCol)))
-      .withColumn("range_id", Tokens.oracleRangeId(col("token_key"), cfg.numRanges))
+      .withColumn("token_key", cfg.tokenFn(col(cfg.keyCol)))
+      .withColumn("range_id", Tokens.rangeId(col("token_key"), cfg.numRanges, cfg.ringMin, cfg.ringMax))
 
   /** One driver iteration: process every incomplete range in a single
     * distributed job; returns the ranges completed this pass.

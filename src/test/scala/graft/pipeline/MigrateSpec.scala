@@ -79,6 +79,38 @@ class MigrateSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("full-ring 64-bit token binding (xxhash64) migrates to OK too") {
+    val dir = Files.createTempDirectory("graft_fullring").toString
+    val cfg = MigrateConfig(
+      srcPath = s"${SparkTestBase.Sf0001}/lineitem.parquet",
+      keyCol = "l_orderkey", numRanges = 16,
+      sinkPath = s"$dir/sink", checkpointPath = s"$dir/cp",
+      tokenFn = graft.core.Tokens.tokenXx,
+      ringMin = graft.core.Tokens.RingMin,
+      ringMax = graft.core.Tokens.RingMax)
+    val m = new Migrate(spark, cfg)
+    m.run()
+    assert(!m.checkpointsIncomplete())
+    assert(m.validate().status == "OK")
+    // every row landed in a valid range bucket
+    // partition-dir column comes back as int; normalize
+    val ids = spark.read.parquet(s"$dir/sink")
+      .select(col("range_id").cast("long")).distinct().collect().map(_.getLong(0)).sorted
+    assert(ids.forall(i => i >= 0 && i < 16))
+  }
+
+  test("range-id bucketing matches the split ranges on the full ring") {
+    import graft.core.Tokens
+    // boundary tokens of every range must floor into their own bucket
+    val rs = Tokens.split(16)
+    import spark.implicits._
+    val toks = rs.flatMap(r => Seq(r.rangeId.toLong -> (r.start + 1), r.rangeId.toLong -> r.end))
+      .toDF("expect", "tok")
+    val bad = toks.withColumn("got", Tokens.rangeId(col("tok"), 16))
+      .where(col("got") =!= col("expect")).count()
+    assert(bad == 0)
+  }
+
   test("sanitize policy applies during migration") {
     val dir = Files.createTempDirectory("graft_sanitize").toString
     import spark.implicits._
