@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CassandraToken, MinHashSig, QCosine, ShingleHashes}
+import graft.functions.{CassandraToken, MinHashSig, QCosine, RollingFingerprint, ShingleHashes}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions for SQL use. Attach with
@@ -48,6 +48,7 @@ object GraftExtensions {
     unary("cassandra_token", classOf[CassandraToken], CassandraToken(_)),
     unary("minhash_sig", classOf[MinHashSig], MinHashSig(_)),
     unary("shingle_hashes", classOf[ShingleHashes], ShingleHashes(_)),
+    unary("rolling_fingerprint", classOf[RollingFingerprint], RollingFingerprint(_)),
     binary("qcosine", classOf[QCosine], QCosine(_, _)))
 
   /** Register directly on an existing session (tests / REPL); idempotent. */

@@ -90,6 +90,22 @@ object TextOps {
       doc = "token/char counting per document"
     ),
 
+    // Rolling-hash (Rabin-Karp min-window) fingerprint via the custom
+    // expression — the winnowing-flavored identity robust to edits away
+    // from the minimizing window; no SQL oracle (modular polynomial over
+    // bytes), correctness + robustness covered by RollingFingerprintSpec.
+    "d11_rolling_fingerprint" -> Q(
+      fn = (s, d) => {
+        graft.GraftExtensions.register(s)
+        doc(s, d).select(
+            col("doc_id"),
+            call_function("rolling_fingerprint", col("text")).as("rfp"))
+          .orderBy("doc_id").limit(1000)
+      },
+      oracle = None,
+      doc = "rolling-hash document fingerprint (custom expression)"
+    ),
+
     // Tokenizer statistics: whitespace tokens vs BPE-ish subword pieces
     // (greedy 1-4 char regex chunks — the byte-pair shape without a merges
     // table). Both engines count non-overlapping leftmost-greedy matches,
