@@ -1,9 +1,10 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions._
+import java.sql.DriverManager
 
-import graft.core.Tokens
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
 import graft.core.Tokens.TokenRange
 
 /** Checkpoint state table — the reference's resumability spine (T2):
@@ -12,51 +13,139 @@ import graft.core.Tokens.TokenRange
   * completion, so a resume re-runs whole ranges and relies on the
   * idempotent sink (snapshot_use_pyspark.py:143-177, 284-286).
   *
-  * Test binding is a parquet path; the production binding is a small JDBC
-  * table — same three columns, same semantics (seed once, fetch incomplete,
-  * mark complete).
+  * Two bindings of one trait: parquet (test/fixture) and JDBC
+  * (production control table — same three columns, same semantics).
   */
 final case class CheckpointRange(range_id: Long, range_start: Long, range_end: Long, checkpoint: Long) {
   def complete: Boolean = checkpoint == range_end
 }
 
-class Checkpoints(spark: SparkSession, path: String) {
+trait CheckpointStore {
+  /** Seed the state table iff empty/absent (reference seed_ranges_if_empty). */
+  def seedIfEmpty(ranges: Seq[TokenRange]): Unit
+  def all(): Seq[CheckpointRange]
+  /** Ranges still to migrate: checkpoint < range_end (reference S6/P5). */
+  def fetchIncomplete(): Seq[CheckpointRange] = all().filter(r => !r.complete)
+  /** Mark ranges complete (whole-range granularity, like the reference). */
+  def markComplete(rangeIds: Seq[Long]): Unit
+}
+
+/** Parquet binding. `markComplete` is crash-atomic: the current state is
+  * renamed aside before the new state renames into place, so at least
+  * one complete copy exists at every instant; readers transparently
+  * recover from the backup if a crash hit the swap window.
+  */
+class Checkpoints(spark: SparkSession, path: String) extends CheckpointStore {
   import spark.implicits._
 
-  /** Seed the state table iff empty/absent (reference seed_ranges_if_empty). */
+  private val fs = org.apache.hadoop.fs.FileSystem.get(
+    new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+  private val dst = new Path(path)
+  private val bak = new Path(path + ".bak")
+  private val tmp = new Path(path + ".tmp")
+
+  /** If a crash landed between the two renames of markComplete, the
+    * last complete state lives at `.bak` — restore it. (The `.tmp`
+    * next-state may be newer, but restoring the OLDER complete state is
+    * always safe: the sink is idempotent, so its ranges just re-run.)
+    */
+  private def recover(): Unit =
+    if (!fs.exists(dst) && fs.exists(bak)) { fs.rename(bak, dst); () }
+
   def seedIfEmpty(ranges: Seq[TokenRange]): Unit =
     if (!exists) {
       ranges.map(r => CheckpointRange(r.rangeId.toLong, r.start, r.end, r.start))
         .toDF().write.mode(SaveMode.Overwrite).parquet(path)
     }
 
-  def exists: Boolean =
-    try { spark.read.parquet(path).schema.nonEmpty }
-    catch { case _: Throwable => false }
+  def exists: Boolean = { recover(); fs.exists(dst) }
 
-  def all(): Seq[CheckpointRange] =
+  def all(): Seq[CheckpointRange] = {
+    recover()
     spark.read.parquet(path).as[CheckpointRange].collect().toSeq.sortBy(_.range_id)
+  }
 
-  /** Ranges still to migrate: checkpoint < range_end (reference S6/P5). */
-  def fetchIncomplete(): Seq[CheckpointRange] =
-    all().filter(r => !r.complete)
-
-  /** Mark ranges complete (whole-range granularity, like the reference). */
   def markComplete(rangeIds: Seq[Long]): Unit = {
     val ids = rangeIds.toSet
     val updated = all().map { r =>
       if (ids.contains(r.range_id)) r.copy(checkpoint = r.range_end) else r
     }
-    // rewrite-in-place via temp path (parquet has no in-place update; the
-    // JDBC binding does an UPDATE instead)
-    val tmp = path + ".tmp"
-    updated.toDF().write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    // parquet has no in-place update: write the new state aside, rotate
+    // the old state to .bak, swing the new one in, then drop the backup.
+    fs.delete(tmp, true)
+    updated.toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(bak, true)
+    if (fs.exists(dst)) fs.rename(dst, bak)
+    fs.rename(tmp, dst)
+    fs.delete(bak, true)
+    ()
   }
 
-  def stateDf(): DataFrame = spark.read.parquet(path)
+  def stateDf(): DataFrame = { recover(); spark.read.parquet(path) }
+}
+
+/** JDBC binding — the production control table (reference
+  * seed_ranges_if_empty / fetch_incomplete_ranges / update_checkpoint,
+  * snapshot_use_pyspark.py:143-199). All statements run driver-side:
+  * the table is control-sized (one row per range).
+  */
+class JdbcCheckpoints(
+    url: String, user: String, password: String,
+    table: String = "migration_checkpoint",
+    dialect: SqlDialect = MySqlDialect) extends CheckpointStore {
+
+  private def q(id: String) = dialect.quote(id)
+  private def withConn[T](f: java.sql.Connection => T): T = {
+    val conn = DriverManager.getConnection(url, user, password)
+    try f(conn) finally conn.close()
+  }
+
+  /** Create the table if absent (K5), then seed iff empty. */
+  def seedIfEmpty(ranges: Seq[TokenRange]): Unit = withConn { conn =>
+    if (!dialect.tableExists(conn, table)) {
+      val st = conn.createStatement()
+      try st.executeUpdate(dialect.createCheckpointTableSql(table)) finally st.close()
+    }
+    val st = conn.createStatement()
+    val n = try {
+      val rs = st.executeQuery(s"SELECT COUNT(*) FROM ${q(table)}")
+      rs.next(); rs.getLong(1)
+    } finally st.close()
+    if (n == 0L) {
+      val ps = conn.prepareStatement(
+        s"INSERT INTO ${q(table)} (${q("range_id")}, ${q("range_start")}, " +
+          s"${q("range_end")}, ${q("checkpoint")}) VALUES (?, ?, ?, ?)")
+      try {
+        ranges.foreach { r =>
+          ps.setLong(1, r.rangeId.toLong); ps.setLong(2, r.start)
+          ps.setLong(3, r.end); ps.setLong(4, r.start)
+          ps.addBatch()
+        }
+        ps.executeBatch()
+      } finally ps.close()
+    }
+  }
+
+  def all(): Seq[CheckpointRange] = withConn { conn =>
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(
+        s"SELECT ${q("range_id")}, ${q("range_start")}, ${q("range_end")}, " +
+          s"${q("checkpoint")} FROM ${q(table)} ORDER BY ${q("range_id")}")
+      val buf = scala.collection.mutable.ArrayBuffer.empty[CheckpointRange]
+      while (rs.next())
+        buf += CheckpointRange(rs.getLong(1), rs.getLong(2), rs.getLong(3), rs.getLong(4))
+      buf.toSeq
+    } finally st.close()
+  }
+
+  def markComplete(rangeIds: Seq[Long]): Unit = if (rangeIds.nonEmpty) withConn { conn =>
+    val ps = conn.prepareStatement(
+      s"UPDATE ${q(table)} SET ${q("checkpoint")} = ${q("range_end")} " +
+        s"WHERE ${q("range_id")} = ?")
+    try {
+      rangeIds.foreach { id => ps.setLong(1, id); ps.addBatch() }
+      ps.executeBatch()
+    } finally ps.close()
+  }
 }

@@ -1,10 +1,102 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Sanitize, Tokens}
 import graft.core.Tokens.TokenRange
+import graft.functions.CountByKey
+
+/** Pluggable source seam: parquet for fixtures; the production binding
+  * is the Cassandra connector (token ranges = native input splits) —
+  * same trait, drop-in (BASELINE.json spark_approach).
+  */
+trait MigrateSource extends Serializable {
+  def read(spark: SparkSession): DataFrame
+}
+
+final case class ParquetSource(path: String) extends MigrateSource {
+  def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
+}
+
+/** Pluggable sink seam. Contract: `write` must be idempotent per range —
+  * re-running a range must not duplicate rows (K1's effectively-once).
+  */
+trait MigrateSink extends Serializable {
+  def write(df: DataFrame, rangeIds: Seq[Long]): Unit
+  /** Rows currently in the sink per range (T5 verify); control-sized. */
+  def countsByRange(spark: SparkSession, rangeIds: Seq[Long]): Map[Long, Long]
+  /** Total sink rows (T6 global validation); 0 if the sink is absent. */
+  def totalCount(spark: SparkSession): Long
+}
+
+/** Parquet binding: dynamic partition overwrite keyed by range_id —
+  * re-running a range atomically replaces exactly its partitions, the
+  * same effectively-once contract as INSERT IGNORE on a unique key.
+  * The overwrite mode is scoped to THIS writer (option), not the session.
+  */
+final case class ParquetSink(path: String) extends MigrateSink {
+  def write(df: DataFrame, rangeIds: Seq[Long]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("range_id")
+      .parquet(path)
+
+  def countsByRange(spark: SparkSession, rangeIds: Seq[Long]): Map[Long, Long] =
+    spark.read.parquet(path)
+      .where(col("range_id").isin(rangeIds: _*))
+      .groupBy("range_id").agg(count(lit(1)).as("a"))
+      .collect()
+      .map(r => r.getAs[Number]("range_id").longValue() -> r.getAs[Long]("a"))
+      .toMap
+
+  def totalCount(spark: SparkSession): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+      spark.read.parquet(path).count()
+    else 0L
+  }
+}
+
+/** JDBC binding: the batched idempotent INSERT IGNORE sink (K1/K2).
+  * Requires the sink table to carry the range_id column so per-range
+  * verification stays a single control-sized query.
+  */
+final case class JdbcTableSink(cfg: JdbcSink.JdbcConfig) extends MigrateSink {
+  private def q(id: String) = cfg.dialect.quote(id)
+
+  private def withConn[T](f: java.sql.Connection => T): T = {
+    val conn = java.sql.DriverManager.getConnection(cfg.url, cfg.user, cfg.password)
+    try f(conn) finally conn.close()
+  }
+
+  def write(df: DataFrame, rangeIds: Seq[Long]): Unit = JdbcSink.write(df, cfg)
+
+  def countsByRange(spark: SparkSession, rangeIds: Seq[Long]): Map[Long, Long] = withConn { conn =>
+    val ids = rangeIds.mkString(", ")
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(
+        s"SELECT ${q("range_id")}, COUNT(*) FROM ${q(cfg.table)} " +
+          s"WHERE ${q("range_id")} IN ($ids) GROUP BY ${q("range_id")}")
+      val buf = scala.collection.mutable.Map.empty[Long, Long]
+      while (rs.next()) buf += rs.getLong(1) -> rs.getLong(2)
+      buf.toMap
+    } finally st.close()
+  }
+
+  def totalCount(spark: SparkSession): Long = withConn { conn =>
+    if (!cfg.dialect.tableExists(conn, cfg.table)) 0L
+    else {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(s"SELECT COUNT(*) FROM ${q(cfg.table)}")
+        rs.next(); rs.getLong(1)
+      } finally st.close()
+    }
+  }
+}
 
 /** The end-to-end migration pipeline — the reference's main() re-expressed
   * Spark-first (SURVEY.md §3.1):
@@ -18,16 +110,15 @@ import graft.core.Tokens.TokenRange
   * Differences from the reference, deliberate and Spark-idiomatic:
   *  - one Spark job processes ALL incomplete ranges (partition pruning by
   *    range predicate), not a Python loop over per-range connections;
-  *  - the idempotent sink is dynamic-partition-overwrite parquet keyed by
-  *    range_id: re-running a range atomically replaces its output — the
-  *    same effectively-once contract as INSERT IGNORE on a unique key,
-  *    without row-level conflict churn (at-least-once + idempotent sink);
+  *  - per-range verification counts come from the WRITE JOB ITSELF via
+  *    observe() — no second source scan (the reference re-counts the
+  *    source per range: 2x read amplification at 100 TB);
   *  - batch ids are deterministic (range_id), not time-derived — fixing the
   *    reference's collision-prone time.time()*1000+i (SURVEY §7.4).
   *
-  * Test binding: parquet source/sink. Production binding: Cassandra
-  * connector source (token ranges = native input splits) and the JDBC
-  * INSERT IGNORE sink in JdbcSink.
+  * Source, sink, and checkpoint store are pluggable traits; parquet
+  * bindings serve fixtures, JDBC bindings (JdbcTableSink/JdbcCheckpoints)
+  * are the production shape, exercised end-to-end in JdbcMigrateSpec.
   */
 final case class MigrateConfig(
     srcPath: String,
@@ -44,22 +135,26 @@ final case class MigrateConfig(
     ringMin: Long = Tokens.OracleRingMin,
     ringMax: Long = Tokens.OracleRingMax,
     // test hook: ranges whose processing throws (simulates executor death)
-    failRanges: Set[Long] = Set.empty)
+    failRanges: Set[Long] = Set.empty,
+    // binding overrides; defaults derive parquet bindings from the paths
+    source: Option[MigrateSource] = None,
+    sink: Option[MigrateSink] = None,
+    checkpoints: Option[CheckpointStore] = None)
 
 final case class ValidationRow(
     table_name: String, src_count: Long, dst_count: Long, diff: Long, status: String)
 
 class Migrate(spark: SparkSession, cfg: MigrateConfig) {
-  import spark.implicits._
 
   private val ranges: Seq[TokenRange] =
     Tokens.split(cfg.numRanges, cfg.ringMin, cfg.ringMax)
-  private val checkpoints = new Checkpoints(spark, cfg.checkpointPath)
-
-  private def source(): DataFrame = spark.read.parquet(cfg.srcPath)
+  private val source: MigrateSource = cfg.source.getOrElse(ParquetSource(cfg.srcPath))
+  private val sink: MigrateSink = cfg.sink.getOrElse(ParquetSink(cfg.sinkPath))
+  private val checkpoints: CheckpointStore =
+    cfg.checkpoints.getOrElse(new Checkpoints(spark, cfg.checkpointPath))
 
   private def tokenized(): DataFrame =
-    source()
+    source.read(spark)
       .withColumn("token_key", cfg.tokenFn(col(cfg.keyCol)))
       .withColumn("range_id", Tokens.rangeId(col("token_key"), cfg.numRanges, cfg.ringMin, cfg.ringMax))
 
@@ -80,29 +175,50 @@ class Migrate(spark: SparkSession, cfg: MigrateConfig) {
       df.withColumnRenamed(from, to)
     }
 
-    // Idempotent sink: overwrite exactly the range_id partitions being
-    // (re)processed; untouched partitions survive (dynamic mode).
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    renamed
+    // observe(): the write job itself reports rows written per range, so
+    // verification needs no second source scan.
+    val obs = Observation()
+    val out = renamed
       .where(col("range_id").isin(todoIds: _*))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("range_id")
-      .parquet(cfg.sinkPath)
+      .observe(obs, CountByKey.countByKey(col("range_id")).as("written"))
+    sink.write(out, todoIds)
 
-    // Per-range verification (T5): expected vs written counts.
-    val expected = tokenized().where(col("range_id").isin(todoIds: _*))
-      .groupBy("range_id").agg(count(lit(1)).as("e"))
-    val actual = spark.read.parquet(cfg.sinkPath)
-      .where(col("range_id").isin(todoIds: _*))
-      .groupBy("range_id").agg(count(lit(1)).as("a"))
-    val mismatched = expected.join(actual, Seq("range_id"), "left")
-      .where(col("a").isNull || col("e") =!= col("a"))
-      .select("range_id").as[Long].collect()
+    // Per-range verification (T5): written (observed) vs sink counts,
+    // compared over the UNION of keys so orphan sink-only ranges are
+    // caught too (full-outer semantics).
+    val written = observedCounts(obs).getOrElse {
+      // listener never fired (defensive): fall back to a source re-scan
+      tokenized().where(col("range_id").isin(todoIds: _*))
+        .groupBy("range_id").agg(count(lit(1)).as("e"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val actual = sink.countsByRange(spark, todoIds)
+    val mismatched = (written.keySet ++ actual.keySet).toSeq.sorted
+      .filter(id => written.getOrElse(id, 0L) != actual.getOrElse(id, 0L))
     if (mismatched.nonEmpty)
       throw new RuntimeException(s"range verification failed: ${mismatched.mkString(",")}")
 
     checkpoints.markComplete(todoIds)
     todoIds
+  }
+
+  /** Wait briefly for the observation; None if the metric never arrived
+    * (obs.get blocks forever, so bound it — correctness then falls back
+    * to a source re-scan rather than hanging the driver).
+    */
+  private def observedCounts(obs: Observation): Option[Map[Long, Long]] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val m =
+      try Await.result(Future(obs.get), 30.seconds)
+      catch { case _: java.util.concurrent.TimeoutException => Map.empty[String, Any] }
+    m.get("written").map {
+      case null => Map.empty[Long, Long]
+      case mm: scala.collection.Map[_, _] =>
+        mm.map { case (k, v) => k.asInstanceOf[Number].longValue() -> v.asInstanceOf[Number].longValue() }.toMap
+      case other => sys.error(s"unexpected metric type: ${other.getClass}")
+    }
   }
 
   /** Drive to completion (reference main loop), bounded passes. */
@@ -121,10 +237,8 @@ class Migrate(spark: SparkSession, cfg: MigrateConfig) {
 
   /** Global validation (T6): source count vs sink count, persisted row. */
   def validate(): ValidationRow = {
-    val srcCount = source().count()
-    val dstCount =
-      try spark.read.parquet(cfg.sinkPath).count()
-      catch { case _: Throwable => 0L }
+    val srcCount = source.read(spark).count()
+    val dstCount = sink.totalCount(spark)
     val diff = math.abs(srcCount - dstCount)
     ValidationRow("migrated", srcCount, dstCount, diff,
       if (diff == 0) "OK" else "MISMATCH")
