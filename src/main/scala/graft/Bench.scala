@@ -5,6 +5,11 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line {"metric":"total", ...} with per-query seconds.
   *
+  * Honesty rules (round-2): every query runs TWICE and reports the MIN
+  * (one-time codegen/classload noise measured away); failures are NOT
+  * swallowed into plausible-looking times — a failed query reports its
+  * time AND lands in an "errors" map with the exception message.
+  *
   * Tuning notes (local bench vs cluster):
   *  - AQE on: runtime coalescing + skew handling, same as a real cluster.
   *  - files.maxPartitionBytes lowered to 2 MB: the sf0.1 fixtures are
@@ -27,6 +32,7 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", (2 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
@@ -47,15 +53,38 @@ object Bench {
         .count()
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    final case class QResult(secs: Double, error: Option[String])
+
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): QResult = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.next().take(200))
+        }
+      QResult((System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val first = once(fn)
+      // min-of-2; skip the re-run for a failed query (same failure twice)
+      val best = if (first.error.isEmpty) {
+        val second = once(fn)
+        QResult(math.min(first.secs, second.secs), second.error)
+      } else first
+      name -> best
+    }
+
+    def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.secs }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, QResult(_, Some(e))) =>
+      "\"" + k + "\":\"" + esc(e) + "\""
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2.secs).sum else 0.0
+    val failed = results.count(_._2.error.isDefined)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$failed,"runs":2,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed > 0) sys.exit(1)
   }
 }

@@ -25,6 +25,11 @@ object Tables {
     * reads nanos into its microsecond TIMESTAMP.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // Session-level contract, documented: nanosAsLong must be true at
+    // PLAN time for any query over events (the session builders in
+    // Bench/Verify/tests set it at construction; this set makes ad-hoc
+    // sessions work too). It only affects files carrying
+    // TIMESTAMP(NANOS) columns — i.e. events.parquet alone.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, sfDir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(

@@ -78,9 +78,15 @@ object Dedup {
     * the raw fixture already contains genuine near-dups, so the judged
     * query runs unplanted.
     */
+  // The signature table below is persisted because four plan branches
+  // consume it; in a long-lived session each new call releases the
+  // previous call's cache (no unbounded accumulation).
+  private var lastSignatureCache: Option[DataFrame] = None
+
   def minhashNearDups(spark: SparkSession, sfDir: String, minJaccard: Double,
                       plant: Boolean = false): DataFrame = {
     graft.GraftExtensions.register(spark)
+    lastSignatureCache.foreach(_.unpersist())
     val src = if (plant) withPlantedDups(spark, sfDir)
               else Tables.documents(spark, sfDir)
     // Signature table: ONLY (doc_id, hpos, sig) — raw text and shingle
@@ -91,6 +97,7 @@ object Dedup {
       .select(col("doc_id"), call_function("shingle_hashes", col("text")).as("hpos"))
       .withColumn("sig", call_function("minhash_sig", col("hpos")))
       .persist()
+    lastSignatureCache = Some(base)
     // Band keys only ride the candidate shuffle (ids + two longs per row).
     val banded = base
       .select(col("doc_id"), explode(bandKeys("sig")).as("bk"))
@@ -133,7 +140,191 @@ object Dedup {
               (c, j) -> CASE WHEN c > 0 THEN shiftleft(1L, cast(j AS int)) ELSE 0L END),
             0L, (acc, v) -> acc + v)""")
 
+  // ---- Portable-hash twins (oracle-gated) --------------------------------
+  //
+  // The production d6/d7 use xxhash64 (not SQL-portable), so they verify
+  // rows-only. These twins run the SAME pipeline shapes over hashes both
+  // engines can compute exactly: a char-polynomial word hash mixed twice
+  // through the Lehmer/MINSTD multiplier (all arithmetic < 2^62,
+  // ANSI-overflow-safe), giving the LSH family full DuckDB hash_match
+  // coverage. Constants are interpolated into BOTH the Spark expressions
+  // and the oracle SQL from the single source below.
+
+  private val HashP = 1000000007L // char-polynomial modulus (< 2^30)
+  private val SigP  = 2147483647L // signature/permutation modulus (2^31-1)
+  private val Mul   = 1000003L    // band-combine multiplier (< 2^20)
+  private val Lehmer = 48271L     // MINSTD full-period multiplier
+
+  // 16 minhash permutations, 4 bands x 4 rows (twin-local — the
+  // production d6 uses MinHashImpl's K/Bands/Rows); deterministic seed.
+  private val TwinBands = 4
+  private val TwinRows = 4
+  private val permRnd = new scala.util.Random(42)
+  private[ops] val PermA: Array[Long] =
+    Array.fill(TwinBands * TwinRows)(1L + permRnd.nextInt(999983).toLong)
+  private[ops] val PermB: Array[Long] =
+    Array.fill(TwinBands * TwinRows)(permRnd.nextInt(1000000007).toLong)
+
+  /** Spark-side portable word hashes: filter empty words, then
+    * poly(chars) mod HashP, mixed twice by the Lehmer multiplier.
+    */
+  private def portableWordHashes(textCol: String): Column = expr(
+    s"""transform(filter(split($textCol, ' '), x -> x != ''), x ->
+          (((aggregate(transform(sequence(1, length(x)), i -> cast(ascii(substring(x, i, 1)) as bigint)),
+                       cast(7 as bigint), (acc, c) -> (acc * 31 + c) % $HashP)
+             * $Lehmer) % $SigP) * $Lehmer) % $SigP)""")
+
+  /** DuckDB-side mirror of portableWordHashes (1-based list indexing,
+    * list_reduce with a prepended seed).
+    */
+  private def wordHashesSql(textExpr: String): String =
+    s"""list_transform(list_filter(string_split($textExpr, ' '), x -> x <> ''), x ->
+          (((list_reduce(list_prepend(7::BIGINT,
+                 list_transform(range(1, len(x)+1), i -> ascii(substr(x, i, 1))::BIGINT)),
+               (acc, c) -> (acc * 31 + c) % $HashP) * $Lehmer) % $SigP) * $Lehmer) % $SigP)"""
+
+  /** Portable shingle hashes: 3-word rolling combine of the word hashes. */
+  private def portableShingleHashes(whCol: String): Column = expr(
+    s"""array_distinct(transform(sequence(1, size($whCol) - 2), i ->
+          ((((element_at($whCol, i) * $Mul + element_at($whCol, i + 1)) % $SigP)
+             * $Mul + element_at($whCol, i + 2)) % $SigP)))""")
+
+  private def shingleHashesSql(whExpr: String): String =
+    s"""list_distinct(list_transform(range(1, len($whExpr) - 1), i ->
+          (((($whExpr[i] * $Mul + $whExpr[i+1]) % $SigP) * $Mul + $whExpr[i+2]) % $SigP)))"""
+
+  private def bandHashExpr(sigRef: String, b: Int, at: (String, Int) => String): String = {
+    val s = (0 until TwinRows).map(r => at(sigRef, b * TwinRows + r + 1))
+    s"(((((${s(0)} * $Mul + ${s(1)}) % $SigP) * $Mul + ${s(2)}) % $SigP) * $Mul + ${s(3)}) % $SigP"
+  }
+
+  /** Oracle-gated MinHash+LSH: same band/bucket/verify pipeline as d6
+    * over portable hashes — full corpus, K=16, 4 bands x 4 rows.
+    */
+  def minhashPortable(spark: SparkSession, sfDir: String, minJaccard: Double): DataFrame = {
+    val aLit = s"array(${PermA.mkString("L, ")}L)"
+    val bLit = s"array(${PermB.mkString("L, ")}L)"
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), portableWordHashes("text").as("wh"))
+      .where(size(col("wh")) >= 3)
+      .select(col("doc_id"), portableShingleHashes("wh").as("hpos"))
+      .withColumn("sig", expr(
+        s"""transform(sequence(1, ${PermA.length}), j ->
+              array_min(transform(hpos, h ->
+                (element_at($aLit, j) * h + element_at($bLit, j)) % $SigP)))"""))
+    val bandCols = (0 until TwinBands).map { b =>
+      struct(lit(b.toLong).as("band"),
+             expr(bandHashExpr("sig", b, (s, i) => s"element_at($s, $i)")).as("bh"))
+    }
+    val banded = base
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bh"))
+    val pairs = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band"), col("bh"), col("doc_id").as("doc_b")),
+            Seq("band", "bh"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val hs = base.select(col("doc_id"), col("hpos"))
+    pairs
+      .join(hs.select(col("doc_id").as("doc_a"), col("hpos").as("h_a")), Seq("doc_a"))
+      .join(hs.select(col("doc_id").as("doc_b"), col("hpos").as("h_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("h_a"), col("h_b"))).cast("double") /
+          size(array_union(col("h_a"), col("h_b"))))
+      .where(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private def minhashPortableOracle(minJaccard: Double): String = {
+    val aLit = s"[${PermA.mkString(",")}]"
+    val bLit = s"[${PermB.mkString(",")}]"
+    val bandCase = (0 until TwinBands)
+      .map(b => s"WHEN $b THEN ${bandHashExpr("sig", b, (s, i) => s"$s[$i]")}")
+      .mkString(" ")
+    s"""
+      WITH wh AS (
+        SELECT doc_id, ${wordHashesSql("text")} AS wh FROM documents),
+      sh AS (
+        SELECT doc_id, ${shingleHashesSql("wh")} AS hpos
+        FROM wh WHERE len(wh) >= 3),
+      sg AS (
+        SELECT doc_id, hpos,
+               list_transform(range(1, ${PermA.length + 1}), j ->
+                 list_min(list_transform(hpos, h -> ($aLit[j] * h + $bLit[j]) % $SigP))) AS sig
+        FROM sh),
+      banded AS (
+        SELECT doc_id, b AS band, CASE b $bandCase END AS bh
+        FROM sg, range(0, $TwinBands) t(b)),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        FROM banded a JOIN banded b2 ON a.band = b2.band AND a.bh = b2.bh AND a.doc_id < b2.doc_id),
+      v AS (
+        SELECT p.doc_a, p.doc_b,
+               len(list_intersect(x.hpos, y.hpos))::DOUBLE /
+                 len(list_distinct(list_concat(x.hpos, y.hpos))) AS jaccard
+        FROM pairs p JOIN sh x ON x.doc_id = p.doc_a JOIN sh y ON y.doc_id = p.doc_b)
+      SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= $minJaccard
+      ORDER BY doc_a, doc_b"""
+  }
+
+  /** Portable 31-bit SimHash over the mixed word hashes. */
+  private def portableSimhash(whCol: String): Column = expr(
+    s"""aggregate(
+          transform(sequence(0, 30), j ->
+            CASE WHEN aggregate($whCol, cast(0 as bigint),
+                   (acc, h) -> acc + (CASE WHEN (h >> j) & 1 = 1 THEN 1L ELSE -1L END)) > 0
+                 THEN shiftleft(1L, j) ELSE 0L END),
+          cast(0 as bigint), (acc, v) -> acc + v)""")
+
   val queries: Map[String, Q] = Map(
+
+    // Oracle-gated MinHash+LSH twin: portable hashes, full corpus.
+    "d6b_minhash_portable" -> Q(
+      fn = (s, d) => minhashPortable(s, d, minJaccard = 0.5),
+      oracle = Some(minhashPortableOracle(0.5)),
+      doc = "MinHash+LSH near-dup with portable hashes (full oracle)"
+    ),
+
+    // Oracle-gated SimHash twin: portable word hashes, planted recall
+    // visible to the oracle via the is_planted flag.
+    "d7b_simhash_portable" -> Q(
+      fn = (s, d) => {
+        val sample = withPlantedDups(s, d)
+          .where(col("doc_id") < 50 || col("doc_id") >= 1000000L)
+          .withColumn("wh", portableWordHashes("text"))
+          .withColumn("simhash", portableSimhash("wh"))
+        val a = sample.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+        val b = sample.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+        a.join(b, col("doc_a") < col("doc_b"))
+          .withColumn("hamming", bit_count(expr("sh_a ^ sh_b")).cast("long"))
+          .where(col("hamming") <= 3)
+          .select(col("doc_a"), col("doc_b"), col("hamming"),
+                  (col("doc_b") - col("doc_a") === 1000000L).as("is_planted"))
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some(s"""
+        WITH base AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 50
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' planted near dup' FROM documents WHERE doc_id < 25),
+        wh AS (
+          SELECT doc_id, ${wordHashesSql("text")} AS wh FROM base),
+        sh AS (
+          SELECT doc_id,
+                 list_sum(list_transform(range(0, 31), j ->
+                   CASE WHEN list_sum(list_transform(wh, h ->
+                          CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                        THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS simhash
+          FROM wh)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming,
+               b.doc_id - a.doc_id = 1000000 AS is_planted
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY doc_a, doc_b"""),
+      doc = "SimHash near-dup with portable hashes (full oracle)"
+    ),
 
     // MinHash-LSH near-dup pairs over the raw corpus (the fixture contains
     // genuine near-dups; planted-recall is covered by DedupSpec).

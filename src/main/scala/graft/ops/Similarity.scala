@@ -138,11 +138,40 @@ object Similarity {
     ),
 
     // LSH-bucketed ANN (scale path of v1; recall measured in tests
-    // against the exact brute-force baseline).
+    // against the exact brute-force baseline). Fully oracle-gated: the
+    // seeded hyperplane coefficients are deterministic integers, so they
+    // interpolate into the SQL as a literal (j, i, w) plane table and the
+    // bucket assignment is exact integer arithmetic in both engines.
     "v3_ann_lsh" -> Q(
       fn = (s, d) => annLsh(s, d, nProbes = 10, k = 3),
-      oracle = None, // bucket assignment (seeded hyperplanes) not SQL-portable
-      doc = "LSH-bucketed approximate nearest neighbors"
+      oracle = Some {
+        val vals = (0 until NPlanes).flatMap(j =>
+          (0 until Dim).map(i => s"($j, ${i + 1}, ${planes(j)(i)})")).mkString(", ")
+        s"""WITH planes(j, i, w) AS (VALUES $vals),
+            d AS (
+              SELECT e.vec_id, p.j, sum(${qElemSql("e.embedding[p.i]")} * p.w) AS dotj
+              FROM embeddings e JOIN planes p ON true
+              GROUP BY e.vec_id, p.j),
+            bk AS (
+              SELECT vec_id,
+                     sum(CASE WHEN dotj > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS bucket
+              FROM d GROUP BY vec_id),
+            e2 AS (SELECT e.vec_id, e.embedding, bk.bucket FROM embeddings e JOIN bk USING (vec_id)),
+            q2 AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM e2 WHERE vec_id < 10),
+            p2 AS (
+              SELECT query_id, e2.vec_id AS neighbor_id,
+                     CAST(${dotSql("qv", "e2.embedding")} AS DOUBLE) /
+                       (sqrt(CAST(${norm2Sql("qv")} AS DOUBLE)) *
+                        sqrt(CAST(${norm2Sql("e2.embedding")} AS DOUBLE))) AS sim
+              FROM q2 JOIN e2 ON q2.bucket = e2.bucket AND q2.query_id <> e2.vec_id),
+            r AS (
+              SELECT query_id, neighbor_id, sim,
+                     CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+              FROM p2)
+            SELECT query_id, neighbor_id, rnk, sim FROM r WHERE rnk <= 3
+            ORDER BY query_id, rnk"""
+      },
+      doc = "LSH-bucketed approximate nearest neighbors (full oracle)"
     ),
 
     // ANN baseline: brute-force exact cosine top-5 for 10 probes.
