@@ -95,20 +95,28 @@ final case class AsOfJoinExec(
         override def next(): InternalRow = {
           val l = lIter.next()
           val lkRaw = lProj(l)
+          // SQL ASOF semantics (DuckDB): NULL keys/times never match —
+          // a null left key or time emits the null-extended right side.
+          if (lkRaw.isNullAt(0) || lkRaw.isNullAt(1))
+            return resultProj(joined(l, nullRight))
           val time = lkRaw.getLong(1)
           if (curKey == null || keyOrd.compare(lkRaw, curKey) != 0) {
             curKey = lkRaw.copy()
             best = null
             var done = false
             while (!done && rBuf.hasNext) {
-              if (keyOrd.compare(rProj(rBuf.head), curKey) < 0) rBuf.next()
+              val rk = rProj(rBuf.head)
+              // null right key/time rows can never be "as of" anything
+              if (rk.isNullAt(0) || rk.isNullAt(1)) rBuf.next()
+              else if (keyOrd.compare(rk, curKey) < 0) rBuf.next()
               else done = true
             }
           }
           var done = false
           while (!done && rBuf.hasNext) {
             val rk = rProj(rBuf.head)
-            if (keyOrd.compare(rk, curKey) == 0 && rk.getLong(1) <= time) {
+            if (rk.isNullAt(0) || rk.isNullAt(1)) rBuf.next()
+            else if (keyOrd.compare(rk, curKey) == 0 && rk.getLong(1) <= time) {
               best = rBuf.next().copy()
             } else done = true
           }

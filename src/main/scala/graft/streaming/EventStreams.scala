@@ -90,6 +90,35 @@ object EventStreams {
       }
   }
 
+  /** session_window-builtin sessionization — the declarative twin of the
+    * flatMapGroupsWithState sessionizer above and of the batch e3
+    * window-composition. Works over batch OR a watermarked stream (pass
+    * an already-watermarked df for Append-mode streaming). Note the
+    * builtin's session end is `last event + gap` (exclusive), where the
+    * composed twins report the last event itself.
+    */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+              col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("n_events"))
+
+  /** Stream-stream interval join: each click joined to the impressions of
+    * the same user within the preceding hour. Watermarks on BOTH sides
+    * bound the join state (impressions kept 1h + join range; clicks 2h),
+    * which is what makes the operator viable on an unbounded stream —
+    * state is O(watermark window), not O(history).
+    */
+  def clickAttribution(impressions: DataFrame, clicks: DataFrame): DataFrame =
+    clicks.withWatermark("c_ts", "2 hours")
+      .join(
+        impressions.withWatermark("i_ts", "1 hour"),
+        expr("c_user = i_user AND i_ts BETWEEN c_ts - INTERVAL 1 HOUR AND c_ts"),
+        "inner")
+
   /** Drain open sessions from a final state snapshot (test helper: after
     * processAllAvailable, open sessions are still in state).
     */

@@ -56,4 +56,34 @@ class AsOfJoinSpec extends AnyFunSuite {
       (1L, 20L, 2.0),  // latest prior (15), not the first (10)
       (2L, 5L, null))) // before the key's first right row
   }
+
+  test("NULL keys/times never match (SQL ASOF semantics, DuckDB parity)") {
+    import spark.implicits._
+    // left: null key, null time, and a normal row
+    val left = Seq(
+      (Option.empty[Long], Option(10L)),  // null key
+      (Option(1L), Option.empty[Long]),   // null time
+      (Option(1L), Option(20L))           // matchable
+    ).toDF("k", "t")
+      .withColumn("ts", when(col("t").isNotNull, timestamp_micros(col("t"))))
+    // right: a null-key row and a null-time row that would otherwise win
+    // (null time reads as long 0 -> would match any ts >= 0 if unguarded),
+    // plus one legitimate row
+    val right = Seq(
+      (Option.empty[Long], Option(1L), 666.0),  // null key
+      (Option(1L), Option.empty[Long], 777.0),  // null time
+      (Option(1L), Option(5L), 1.0)             // the only legal match
+    ).toDF("rk", "rt", "v")
+      .withColumn("rts", when(col("rt").isNotNull, timestamp_micros(col("rt"))))
+    val rows = AsOfJoinApi.asofJoin(spark, left, right, "k", "ts", "rk", "rts")
+      .select(col("k"), col("t"), col("v")).orderBy(col("k").asc_nulls_first, col("t").asc_nulls_first)
+      .collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getLong(0),
+                 if (r.isNullAt(1)) null else r.getLong(1),
+                 if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(rows.toSeq == Seq(
+      (null, 10L, null), // null left key -> no match
+      (1L, null, null),  // null left time -> no match
+      (1L, 20L, 1.0)))   // matches the legal v=1.0, not the null-time 777
+  }
 }

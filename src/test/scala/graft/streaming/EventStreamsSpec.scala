@@ -97,4 +97,79 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(c.getAs[Long]("user_id") == 1L)
     assert(c.getAs[Long]("n_events") == 2L)
   }
+
+  test("session_window builtin (batch) equals the e3 window-composition sessionization") {
+    import org.apache.spark.sql.functions._
+    val builtin = EventStreams.sessionWindowCounts(
+      graft.core.Tables.events(spark, SparkTestBase.Sf0001))
+      .orderBy("user_id", "session_start").collect()
+    val composed = graft.SparkEntry.queries("e3_sessionization")(spark, SparkTestBase.Sf0001)
+      .collect()
+    assert(builtin.length == composed.length)
+    builtin.zip(composed).foreach { case (b, c) =>
+      assert(b.getAs[Long]("user_id") == c.getAs[Long]("user_id"))
+      assert(b.getAs[java.sql.Timestamp]("session_start") ==
+        c.getAs[java.sql.Timestamp]("session_start"))
+      // builtin end = last event + gap (exclusive); composed end = last event
+      assert(b.getAs[java.sql.Timestamp]("session_end").getTime ==
+        c.getAs[java.sql.Timestamp]("session_end").getTime + 30 * 60 * 1000)
+      assert(b.getAs[Long]("n_events") == c.getAs[Long]("n_events"))
+    }
+  }
+
+  test("streaming session_window emits watermark-finalized sessions equal to batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val mem = MemoryStream[(Long, Long)](spark)
+    def withTs(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("user_id", "mins")
+      .withColumn("ts", timestamp_micros(col("mins") * 60L * 1000000L))
+    val agg = EventStreams.sessionWindowCounts(
+      withTs(mem.toDF()).withWatermark("ts", "1 hour"))
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sw_sessions").start()
+    // user 1: one 2-event session then a separate session; user 2: one event
+    val data = Seq((1L, 0L), (1L, 5L), (1L, 45L), (2L, 10L))
+    mem.addData(data: _*)
+    q.processAllAvailable()
+    mem.addData((99L, 600L)) // watermark -> 9h: closes everything earlier
+    q.processAllAvailable()
+    val stream = spark.sql(
+      "SELECT * FROM sw_sessions WHERE user_id < 99 ORDER BY user_id, session_start").collect()
+    q.stop()
+    val batch = EventStreams.sessionWindowCounts(withTs(data.toDF()))
+      .orderBy("user_id", "session_start").collect()
+    assert(stream.length == batch.length && stream.length == 3)
+    stream.zip(batch).foreach { case (s, b) => assert(s.toSeq == b.toSeq) }
+  }
+
+  test("stream-stream interval join equals the batch join on the same data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val impMem = MemoryStream[(Long, Long)](spark)
+    val clkMem = MemoryStream[(Long, Long)](spark)
+    def imps(df: org.apache.spark.sql.DataFrame) = df.toDF("i_user", "i_mins")
+      .withColumn("i_ts", timestamp_micros(col("i_mins") * 60L * 1000000L))
+    def clks(df: org.apache.spark.sql.DataFrame) = df.toDF("c_user", "c_mins")
+      .withColumn("c_ts", timestamp_micros(col("c_mins") * 60L * 1000000L))
+    val q = EventStreams.clickAttribution(imps(impMem.toDF()), clks(clkMem.toDF()))
+      .select("c_user", "c_mins", "i_mins")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("attrib").start()
+    // user 1: impression at 10, clicks at 30 (within 1h) and 120 (outside);
+    // user 2: click with no impression; user 3: two impressions, one click
+    val impData = Seq((1L, 10L), (3L, 40L), (3L, 50L))
+    val clkData = Seq((1L, 30L), (1L, 120L), (2L, 35L), (3L, 60L))
+    impMem.addData(impData: _*)
+    clkMem.addData(clkData: _*)
+    q.processAllAvailable()
+    val stream = spark.sql("SELECT * FROM attrib ORDER BY c_user, c_mins, i_mins").collect()
+    q.stop()
+    val batch = clks(clkData.toDF()).join(imps(impData.toDF()),
+        expr("c_user = i_user AND i_ts BETWEEN c_ts - INTERVAL 1 HOUR AND c_ts"), "inner")
+      .select("c_user", "c_mins", "i_mins")
+      .orderBy("c_user", "c_mins", "i_mins").collect()
+    assert(stream.length == batch.length && stream.length == 3)
+    stream.zip(batch).foreach { case (s, b) => assert(s.toSeq == b.toSeq) }
+  }
 }
