@@ -107,6 +107,87 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  // ---- IVF-style ANN (third variant, after brute-force and LSH) ---------
+
+  /** Coarse IVF centroids via Lloyd iterations, fully deterministic:
+    * every per-dimension centroid component is an EXACT integer sum of
+    * quantized components divided by the cell count (long sums are
+    * order-independent, unlike float accumulation), so cell assignment
+    * is reproducible across runs and partitionings.
+    *
+    * Scale shape: centroids are a tiny broadcast table; each iteration
+    * is one corpus scan + a (cell, dim)-keyed partial aggregation.
+    */
+  def ivfCentroids(e: DataFrame, nCells: Int, iters: Int): DataFrame = {
+    // init: the first nCells vectors, in quantized-double space
+    var cents = e.where(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"),
+              transform(col("embedding"), x => qElem(x).cast("double")).as("centroid"))
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(e, cents)
+      cents = assigned
+        .select(col("cell"), posexplode(col("embedding")))
+        .groupBy("cell", "pos")
+        .agg(sum(qElem(col("col"))).as("qsum"), count(lit(1)).as("n"))
+        .withColumn("c", col("qsum").cast("double") / col("n"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+                       x => x.getField("c")).as("centroid"))
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment by cosine; deterministic tie-break on
+    * the lowest cell id. Centroids ride a broadcast; the corpus streams
+    * once through a map-side max_by aggregation.
+    */
+  def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
+    val dot = aggregate(
+      zip_with(col("embedding"), col("centroid"), (x, c) => qElem(x).cast("double") * c),
+      lit(0.0), (acc, v) => acc + v)
+    val cn2 = aggregate(transform(col("centroid"), c => c * c), lit(0.0), (acc, v) => acc + v)
+    e.join(broadcast(cents), lit(true))
+      .withColumn("csim", dot / (sqrt(qNorm2(col("embedding")).cast("double")) * sqrt(cn2)))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell"), struct(col("csim"), -col("cell"))).as("cell"),
+           first(col("embedding")).as("embedding"))
+  }
+
+  /** IVF ANN: probe the nProbeCells nearest cells per query, exact
+    * quantized-cosine re-rank within the candidate cells. Candidates are
+    * bounded by cell sizes (vs the corpus for brute force); the inverted
+    * file is the cell-keyed table, so the probe is an equi-join.
+    */
+  def annIvf(spark: SparkSession, sfDir: String, nProbes: Int, k: Int,
+             nCells: Int = 16, iters: Int = 2, nProbeCells: Int = 2): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val e = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val cents = ivfCentroids(e, nCells, iters)
+    val inverted = assignCells(e, cents)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("cell"))
+    // probe cells: top nProbeCells centroids per query vector
+    val probes = e.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val dot = aggregate(
+      zip_with(col("qv"), col("centroid"), (x, c) => qElem(x).cast("double") * c),
+      lit(0.0), (acc, v) => acc + v)
+    val cn2 = aggregate(transform(col("centroid"), c => c * c), lit(0.0), (acc, v) => acc + v)
+    val probeCells = probes.join(broadcast(cents), lit(true))
+      .withColumn("csim", dot / (sqrt(qNorm2(col("qv")).cast("double")) * sqrt(cn2)))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("csim").desc, col("cell"))))
+      .where(col("crnk") <= nProbeCells)
+      .select("query_id", "qv", "cell")
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    inverted.join(broadcast(probeCells), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", call_function("qcosine", col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk", "sim")
+      .orderBy("query_id", "rnk")
+  }
+
   /** Per-label centroids via the typed CentroidAgg Aggregator. */
   def labelCentroids(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -172,6 +253,16 @@ object Similarity {
             ORDER BY query_id, rnk"""
       },
       doc = "LSH-bucketed approximate nearest neighbors (full oracle)"
+    ),
+
+    // IVF-style ANN: coarse deterministic centroids -> probe nearest
+    // cells -> exact re-rank. Rows-only (iterative centroids are not
+    // reasonably SQL-expressible); recall vs the exact baseline is
+    // asserted >= the LSH variant's in SimilaritySpec.
+    "v4_ann_ivf" -> Q(
+      fn = (s, d) => annIvf(s, d, nProbes = 10, k = 3),
+      oracle = None,
+      doc = "IVF ANN: coarse centroids, cell probing, exact re-rank"
     ),
 
     // ANN baseline: brute-force exact cosine top-5 for 10 probes.

@@ -54,4 +54,31 @@ class SimilaritySpec extends AnyFunSuite {
       assert(rnks == (1L to rnks.size))
     }
   }
+
+  test("IVF ANN: exact sims, and recall@3 at least matches the LSH variant") {
+    def topk(rows: Array[Row], k: Int): Map[Long, Set[Long]] =
+      rows.groupBy(_.getAs[Long]("query_id")).map { case (q, rs) =>
+        q -> rs.filter(_.getAs[Long]("rnk") <= k).map(_.getAs[Long]("neighbor_id")).toSet
+      }
+    val exact = topk(
+      Similarity.cosineTopK(spark, SparkTestBase.Sf0001, nProbes = 10, k = 3).collect(), 3)
+    val ivf = Similarity.annIvf(spark, SparkTestBase.Sf0001, nProbes = 10, k = 3).collect()
+    val lsh = Similarity.annLsh(spark, SparkTestBase.Sf0001, nProbes = 10, k = 3).collect()
+    // re-ranked sims must be the exact quantized cosine
+    ivf.foreach { r =>
+      val s = refCosine(vecs(r.getAs[Long]("query_id")), vecs(r.getAs[Long]("neighbor_id")))
+      assert(math.abs(s - r.getAs[Double]("sim")) < 1e-12)
+    }
+    def recall(ann: Array[Row]): Double = {
+      val byQ = topk(ann, 3)
+      val scores = exact.toSeq.map { case (q, ex) =>
+        byQ.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+      }
+      scores.sum / scores.size
+    }
+    val (rIvf, rLsh) = (recall(ivf), recall(lsh))
+    info(s"recall@3: ivf=$rIvf lsh=$rLsh")
+    assert(rIvf >= rLsh, s"IVF recall $rIvf below LSH recall $rLsh")
+    assert(rIvf > 0.0)
+  }
 }
