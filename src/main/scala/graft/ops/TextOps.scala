@@ -102,8 +102,48 @@ object TextOps {
             call_function("rolling_fingerprint", col("text")).as("rfp"))
           .orderBy("doc_id").limit(1000)
       },
-      oracle = None,
-      doc = "rolling-hash document fingerprint (custom expression)"
+      // Independent SQL formulation of the custom rolling-hash expression:
+      // the Rabin-Karp window hash h(i) = sum b[i+j]·B^(w-1-j) mod P is
+      // rewritten with modular inverses as B^(w-1+i) · (G[i+w] - G[i])
+      // where G prefix-sums b[k]·B^(-k) — so the per-window value becomes
+      // ONE windowed SUM over unnested bytes (O(n), not O(n·w)) and the
+      // min over windows reduces per doc. Exactly equal mod P to the
+      // streaming computation, proven by the hash compare.
+      oracle = Some {
+        val B = graft.functions.RollingFingerprintImpl.B
+        val P = graft.functions.RollingFingerprintImpl.P
+        val W = graft.functions.RollingFingerprintImpl.Window
+        val IB = BigInt(B).modPow(BigInt(P - 2), BigInt(P)).toLong // B^-1 mod P
+        s"""
+        WITH RECURSIVE pows(k, pw, ibp) AS (
+          SELECT 0, 1::BIGINT, 1::BIGINT
+          UNION ALL
+          SELECT k+1, (pw*$B)%$P, (ibp*$IB)%$P FROM pows WHERE k < 2047),
+        b AS (
+          SELECT doc_id, least($W, length(text)) AS w, length(text) AS n,
+                 unnest(range(1, length(text)+1)) AS pos,
+                 unnest(list_transform(range(1, length(text)+1),
+                        i -> ascii(substr(text, i, 1))::BIGINT)) AS byte
+          FROM documents WHERE length(text) > 0),
+        f AS (
+          SELECT b.doc_id, b.w, b.n, b.pos, (b.byte * p.ibp) % $P AS fterm
+          FROM b JOIN pows p ON p.k = b.pos - 1),
+        ws AS (
+          SELECT doc_id, w, n, pos,
+                 sum(fterm) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS wsum
+          FROM f),
+        h AS (
+          SELECT ws.doc_id, (p.pw * (ws.wsum % $P)) % $P AS wh
+          FROM ws JOIN pows p ON p.k = ws.w + ws.pos - 2
+          WHERE ws.pos <= ws.n - ws.w + 1),
+        agg AS (
+          SELECT doc_id, min(wh)::BIGINT AS rfp FROM h GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(a.rfp, 0)::BIGINT AS rfp
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id LIMIT 1000"""
+      },
+      doc = "rolling-hash document fingerprint (custom expression, oracle via modular-inverse prefix sums)"
     ),
 
     // Tokenizer statistics: whitespace tokens vs BPE-ish subword pieces
