@@ -119,13 +119,14 @@ object Similarity {
     * is one corpus scan + a (cell, dim)-keyed partial aggregation.
     */
   def ivfCentroids(e: DataFrame, nCells: Int, iters: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
     // init: the first nCells vectors, in quantized-double space
     var cents = e.where(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"),
               transform(col("embedding"), x => qElem(x).cast("double")).as("centroid"))
     for (_ <- 0 until iters) {
-      val assigned = assignCells(e, cents)
-      cents = assigned
+      val next = assignCells(e, cents)
         .select(col("cell"), posexplode(col("embedding")))
         .groupBy("cell", "pos")
         .agg(sum(qElem(col("col"))).as("qsum"), count(lit(1)).as("n"))
@@ -133,6 +134,12 @@ object Similarity {
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
                        x => x.getField("c")).as("centroid"))
+      // Materialize: centroids are driver-sized (nCells x dim), and every
+      // downstream consumer (next iteration, inverted file, probe ranking)
+      // would otherwise re-run the whole lineage — at scale this is the
+      // per-iteration centroid checkpoint every k-means implementation does.
+      cents = next.as[(Long, Array[Double])].collect().toSeq
+        .toDF("cell", "centroid")
     }
     cents
   }
