@@ -102,8 +102,18 @@ object Dedup {
     val banded = base
       .select(col("doc_id"), explode(bandKeys("sig")).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bh"))
-    val pairs = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
-      .join(banded.select(col("band"), col("bh"), col("doc_id").as("doc_b")),
+    // Spam-bucket guard: a degenerate bucket of b docs contributes b^2
+    // candidate pairs — boilerplate/empty-ish documents at corpus scale
+    // would otherwise dominate the join. Buckets above the cap carry no
+    // near-dup signal worth quadratic cost and are dropped (standard LSH
+    // practice); a no-op at fixture scale (max bucket ~ dup-cluster size).
+    val capped = banded
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .where(col("bsz") <= MaxBucket)
+      .drop("bsz")
+    val pairs = capped.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+      .join(capped.select(col("band"), col("bh"), col("doc_id").as("doc_b")),
             Seq("band", "bh"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
@@ -154,6 +164,10 @@ object Dedup {
   private val SigP  = 2147483647L // signature/permutation modulus (2^31-1)
   private val Mul   = 1000003L    // band-combine multiplier (< 2^20)
   private val Lehmer = 48271L     // MINSTD full-period multiplier
+  /** LSH spam-bucket cap: buckets larger than this are dropped before
+    * the candidate join (b docs -> b^2 pairs otherwise).
+    */
+  private val MaxBucket = 1000L
 
   // 16 minhash permutations, 4 bands x 4 rows (twin-local — the
   // production d6 uses MinHashImpl's K/Bands/Rows); deterministic seed.
@@ -219,8 +233,15 @@ object Dedup {
     val banded = base
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bh"))
-    val pairs = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
-      .join(banded.select(col("band"), col("bh"), col("doc_id").as("doc_b")),
+    // same spam-bucket guard as the production d6 (see minhashNearDups);
+    // mirrored in the oracle SQL via QUALIFY, proving it a fixture no-op
+    val capped = banded
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .where(col("bsz") <= MaxBucket)
+      .drop("bsz")
+    val pairs = capped.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+      .join(capped.select(col("band"), col("bh"), col("doc_id").as("doc_b")),
             Seq("band", "bh"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
@@ -255,7 +276,8 @@ object Dedup {
         FROM sh),
       banded AS (
         SELECT doc_id, b AS band, CASE b $bandCase END AS bh
-        FROM sg, range(0, $TwinBands) t(b)),
+        FROM sg, range(0, $TwinBands) t(b)
+        QUALIFY count(*) OVER (PARTITION BY band, bh) <= $MaxBucket),
       pairs AS (
         SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
         FROM banded a JOIN banded b2 ON a.band = b2.band AND a.bh = b2.bh AND a.doc_id < b2.doc_id),

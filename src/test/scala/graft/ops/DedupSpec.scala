@@ -51,6 +51,19 @@ class DedupSpec extends AnyFunSuite {
     assert(planted.nonEmpty)
   }
 
+  test("portable-hash MinHash twin finds the same near-dup pairs as the xxhash production path") {
+    def pairs(name: String) = SparkEntryQueries.run(spark, name)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val production = pairs("d6_minhash_lsh")
+    val portable = pairs("d6b_minhash_portable")
+    // Two independent hash families over the same corpus: identical
+    // genuine-near-dup pair sets at this scale (both are 4-band LSH with
+    // exact Jaccard >= 0.5 verification, so disagreement would mean a
+    // recall hole in one of them).
+    assert(portable == production,
+      s"only-production=${production -- portable} only-portable=${portable -- production}")
+  }
+
   test("ngram jaccard top pairs are symmetric-free and ranked") {
     val rows = SparkEntryQueries.run(spark, "d8_ngram_jaccard")
     assert(rows.length == 20)
