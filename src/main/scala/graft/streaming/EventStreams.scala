@@ -119,6 +119,25 @@ object EventStreams {
         expr("c_user = i_user AND i_ts BETWEEN c_ts - INTERVAL 1 HOUR AND c_ts"),
         "inner")
 
+  /** Streaming ingestion into the idempotent JDBC sink: foreachBatch
+    * hands every micro-batch to JdbcSink.write, so a batch replayed
+    * after a failure (Structured Streaming's at-least-once contract per
+    * epoch) is absorbed by the key-idempotent insert — the same
+    * effectively-once story as the batch pipeline, now continuous.
+    * The WAL's (range_id, batch_id) rows additionally carry the
+    * streaming epoch via the deterministic per-partition batch ids.
+    */
+  def streamToJdbc(
+      df: DataFrame,
+      cfg: graft.pipeline.JdbcSink.JdbcConfig,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.pipeline.JdbcSink.write(batch.toDF(), cfg)
+      }
+      .start()
+
   /** Drain open sessions from a final state snapshot (test helper: after
     * processAllAvailable, open sessions are still in state).
     */

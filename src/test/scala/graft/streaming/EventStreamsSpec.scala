@@ -143,6 +143,41 @@ class EventStreamsSpec extends AnyFunSuite {
     stream.zip(batch).foreach { case (s, b) => assert(s.toSeq == b.toSeq) }
   }
 
+  test("streaming foreachBatch into the idempotent JDBC sink absorbs replays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.{Ddl, DerbyDialect, JdbcSink}
+    import org.apache.spark.sql.types._
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    val url = s"jdbc:derby:memory:st_${java.util.UUID.randomUUID().toString.take(8)};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try Ddl.ensureTables(conn, DerbyDialect, "stream_sink",
+      StructType(Seq(StructField("id", LongType), StructField("name", StringType))), Seq("id"))
+    finally conn.close()
+    val cfg = JdbcSink.JdbcConfig(url, "", "", "stream_sink",
+      columns = Seq("id", "name"), keyCols = Seq("id"), dialect = DerbyDialect,
+      batchSize = 10, walTable = Some("migration_wal"), retryBaseDelayMs = 1)
+
+    val mem = MemoryStream[Long](spark)
+    val df = mem.toDF().toDF("id")
+      .withColumn("name", concat(lit("n"), col("id")))
+      .withColumn("range_id", col("id") % 4)
+    val cp = java.nio.file.Files.createTempDirectory("st_cp").toString
+    val q = EventStreams.streamToJdbc(df, cfg, cp)
+    mem.addData(1L to 25L: _*)
+    q.processAllAvailable()
+    mem.addData(20L to 40L: _*) // overlap 20-25: replayed keys must not duplicate
+    q.processAllAvailable()
+    q.stop()
+    val c2 = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c2.createStatement().executeQuery("SELECT COUNT(*) FROM \"stream_sink\"")
+      rs.next()
+      assert(rs.getLong(1) == 40L) // 1..40 exactly once
+    } finally c2.close()
+  }
+
   test("stream-stream interval join equals the batch join on the same data") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
