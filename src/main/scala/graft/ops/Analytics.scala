@@ -68,6 +68,30 @@ object Analytics {
       doc = "CUBE grouping sets"
     ),
 
+    // PIVOT: wide-format event counts per day-of-month. Explicit value
+    // list keeps the output schema static (Spark would otherwise launch a
+    // distinct-values job and produce data-dependent columns); the oracle
+    // is the standard conditional-aggregation rewrite.
+    "a12_pivot" -> Q(
+      fn = (s, d) =>
+        Tables.events(s, d)
+          .withColumn("day", dayofmonth(col("ts")).cast("long"))
+          .groupBy("day")
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("day"),
+      oracle = Some("""
+        SELECT CAST(date_part('day', ts) AS BIGINT) AS day,
+               count(*) FILTER (event_type = 'click') AS click,
+               count(*) FILTER (event_type = 'error') AS error,
+               count(*) FILTER (event_type = 'purchase') AS purchase,
+               count(*) FILTER (event_type = 'signup') AS signup,
+               count(*) FILTER (event_type = 'view') AS view
+        FROM events GROUP BY day ORDER BY day"""),
+      doc = "PIVOT to wide format (explicit values; conditional-agg oracle)"
+    ),
+
     // HLL approximate distinct vs exact — the cardinality-sketch scale path
     // (exact distinct of a high-cardinality key shuffles everything; HLL is
     // one pass, mergeable, constant memory). rsd pinned for determinism;

@@ -73,7 +73,8 @@ final case class JdbcTableSink(cfg: JdbcSink.JdbcConfig) extends MigrateSink {
 
   def write(df: DataFrame, rangeIds: Seq[Long]): Unit = JdbcSink.write(df, cfg)
 
-  def countsByRange(spark: SparkSession, rangeIds: Seq[Long]): Map[Long, Long] = withConn { conn =>
+  def countsByRange(spark: SparkSession, rangeIds: Seq[Long]): Map[Long, Long] =
+    if (rangeIds.isEmpty) Map.empty else withConn { conn =>
     val ids = rangeIds.mkString(", ")
     val st = conn.createStatement()
     try {
