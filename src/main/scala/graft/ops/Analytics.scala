@@ -212,6 +212,63 @@ object Analytics {
       doc = "shipping priority: broadcast dims, top-k"
     ),
 
+    // TPC-H Q18 shape: large-quantity orders. The IN (GROUP BY .. HAVING)
+    // subquery becomes an aggregation-derived semi-join: the big-order key
+    // set is aggregated first (shuffle on l_orderkey), then joined — the
+    // fact table is never scanned twice against itself row-for-row.
+    "q18_large_orders" -> Q(
+      fn = (s, d) => {
+        val big = Tables.lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(sum(col("l_quantity")).as("total_qty"))
+          .where(col("total_qty") > 200)
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        val c = Tables.customer(s, d).select("c_custkey", "c_name")
+        o.join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+                  col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20)
+      },
+      oracle = Some("""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+        FROM orders
+        JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+              FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 200) big
+          ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""),
+      doc = "large-quantity orders: aggregation-derived semi-join (Q18 shape)"
+    ),
+
+    // TPC-H Q2 shape: correlated per-group minimum. The correlated scalar
+    // subquery (min acctbal per nation) is re-expressed as a window min —
+    // one shuffle on the group key instead of a per-row subquery; the
+    // oracle keeps the correlated formulation to prove equivalence.
+    "q2_min_per_group" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.supplier(s, d)
+          .withColumn("min_bal",
+            min(col("s_acctbal")).over(Window.partitionBy("s_nationkey")))
+          .where(col("s_acctbal") === col("min_bal"))
+          .select(col("s_nationkey").cast("long").as("nationkey"),
+                  col("s_suppkey").cast("long").as("suppkey"),
+                  col("s_name"), col("s_acctbal"))
+          .orderBy("nationkey", "suppkey")
+      },
+      oracle = Some("""
+        SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+               CAST(s_suppkey AS BIGINT) AS suppkey, s_name, s_acctbal
+        FROM supplier s
+        WHERE s_acctbal = (SELECT min(s2.s_acctbal) FROM supplier s2
+                           WHERE s2.s_nationkey = s.s_nationkey)
+        ORDER BY nationkey, suppkey"""),
+      doc = "correlated per-group min re-expressed as window min (Q2 shape)"
+    ),
+
     // TPC-H Q5: local supplier volume. All dimensions broadcast; lineitem
     // is the only large input so the plan is one fact scan + one shuffle
     // for the final 5-group aggregate.
