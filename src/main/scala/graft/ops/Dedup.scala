@@ -179,10 +179,17 @@ object Dedup {
   private[ops] val PermB: Array[Long] =
     Array.fill(TwinBands * TwinRows)(permRnd.nextInt(1000000007).toLong)
 
-  /** Spark-side portable word hashes: filter empty words, then
-    * poly(chars) mod HashP, mixed twice by the Lehmer multiplier.
+  /** Spark-side portable word hashes — the codegen PortableWordHashes
+    * expression (one static call; proven equal to the HOF formulation
+    * below in DedupSpec).
     */
-  private def portableWordHashes(textCol: String): Column = expr(
+  private def portableWordHashes(textCol: String): Column =
+    call_function("portable_word_hashes", col(textCol))
+
+  /** HOF formulation of the same hash (kept as the equivalence witness
+    * for the spec; the DuckDB mirror below is the oracle's version).
+    */
+  private[ops] def portableWordHashesHof(textCol: String): Column = expr(
     s"""transform(filter(split($textCol, ' '), x -> x != ''), x ->
           (((aggregate(transform(sequence(1, length(x)), i -> cast(ascii(substring(x, i, 1)) as bigint)),
                        cast(7 as bigint), (acc, c) -> (acc * 31 + c) % $HashP)
@@ -216,6 +223,7 @@ object Dedup {
     * over portable hashes — full corpus, K=16, 4 bands x 4 rows.
     */
   def minhashPortable(spark: SparkSession, sfDir: String, minJaccard: Double): DataFrame = {
+    graft.GraftExtensions.register(spark)
     val aLit = s"array(${PermA.mkString("L, ")}L)"
     val bLit = s"array(${PermB.mkString("L, ")}L)"
     val base = Tables.documents(spark, sfDir)
@@ -312,6 +320,7 @@ object Dedup {
     // visible to the oracle via the is_planted flag.
     "d7b_simhash_portable" -> Q(
       fn = (s, d) => {
+        graft.GraftExtensions.register(s)
         val sample = withPlantedDups(s, d)
           .where(col("doc_id") < 50 || col("doc_id") >= 1000000L)
           .withColumn("wh", portableWordHashes("text"))

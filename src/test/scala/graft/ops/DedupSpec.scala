@@ -51,6 +51,18 @@ class DedupSpec extends AnyFunSuite {
     assert(planted.nonEmpty)
   }
 
+  test("portable_word_hashes expression equals the HOF formulation on every fixture doc") {
+    import org.apache.spark.sql.functions._
+    graft.GraftExtensions.register(spark)
+    val docs = graft.core.Tables.documents(spark, SparkTestBase.Sf0001)
+    val diff = docs.select(
+        call_function("portable_word_hashes", col("text")).as("fast"),
+        Dedup.portableWordHashesHof("text").as("hof"))
+      .where(not(col("fast") === col("hof")))
+      .count()
+    assert(diff == 0)
+  }
+
   test("portable-hash MinHash twin finds the same near-dup pairs as the xxhash production path") {
     def pairs(name: String) = SparkEntryQueries.run(spark, name)
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
