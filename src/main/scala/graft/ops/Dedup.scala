@@ -265,14 +265,17 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  private def minhashPortableOracle(minJaccard: Double): String = {
+  /** The d6b pipeline as reusable WITH-clause bodies (wh..v); `v` ends
+    * with per-pair exact jaccard. Shared by the d6b oracle and the d12
+    * composed-pipeline oracle.
+    */
+  private[ops] def minhashPairsCtes: String = {
     val aLit = s"[${PermA.mkString(",")}]"
     val bLit = s"[${PermB.mkString(",")}]"
     val bandCase = (0 until TwinBands)
       .map(b => s"WHEN $b THEN ${bandHashExpr("sig", b, (s, i) => s"$s[$i]")}")
       .mkString(" ")
-    s"""
-      WITH wh AS (
+    s"""wh AS (
         SELECT doc_id, ${wordHashesSql("text")} AS wh FROM documents),
       sh AS (
         SELECT doc_id, ${shingleHashesSql("wh")} AS hpos
@@ -293,10 +296,14 @@ object Dedup {
         SELECT p.doc_a, p.doc_b,
                len(list_intersect(x.hpos, y.hpos))::DOUBLE /
                  len(list_distinct(list_concat(x.hpos, y.hpos))) AS jaccard
-        FROM pairs p JOIN sh x ON x.doc_id = p.doc_a JOIN sh y ON y.doc_id = p.doc_b)
+        FROM pairs p JOIN sh x ON x.doc_id = p.doc_a JOIN sh y ON y.doc_id = p.doc_b)"""
+  }
+
+  private def minhashPortableOracle(minJaccard: Double): String =
+    s"""
+      WITH $minhashPairsCtes
       SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= $minJaccard
       ORDER BY doc_a, doc_b"""
-  }
 
   /** Portable 31-bit SimHash over the mixed word hashes. */
   private def portableSimhash(whCol: String): Column = expr(
@@ -307,7 +314,76 @@ object Dedup {
                  THEN shiftleft(1L, j) ELSE 0L END),
           cast(0 as bigint), (acc, v) -> acc + v)""")
 
+  /** The composed training-data-prep pipeline: quality filter (d4's
+    * heuristics) -> exact dedup (md5 canonical) -> MinHash near-dup drop
+    * (keep the lower doc_id of each verified pair) -> retention summary.
+    * The LLM-pipeline analog of t2_migrate_pipeline: every stage is an
+    * operator proven individually; this proves they compose, end-to-end,
+    * against one oracle row.
+    */
+  def dataprepPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, sfDir)
+    val nw = (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1).cast("long")
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    def hits(m: String): Column =
+      ((length(padded) - length(regexp_replace(padded, m, ""))) / m.length).cast("long")
+    val q = docs
+      .select(col("doc_id"), col("text"), nw.as("n_words"),
+              (hits(" the ") + hits(" a ")).as("sw"))
+      .where(col("n_words") >= 20 && col("sw") > 0)
+    val e = q
+      .withColumn("m", min(col("doc_id")).over(
+        Window.partitionBy(md5(encode(col("text"), "UTF-8")))))
+      .where(col("doc_id") === col("m"))
+      .select("doc_id", "n_words")
+    val pairs = minhashPortable(spark, sfDir, 0.5).select("doc_a", "doc_b")
+    val nd = pairs
+      .join(e.select(col("doc_id").as("doc_a")), "doc_a")
+      .join(e.select(col("doc_id").as("doc_b")), "doc_b")
+      .select(col("doc_b").as("doc_id")).distinct()
+    val f = e.join(nd, Seq("doc_id"), "left_anti")
+    docs.agg(count(lit(1)).as("total_docs"))
+      .crossJoin(q.agg(count(lit(1)).as("good_docs")))
+      .crossJoin(e.agg(count(lit(1)).as("after_exact")))
+      .crossJoin(f.agg(count(lit(1)).as("after_neardup"),
+                       sum(col("n_words")).as("tokens_kept")))
+  }
+
   val queries: Map[String, Q] = Map(
+
+    // Composed data-prep pipeline, one oracle-checked summary row.
+    "d12_dataprep_pipeline" -> Q(
+      fn = (s, d) => dataprepPipeline(s, d),
+      oracle = Some(s"""
+        WITH $minhashPairsCtes,
+        q AS (
+          SELECT doc_id, text, n_words FROM (
+            SELECT doc_id, text,
+                   CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+                   CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) // 5 AS BIGINT)
+                     + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) // 3 AS BIGINT) AS sw
+            FROM documents)
+          WHERE n_words >= 20 AND sw > 0),
+        e AS (
+          SELECT doc_id, n_words FROM (
+            SELECT doc_id, n_words, min(doc_id) OVER (PARTITION BY md5(text)) AS m FROM q)
+          WHERE doc_id = m),
+        nd AS (
+          SELECT DISTINCT v.doc_b AS doc_id
+          FROM v
+          JOIN e a ON a.doc_id = v.doc_a
+          JOIN e b2 ON b2.doc_id = v.doc_b
+          WHERE v.jaccard >= 0.5),
+        f AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT doc_id FROM nd))
+        SELECT (SELECT count(*) FROM documents) AS total_docs,
+               (SELECT count(*) FROM q) AS good_docs,
+               (SELECT count(*) FROM e) AS after_exact,
+               (SELECT count(*) FROM f) AS after_neardup,
+               (SELECT CAST(sum(n_words) AS BIGINT) FROM f) AS tokens_kept"""),
+      doc = "composed data-prep: quality filter -> exact dedup -> near-dup drop -> retention summary"
+    ),
 
     // Oracle-gated MinHash+LSH twin: portable hashes, full corpus.
     "d6b_minhash_portable" -> Q(
