@@ -100,6 +100,40 @@ object Multimodal {
       doc = "opaque binary column + typed metadata + decode stub"
     ),
 
+    // Resize planning: aspect-preserving fit into a 224x224 box. The
+    // geometry (scale factor, output dims, output byte estimate) is the
+    // real, oracle-checked part; the pixel resample itself is the stub
+    // boundary (same seam as m3's decode body).
+    "m4_resize_plan" -> Q(
+      fn = (s, d) => {
+        val w = greatest(decodeStubWidth(col("n_chars")), lit(1L))
+        val h = greatest(decodeStubHeight(col("doc_id")), lit(1L))
+        val scale = lit(224.0) / greatest(w, h).cast("double")
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"), w.as("width"), h.as("height"),
+            scale.as("scale"),
+            round(w.cast("double") * scale).cast("long").as("out_w"),
+            round(h.cast("double") * scale).cast("long").as("out_h"))
+          .withColumn("out_bytes", (col("out_w") * col("out_h") * 3).cast("long"))
+          .orderBy("doc_id").limit(1000)
+      },
+      oracle = Some("""
+        SELECT *, out_w * out_h * 3 AS out_bytes
+        FROM (
+          SELECT doc_id, width, height,
+                 224.0 / greatest(width, height) AS scale,
+                 CAST(round(width * (224.0 / greatest(width, height))) AS BIGINT) AS out_w,
+                 CAST(round(height * (224.0 / greatest(width, height))) AS BIGINT) AS out_h
+          FROM (
+            SELECT doc_id,
+                   greatest(n_chars % 640, 1) AS width,
+                   greatest(doc_id % 480, 1) AS height
+            FROM documents))
+        ORDER BY doc_id LIMIT 1000"""),
+      doc = "aspect-preserving resize planning (geometry oracle-checked; resample stubbed)"
+    ),
+
     // Media-bucket statistics: group payloads by stub-decoded shape —
     // the partition-friendly layout step of a media pipeline.
     "m2_media_buckets" -> Q(
