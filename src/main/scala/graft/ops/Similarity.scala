@@ -126,14 +126,16 @@ object Similarity {
       .select(col("vec_id").as("cell"),
               transform(col("embedding"), x => qElem(x).cast("double")).as("centroid"))
     for (_ <- 0 until iters) {
+      // One map-side-combined shuffle via the typed CentroidAgg (dim longs
+      // + count per cell cross the network), instead of exploding to
+      // (cell, dim) rows. Same exact integer-sum math.
+      val agg = new graft.functions.CentroidAgg(Dim)
       val next = assignCells(e, cents)
-        .select(col("cell"), posexplode(col("embedding")))
-        .groupBy("cell", "pos")
-        .agg(sum(qElem(col("col"))).as("qsum"), count(lit(1)).as("n"))
-        .withColumn("c", col("qsum").cast("double") / col("n"))
-        .groupBy("cell")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-                       x => x.getField("c")).as("centroid"))
+        .select(col("cell").cast("int"), col("embedding"))
+        .as[(Int, Array[Float])]
+        .groupByKey(_._1).agg(agg.toColumn.name("centroid"))
+        .toDF("cell", "centroid")
+        .select(col("cell").cast("long").as("cell"), col("centroid"))
       // Materialize: centroids are driver-sized (nCells x dim), and every
       // downstream consumer (next iteration, inverted file, probe ranking)
       // would otherwise re-run the whole lineage — at scale this is the
