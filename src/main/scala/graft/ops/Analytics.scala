@@ -243,6 +243,64 @@ object Analytics {
       doc = "large-quantity orders: aggregation-derived semi-join (Q18 shape)"
     ),
 
+    // TPC-H Q4 shape: correlated EXISTS as a left-semi join — priority
+    // distribution of orders having at least one heavy line. The semi
+    // join deduplicates on the stream side (no fact-side blowup), then
+    // one tiny grouped count.
+    "q4_priority_exists" -> Q(
+      fn = (s, d) => {
+        val o = Tables.orders(s, d)
+          .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+                 col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+        val heavy = Tables.lineitem(s, d)
+          .where(col("l_quantity") > 45).select("l_orderkey")
+        o.join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      doc = "correlated EXISTS as left-semi join (Q4 shape)"
+    ),
+
+    // TPC-H Q14 shape: promo revenue ratio — conditional aggregation over
+    // one broadcast join, both sums exact-decimal so the final double
+    // division is deterministic cross-engine.
+    "q14_promo_ratio" -> Q(
+      fn = (s, d) => {
+        val l = Tables.lineitem(s, d)
+          .where(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+                 col("l_shipdate") < to_timestamp(lit("1997-04-01")))
+        val p = Tables.part(s, d).select("p_partkey", "p_type")
+        val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .agg(
+            dsum(when(col("p_type").startsWith("PROMO"), disc).otherwise(lit(0.0)), 6)
+              .as("promo_revenue"),
+            dsum(disc, 6).as("total_revenue"))
+          .withColumn("promo_pct",
+            lit(100.0) * col("promo_revenue") / col("total_revenue"))
+      },
+      oracle = Some("""
+        SELECT *, 100.0 * promo_revenue / total_revenue AS promo_pct
+        FROM (
+          SELECT CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%'
+                                    THEN l_extendedprice * (1 - l_discount)
+                                    ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue,
+                 CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1997-04-01')"""),
+      doc = "promo revenue ratio: conditional exact-decimal aggregation (Q14 shape)"
+    ),
+
     // TPC-H Q2 shape: correlated per-group minimum. The correlated scalar
     // subquery (min acctbal per nation) is re-expressed as a window min —
     // one shuffle on the group key instead of a per-row subquery; the
