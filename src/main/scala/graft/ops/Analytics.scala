@@ -243,6 +243,61 @@ object Analytics {
       doc = "large-quantity orders: aggregation-derived semi-join (Q18 shape)"
     ),
 
+    // Window-family breadth: lead/lag inter-order gaps + ntile spend
+    // quartiles per customer. All time arithmetic in integer epoch
+    // micros (cross-engine exact); every window partitions by a real
+    // key — no global-window collapse.
+    "w2_order_gaps" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .where(col("o_custkey") < 200)
+          // o_orderdate is TIMESTAMP_NTZ; UTC session makes the cast exact
+          .withColumn("us", unix_micros(col("o_orderdate").cast("timestamp")))
+          .withColumn("prev_us", lag(col("us"), 1).over(w))
+          .withColumn("gap_days",
+            ((col("us") - col("prev_us")) / lit(86400000000L)).cast("long"))
+          .withColumn("next_order",
+            lead(col("o_orderkey"), 1).over(w))
+          .withColumn("spend_quartile",
+            ntile(4).over(Window.partitionBy("o_custkey").orderBy(col("o_totalprice"), col("o_orderkey"))).cast("long"))
+          .select(col("o_custkey").cast("long").as("custkey"), col("o_orderkey").as("orderkey"),
+                  col("gap_days"), col("next_order"), col("spend_quartile"))
+          .orderBy("custkey", "orderkey")
+      },
+      oracle = Some("""
+        SELECT CAST(o_custkey AS BIGINT) AS custkey, o_orderkey AS orderkey,
+               CAST((epoch_us(o_orderdate) - lag(epoch_us(o_orderdate)) OVER w) // 86400000000 AS BIGINT) AS gap_days,
+               lead(o_orderkey) OVER w AS next_order,
+               CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS spend_quartile
+        FROM orders
+        WHERE o_custkey < 200
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY custkey, orderkey"""),
+      doc = "lead/lag/ntile windows: inter-order gaps + spend quartiles"
+    ),
+
+    // Explicit GROUPING SETS (beyond a8 ROLLUP / a11 CUBE) with
+    // grouping_id to disambiguate the null-as-total rows.
+    "a13_grouping_sets" -> Q(
+      fn = (s, d) =>
+        Tables.orders(s, d)
+          .withColumn("y", year(col("o_orderdate")).cast("long"))
+          .groupingSets(
+            Seq(Seq(col("o_orderpriority")), Seq(col("y")), Seq.empty),
+            col("o_orderpriority"), col("y"))
+          .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+          .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first, col("y").asc_nulls_first),
+      oracle = Some("""
+        SELECT o_orderpriority, CAST(date_part('year', o_orderdate) AS BIGINT) AS y,
+               count(*) AS n, CAST(grouping(o_orderpriority, y) AS BIGINT) AS gid
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (y), ())
+        ORDER BY gid, o_orderpriority ASC NULLS FIRST, y ASC NULLS FIRST"""),
+      doc = "explicit GROUPING SETS + grouping_id"
+    ),
+
     // TPC-H Q4 shape: correlated EXISTS as a left-semi join — priority
     // distribution of orders having at least one heavy line. The semi
     // join deduplicates on the stream side (no fact-side blowup), then
