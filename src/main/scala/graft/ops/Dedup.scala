@@ -385,6 +385,42 @@ object Dedup {
       doc = "composed data-prep: quality filter -> exact dedup -> near-dup drop -> retention summary"
     ),
 
+    // Edit-distance near-dup: exact Levenshtein over a bounded pair set
+    // (planted append-variants must measure exactly the appended suffix;
+    // cross pairs give the background distribution). Quadratic DP per
+    // pair — bounded by construction, like the d8 all-pairs baseline.
+    "d13_levenshtein" -> Q(
+      fn = (s, d) => {
+        val base = withPlantedDups(s, d)
+        val a = base.where(col("doc_id") < 10)
+          .select(col("doc_id").as("doc_a"), col("text").as("ta"))
+        val b = base.where(col("doc_id") < 10 || (col("doc_id") >= 1000000L && col("doc_id") < 1000010L))
+          .select(col("doc_id").as("doc_b"), col("text").as("tb"))
+        a.join(b, col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+                  levenshtein(col("ta"), col("tb")).cast("long").as("dist"),
+                  (lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
+                    greatest(length(col("ta")), length(col("tb")))).as("sim_ratio"),
+                  (col("doc_b") - col("doc_a") === 1000000L).as("is_planted"))
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 10
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' planted near dup' FROM documents WHERE doc_id < 10),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+                 1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+                   greatest(length(a.text), length(b.text)) AS sim_ratio,
+                 b.doc_id - a.doc_id = 1000000 AS is_planted
+          FROM base a JOIN base b ON a.doc_id < b.doc_id
+          WHERE a.doc_id < 10)
+        SELECT * FROM p ORDER BY doc_a, doc_b"""),
+      doc = "exact Levenshtein near-dup on a bounded pair set"
+    ),
+
     // Oracle-gated MinHash+LSH twin: portable hashes, full corpus.
     "d6b_minhash_portable" -> Q(
       fn = (s, d) => minhashPortable(s, d, minJaccard = 0.5),
