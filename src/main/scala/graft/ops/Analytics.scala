@@ -356,6 +356,38 @@ object Analytics {
       doc = "promo revenue ratio: conditional exact-decimal aggregation (Q14 shape)"
     ),
 
+    // TPC-H Q19 shape: disjunction of conjunctions across the join. The
+    // per-branch quantity/size bounds stay inside the OR (only the whole
+    // disjunction's per-table residuals can move), so this exercises
+    // CNF-extraction + partial pushdown rather than simple conjunctive
+    // predicates.
+    "q19_disjunctive" -> Q(
+      fn = (s, d) => {
+        val l = Tables.lineitem(s, d)
+          .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
+        val cond =
+          (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11) &&
+            col("p_size").between(1, 5)) ||
+          (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20) &&
+            col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30) &&
+            col("p_size").between(1, 15))
+        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .where(cond)
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"),
+               count(lit(1)).as("n_lines"))
+      },
+      oracle = Some("""
+        SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+           OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+           OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)"""),
+      doc = "disjunctive multi-branch predicates across a join (Q19 shape)"
+    ),
+
     // TPC-H Q2 shape: correlated per-group minimum. The correlated scalar
     // subquery (min acctbal per nation) is re-expressed as a window min —
     // one shuffle on the group key instead of a per-row subquery; the
