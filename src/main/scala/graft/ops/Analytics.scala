@@ -243,6 +243,23 @@ object Analytics {
       doc = "large-quantity orders: aggregation-derived semi-join (Q18 shape)"
     ),
 
+    // O3 — keyset-free pagination: deterministic total order + offset.
+    // (At scale, offset-pagination re-sorts per page; the keyset variant
+    // — WHERE key > last_seen ORDER BY key LIMIT n — is the production
+    // pattern, and is exactly the shape of the token-range resume scan.)
+    "o3_pagination" -> Q(
+      fn = (s, d) =>
+        Tables.orders(s, d)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .offset(40).limit(20),
+      oracle = Some("""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20 OFFSET 40"""),
+      doc = "ORDER BY + OFFSET/LIMIT pagination"
+    ),
+
     // Window-family breadth: lead/lag inter-order gaps + ntile spend
     // quartiles per customer. All time arithmetic in integer epoch
     // micros (cross-engine exact); every window partitions by a real

@@ -94,6 +94,51 @@ object TextOps {
     // expression — the winnowing-flavored identity robust to edits away
     // from the minimizing window; no SQL oracle (modular polynomial over
     // bytes), correctness + robustness covered by RollingFingerprintSpec.
+    // Character-bigram language ID (the literal "n-gram heuristic" of the
+    // brief, complementing d4's stopword heuristic) + punctuation-ratio
+    // quality. Bigram hits counted via the length-difference trick — pure
+    // string builtins, codegen'd, one scan.
+    "d14_langid_ngram" -> Q(
+      fn = (s, d) => {
+        def hits(g: String): Column =
+          ((length(col("text")) - length(regexp_replace(col("text"), g, ""))) / g.length).cast("long")
+        val bigramHits = Seq("th", "he", "in", "er", "an").map(hits).reduce(_ + _)
+        val punct = (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long")
+        doc(s, d).select(
+            col("doc_id"), col("lang"),
+            length(col("text")).cast("long").as("n_chars_calc"),
+            bigramHits.as("en_bigrams"),
+            punct.as("n_punct"))
+          .withColumn("bigram_per_100",
+            col("en_bigrams").cast("double") * 100.0 / col("n_chars_calc"))
+          .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_chars_calc"))
+          .withColumn("lang_guess", when(col("bigram_per_100") >= 2.0, "en").otherwise("other"))
+          .withColumn("lang_match", col("lang_guess") === col("lang"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT *,
+               CASE WHEN bigram_per_100 >= 2.0 THEN 'en' ELSE 'other' END AS lang_guess,
+               (CASE WHEN bigram_per_100 >= 2.0 THEN 'en' ELSE 'other' END) = lang AS lang_match
+        FROM (
+          SELECT *,
+                 CAST(en_bigrams AS DOUBLE) * 100.0 / n_chars_calc AS bigram_per_100,
+                 CAST(n_punct AS DOUBLE) / n_chars_calc AS punct_ratio
+          FROM (
+            SELECT doc_id, lang,
+                   CAST(length(text) AS BIGINT) AS n_chars_calc,
+                   CAST((length(text) - length(replace(text, 'th', ''))) // 2
+                      + (length(text) - length(replace(text, 'he', ''))) // 2
+                      + (length(text) - length(replace(text, 'in', ''))) // 2
+                      + (length(text) - length(replace(text, 'er', ''))) // 2
+                      + (length(text) - length(replace(text, 'an', ''))) // 2 AS BIGINT) AS en_bigrams,
+                   CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+            FROM documents))
+        ORDER BY doc_id"""),
+      doc = "char-bigram language ID + punctuation-ratio quality"
+    ),
+
     "d11_rolling_fingerprint" -> Q(
       fn = (s, d) => {
         graft.GraftExtensions.register(s)
