@@ -100,10 +100,20 @@ object Analytics {
       fn = (s, d) =>
         Tables.lineitem(s, d).agg(
           countDistinct(col("l_orderkey")).as("exact_keys"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_keys")),
-      oracle = None, // HLL estimate is engine-specific; DedupSpec-style
-                     // error bound asserted in AnalyticsSpec instead
-      doc = "approx_count_distinct (HLL) vs exact"
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_keys"))
+          // The raw HLL estimate is engine-specific, so the JUDGED output
+          // is the accuracy contract: the estimate must sit within 5% of
+          // exact (the oracle states the contract as `true`). The raw
+          // estimate stays covered by AnalyticsSpec's error-bound test.
+          .select(
+            col("exact_keys"),
+            (abs(col("approx_keys") - col("exact_keys")).cast("double") /
+              col("exact_keys") <= 0.05).as("approx_within_5pct")),
+      oracle = Some("""
+        SELECT count(DISTINCT l_orderkey) AS exact_keys,
+               true AS approx_within_5pct
+        FROM lineitem"""),
+      doc = "approx_count_distinct (HLL): oracle-checked accuracy contract"
     ),
 
     // Exact interpolated percentiles per group (both engines use the R-7

@@ -346,13 +346,38 @@ object Relational {
     "s7_introspect" -> Q(
       fn = (s, d) => {
         import s.implicits._
+        // Engine type names differ (Spark `bigint`/`timestamp_ntz` vs
+        // DuckDB `BIGINT`/`TIMESTAMP`), so introspection is judged over a
+        // canonical vocabulary both engines map into — which makes the
+        // catalog surface hash-checkable instead of rows-only.
+        def canonical(dt: org.apache.spark.sql.types.DataType): String = dt match {
+          case org.apache.spark.sql.types.LongType => "int64"
+          case org.apache.spark.sql.types.IntegerType => "int32"
+          case org.apache.spark.sql.types.DoubleType => "float64"
+          case org.apache.spark.sql.types.StringType => "string"
+          case org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType => "timestamp"
+          case other => other.simpleString
+        }
         li(s, d).schema.fields.toSeq
-          .map(f => (f.name, f.dataType.simpleString, f.nullable))
+          .map(f => (f.name, canonical(f.dataType), f.nullable))
           .toDF("column_name", "data_type", "nullable")
           .orderBy("column_name")
       },
-      oracle = None, // type-name spellings are engine-specific
-      doc = "schema/catalog introspection (S7)"
+      oracle = Some("""
+        SELECT column_name,
+               CASE column_type
+                 WHEN 'BIGINT' THEN 'int64'
+                 WHEN 'INTEGER' THEN 'int32'
+                 WHEN 'DOUBLE' THEN 'float64'
+                 WHEN 'VARCHAR' THEN 'string'
+                 WHEN 'TIMESTAMP' THEN 'timestamp'
+                 WHEN 'TIMESTAMP_NS' THEN 'timestamp'
+                 ELSE lower(column_type) END AS data_type,
+               "null" = 'YES' AS nullable
+        FROM (DESCRIBE lineitem)
+        ORDER BY column_name"""),
+      doc = "schema/catalog introspection (S7) over a canonical type vocabulary"
     ),
 
     // U — INTERSECT: customers active in both years (distinct semantics).
