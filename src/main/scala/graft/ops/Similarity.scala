@@ -121,26 +121,31 @@ object Similarity {
   def ivfCentroids(e: DataFrame, nCells: Int, iters: Int): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    // init: the first nCells vectors, in quantized-double space
+    // init: the first nCells vectors, in quantized-INTEGER space. Keeping
+    // centroid components integer (round(mean of quantized components))
+    // makes every centroid dot/norm exact int64 — so assignment, probe
+    // ranking, and therefore the whole IVF query are cross-engine exact
+    // and oracle-checkable, same discipline as v1's qcosine.
     var cents = e.where(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"),
-              transform(col("embedding"), x => qElem(x).cast("double")).as("centroid"))
+              transform(col("embedding"), x => qElem(x)).as("centroid"))
     for (_ <- 0 until iters) {
       // One map-side-combined shuffle via the typed CentroidAgg (dim longs
       // + count per cell cross the network), instead of exploding to
-      // (cell, dim) rows. Same exact integer-sum math.
+      // (cell, dim) rows. Exact integer sums -> mean -> round to int.
       val agg = new graft.functions.CentroidAgg(Dim)
       val next = assignCells(e, cents)
         .select(col("cell").cast("int"), col("embedding"))
         .as[(Int, Array[Float])]
         .groupByKey(_._1).agg(agg.toColumn.name("centroid"))
         .toDF("cell", "centroid")
-        .select(col("cell").cast("long").as("cell"), col("centroid"))
+        .select(col("cell").cast("long").as("cell"),
+                transform(col("centroid"), c => round(c).cast("long")).as("centroid"))
       // Materialize: centroids are driver-sized (nCells x dim), and every
       // downstream consumer (next iteration, inverted file, probe ranking)
       // would otherwise re-run the whole lineage — at scale this is the
       // per-iteration centroid checkpoint every k-means implementation does.
-      cents = next.as[(Long, Array[Double])].collect().toSeq
+      cents = next.as[(Long, Array[Long])].collect().toSeq
         .toDF("cell", "centroid")
     }
     cents
@@ -151,12 +156,15 @@ object Similarity {
     * once through a map-side max_by aggregation.
     */
   def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
+    // exact int64 dot/norm against the integer centroids; the final
+    // division is deterministic double math (v1 discipline)
     val dot = aggregate(
-      zip_with(col("embedding"), col("centroid"), (x, c) => qElem(x).cast("double") * c),
-      lit(0.0), (acc, v) => acc + v)
-    val cn2 = aggregate(transform(col("centroid"), c => c * c), lit(0.0), (acc, v) => acc + v)
+      zip_with(col("embedding"), col("centroid"), (x, c) => qElem(x) * c),
+      lit(0L), (acc, v) => acc + v)
+    val cn2 = aggregate(transform(col("centroid"), c => c * c), lit(0L), (acc, v) => acc + v)
     e.join(broadcast(cents), lit(true))
-      .withColumn("csim", dot / (sqrt(qNorm2(col("embedding")).cast("double")) * sqrt(cn2)))
+      .withColumn("csim", dot.cast("double") /
+        (sqrt(qNorm2(col("embedding")).cast("double")) * sqrt(cn2.cast("double"))))
       .groupBy("vec_id")
       .agg(max_by(col("cell"), struct(col("csim"), -col("cell"))).as("cell"),
            first(col("embedding")).as("embedding"))
@@ -178,11 +186,12 @@ object Similarity {
     val probes = e.where(col("vec_id") < nProbes)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val dot = aggregate(
-      zip_with(col("qv"), col("centroid"), (x, c) => qElem(x).cast("double") * c),
-      lit(0.0), (acc, v) => acc + v)
-    val cn2 = aggregate(transform(col("centroid"), c => c * c), lit(0.0), (acc, v) => acc + v)
+      zip_with(col("qv"), col("centroid"), (x, c) => qElem(x) * c),
+      lit(0L), (acc, v) => acc + v)
+    val cn2 = aggregate(transform(col("centroid"), c => c * c), lit(0L), (acc, v) => acc + v)
     val probeCells = probes.join(broadcast(cents), lit(true))
-      .withColumn("csim", dot / (sqrt(qNorm2(col("qv")).cast("double")) * sqrt(cn2)))
+      .withColumn("csim", dot.cast("double") /
+        (sqrt(qNorm2(col("qv")).cast("double")) * sqrt(cn2.cast("double"))))
       .withColumn("crnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("csim").desc, col("cell"))))
       .where(col("crnk") <= nProbeCells)
@@ -268,10 +277,79 @@ object Similarity {
     // cells -> exact re-rank. Rows-only (iterative centroids are not
     // reasonably SQL-expressible); recall vs the exact baseline is
     // asserted >= the LSH variant's in SimilaritySpec.
+    // Fully oracle-gated: integer-quantized centroids make every Lloyd
+    // iteration exact int64 math, so the whole IVF pipeline (2 unrolled
+    // iterations + inverted file + 2-cell probing + exact re-rank) is
+    // re-expressed in SQL and hash-compared.
     "v4_ann_ivf" -> Q(
       fn = (s, d) => annIvf(s, d, nProbes = 10, k = 3),
-      oracle = None,
-      doc = "IVF ANN: coarse centroids, cell probing, exact re-rank"
+      oracle = Some {
+        // assignment CTE body: nearest cell (cosine, tie-break low cell)
+        def assign(cellsCte: String): String =
+          s"""SELECT vec_id, cell FROM (
+                SELECT nn.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY nn.vec_id ORDER BY
+                         (list_sum(list_transform(range(1, ${Dim + 1}), i -> nn.q[i] * c.cq[i]))::DOUBLE
+                          / (sqrt(nn.n2::DOUBLE) * sqrt(c.cn2::DOUBLE))) DESC,
+                         c.cell) AS rn
+                FROM n nn JOIN $cellsCte c ON true)
+              WHERE rn = 1"""
+        // centroid recompute CTE body: integer mean per dimension
+        def recompute(assignCte: String): String =
+          s"""SELECT cell,
+                     list(CAST(round(s::DOUBLE / cnt) AS BIGINT) ORDER BY i) AS cq
+              FROM (
+                SELECT a.cell, t.i, CAST(sum(nn.q[t.i]) AS BIGINT) AS s, count(*) AS cnt
+                FROM $assignCte a JOIN n nn USING (vec_id), range(1, ${Dim + 1}) t(i)
+                GROUP BY a.cell, t.i)
+              GROUP BY cell"""
+        def withNorms(cte: String): String =
+          s"SELECT cell, cq, CAST(list_sum(list_transform(cq, x -> x*x)) AS BIGINT) AS cn2 FROM $cte"
+        s"""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(range(1, ${Dim + 1}),
+                   i -> ${qElemSql("embedding[i]")}) AS q
+          FROM embeddings),
+        n AS (
+          SELECT vec_id, q,
+                 CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2
+          FROM e),
+        c0 AS (SELECT vec_id AS cell, q AS cq FROM e WHERE vec_id < 16),
+        c0n AS (${withNorms("c0")}),
+        a1 AS (${assign("c0n")}),
+        c1 AS (${recompute("a1")}),
+        c1n AS (${withNorms("c1")}),
+        a2 AS (${assign("c1n")}),
+        c2 AS (${recompute("a2")}),
+        c2n AS (${withNorms("c2")}),
+        inv AS (${assign("c2n")}),
+        pc AS (
+          SELECT query_id, cell FROM (
+            SELECT nn.vec_id AS query_id, c.cell,
+                   row_number() OVER (PARTITION BY nn.vec_id ORDER BY
+                     (list_sum(list_transform(range(1, ${Dim + 1}), i -> nn.q[i] * c.cq[i]))::DOUBLE
+                      / (sqrt(nn.n2::DOUBLE) * sqrt(c.cn2::DOUBLE))) DESC,
+                     c.cell) AS rn
+            FROM n nn JOIN c2n c ON true
+            WHERE nn.vec_id < 10)
+          WHERE rn <= 2),
+        cand AS (
+          SELECT pc.query_id, inv.vec_id AS neighbor_id,
+                 (list_sum(list_transform(range(1, ${Dim + 1}), i -> qn.q[i] * cn.q[i]))::DOUBLE
+                  / (sqrt(qn.n2::DOUBLE) * sqrt(cn.n2::DOUBLE))) AS sim
+          FROM pc
+          JOIN inv ON inv.cell = pc.cell AND inv.vec_id <> pc.query_id
+          JOIN n qn ON qn.vec_id = pc.query_id
+          JOIN n cn ON cn.vec_id = inv.vec_id),
+        r AS (
+          SELECT query_id, neighbor_id, sim,
+                 CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+          FROM cand)
+        SELECT query_id, neighbor_id, rnk, sim FROM r WHERE rnk <= 3
+        ORDER BY query_id, rnk"""
+      },
+      doc = "IVF ANN: coarse centroids, cell probing, exact re-rank (full oracle)"
     ),
 
     // ANN baseline: brute-force exact cosine top-5 for 10 probes.
