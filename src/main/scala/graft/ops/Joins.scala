@@ -64,6 +64,40 @@ object Joins {
       doc = "non-equi interval join (broadcast)"
     ),
 
+    // Scale path for range joins whose interval side outgrows broadcast:
+    // BIN the domain (width 10 here), explode each interval into the bins
+    // it covers, equi-join on the bin, then apply the exact bounds as a
+    // residual predicate. Candidate volume is O(rows x bins-per-interval)
+    // with a plain shuffled equi-join — no nested-loop. The oracle is the
+    // plain non-equi join (same output as j4), proving the rewrite.
+    "j8_binned_range_join" -> Q(
+      fn = (s, d) => {
+        import s.implicits._
+        val BinW = 10.0
+        val tiers = Seq(("t1_low", 0.0, 9.0), ("t2_mid", 10.0, 24.0),
+                        ("t3_high", 25.0, 39.0), ("t4_top", 40.0, 50.0))
+          .toDF("tier", "lo", "hi")
+          .withColumn("bin", explode(sequence(
+            floor(col("lo") / BinW).cast("long"), floor(col("hi") / BinW).cast("long"))))
+        Tables.lineitem(s, d)
+          .withColumn("bin", floor(col("l_quantity") / BinW).cast("long"))
+          .join(tiers, Seq("bin"))
+          .where(col("l_quantity") >= col("lo") && col("l_quantity") <= col("hi"))
+          .groupBy("tier")
+          .agg(count(lit(1)).as("n"),
+               sum(col("l_quantity")).as("sum_qty"))
+          .orderBy("tier")
+      },
+      oracle = Some("""
+        WITH tiers(tier, lo, hi) AS (VALUES
+          ('t1_low', 0.0, 9.0), ('t2_mid', 10.0, 24.0),
+          ('t3_high', 25.0, 39.0), ('t4_top', 40.0, 50.0))
+        SELECT tier, count(*) AS n, sum(l_quantity) AS sum_qty
+        FROM lineitem JOIN tiers ON l_quantity >= lo AND l_quantity <= hi
+        GROUP BY tier ORDER BY tier"""),
+      doc = "range join via bin-explode equi-join (scale path; oracle = plain non-equi join)"
+    ),
+
     // Skew-mitigation pattern: salted equi-join. The build side is
     // replicated across SALT buckets, the probe side's key is salted by a
     // deterministic hash — a hot key's rows spread over SALT reducer

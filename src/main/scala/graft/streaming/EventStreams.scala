@@ -90,6 +90,16 @@ object EventStreams {
       }
   }
 
+  /** Streaming twin of e2_sliding_counts: watermarked sliding windows
+    * (1 h window, 30 min hop) — each event lands in two windows.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("n"))
+
   /** session_window-builtin sessionization — the declarative twin of the
     * flatMapGroupsWithState sessionizer above and of the batch e3
     * window-composition. Works over batch OR a watermarked stream (pass

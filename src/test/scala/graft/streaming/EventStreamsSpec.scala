@@ -24,6 +24,23 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming sliding windows equal the batch (oracle-checked) e2 twin") {
+    val q = EventStreams.slidingCounts(
+      EventStreams.readEventStream(spark, SparkTestBase.Sf0001))
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("stream_sliding").start()
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.sql("SELECT * FROM stream_sliding ORDER BY win_start").collect()
+    val batch = graft.SparkEntry.queries("e2_sliding_counts")(spark, SparkTestBase.Sf0001)
+      .collect()
+    assert(stream.length == batch.length)
+    stream.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[java.sql.Timestamp]("win_start") == b.getAs[java.sql.Timestamp]("win_start"))
+      assert(s.getAs[Long]("n") == b.getAs[Long]("n"))
+    }
+  }
+
   test("watermarked append-mode windows finalize only after the watermark passes") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
