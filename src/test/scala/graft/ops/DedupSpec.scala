@@ -63,6 +63,26 @@ class DedupSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("portable_word_hashes equals the HOF formulation on adversarial inputs") {
+    import org.apache.spark.sql.functions._
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcXYZ09.,!? " // incl. punctuation and spaces
+    val adversarial = Seq(
+      "", " ", "   ", "a", " a ", "a  b", "  leading", "trailing  ",
+      "the the the", "x") ++
+      (1 to 50).map(_ => (1 to (1 + rnd.nextInt(40)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = adversarial.toDF("text")
+    val diff = df.select(
+        call_function("portable_word_hashes", col("text")).as("fast"),
+        Dedup.portableWordHashesHof("text").as("hof"))
+      .where(not(col("fast") === col("hof")))
+      .count()
+    assert(diff == 0)
+  }
+
   test("portable-hash MinHash twin finds the same near-dup pairs as the xxhash production path") {
     def pairs(name: String) = SparkEntryQueries.run(spark, name)
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet

@@ -118,6 +118,21 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(queryLong(url, "SELECT COUNT(*) FROM \"migration_wal\"") == 0L)
   }
 
+  test("batch boundaries: batchSize=1 and row count an exact batch multiple") {
+    // batchSize 1 stresses per-batch WAL/commit overhead paths; an exact
+    // multiple of batchSize exercises the no-trailing-partial-flush path.
+    val url1 = freshUrl()
+    bootstrap(url1)
+    JdbcSink.write(testDf, cfg(url1).copy(batchSize = 1))
+    assert(queryLong(url1, "SELECT COUNT(*) FROM \"files\"") == 100L)
+    val url2 = freshUrl()
+    bootstrap(url2)
+    JdbcSink.write(testDf.repartition(4), cfg(url2).copy(batchSize = 25))
+    assert(queryLong(url2, "SELECT COUNT(*) FROM \"files\"") == 100L)
+    assert(queryLong(url2,
+      "SELECT COUNT(*) FROM \"migration_wal\" WHERE \"status\" <> 'COMMITTED'") == 0L)
+  }
+
   test("truncateControlTables resets WAL/checkpoints but keeps sink rows") {
     val url = freshUrl()
     bootstrap(url)
