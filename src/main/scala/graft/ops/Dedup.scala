@@ -80,13 +80,22 @@ object Dedup {
     */
   // The signature table below is persisted because four plan branches
   // consume it; in a long-lived session each new call releases the
-  // previous call's cache (no unbounded accumulation).
+  // previous call's cache (no unbounded accumulation). The swap is
+  // synchronized so concurrent calls can't double-unpersist or leak a
+  // cache entry; unpersisting a DataFrame another caller is still
+  // consuming is recompute-safe (Spark falls back to lineage), so the
+  // lock only needs to cover the bookkeeping, not result consumption.
   private var lastSignatureCache: Option[DataFrame] = None
+  private val cacheLock = new Object
+
+  private def swapSignatureCache(next: DataFrame): Unit = cacheLock.synchronized {
+    lastSignatureCache.foreach(_.unpersist())
+    lastSignatureCache = Some(next)
+  }
 
   def minhashNearDups(spark: SparkSession, sfDir: String, minJaccard: Double,
                       plant: Boolean = false): DataFrame = {
     graft.GraftExtensions.register(spark)
-    lastSignatureCache.foreach(_.unpersist())
     val src = if (plant) withPlantedDups(spark, sfDir)
               else Tables.documents(spark, sfDir)
     // Signature table: ONLY (doc_id, hpos, sig) — raw text and shingle
@@ -97,7 +106,7 @@ object Dedup {
       .select(col("doc_id"), call_function("shingle_hashes", col("text")).as("hpos"))
       .withColumn("sig", call_function("minhash_sig", col("hpos")))
       .persist()
-    lastSignatureCache = Some(base)
+    swapSignatureCache(base)
     // Band keys only ride the candidate shuffle (ids + two longs per row).
     val banded = base
       .select(col("doc_id"), explode(bandKeys("sig")).as("bk"))

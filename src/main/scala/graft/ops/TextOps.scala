@@ -160,10 +160,11 @@ object TextOps {
         val W = graft.functions.RollingFingerprintImpl.Window
         val IB = BigInt(B).modPow(BigInt(P - 2), BigInt(P)).toLong // B^-1 mod P
         s"""
-        WITH RECURSIVE pows(k, pw, ibp) AS (
+        WITH RECURSIVE mx AS (SELECT coalesce(max(length(text)), 1) AS m FROM documents),
+        pows(k, pw, ibp) AS (
           SELECT 0, 1::BIGINT, 1::BIGINT
           UNION ALL
-          SELECT k+1, (pw*$B)%$P, (ibp*$IB)%$P FROM pows WHERE k < 2047),
+          SELECT k+1, (pw*$B)%$P, (ibp*$IB)%$P FROM pows, mx WHERE k < mx.m),
         b AS (
           SELECT doc_id, least($W, length(text)) AS w, length(text) AS n,
                  unnest(range(1, length(text)+1)) AS pos,

@@ -44,13 +44,29 @@ class Checkpoints(spark: SparkSession, path: String) extends CheckpointStore {
   private val bak = new Path(path + ".bak")
   private val tmp = new Path(path + ".tmp")
 
+  /** A state dir only counts as present if its write COMPLETED: Spark's
+    * committer renames data files in from `_temporary` and writes
+    * `_SUCCESS` last, so a dir holding only commit debris (crash
+    * mid-seed) must read as absent — seedIfEmpty then reseeds instead
+    * of leaving all() permanently unreadable. Checked by listing (no
+    * read-probe: a probe's exception stack in stderr is noise).
+    */
+  private def readable(p: Path): Boolean =
+    fs.exists(p) && {
+      val names = fs.listStatus(p).map(_.getPath.getName)
+      names.contains("_SUCCESS") || names.exists(_.startsWith("part-"))
+    }
+
   /** If a crash landed between the two renames of markComplete, the
     * last complete state lives at `.bak` — restore it. (The `.tmp`
     * next-state may be newer, but restoring the OLDER complete state is
     * always safe: the sink is idempotent, so its ranges just re-run.)
+    * A partial/unreadable dst is cleared first so the backup can land.
     */
   private def recover(): Unit =
-    if (!fs.exists(dst) && fs.exists(bak)) { fs.rename(bak, dst); () }
+    if (!readable(dst) && fs.exists(bak)) {
+      fs.delete(dst, true); fs.rename(bak, dst); ()
+    }
 
   def seedIfEmpty(ranges: Seq[TokenRange]): Unit =
     if (!exists) {
@@ -58,7 +74,7 @@ class Checkpoints(spark: SparkSession, path: String) extends CheckpointStore {
         .toDF().write.mode(SaveMode.Overwrite).parquet(path)
     }
 
-  def exists: Boolean = { recover(); fs.exists(dst) }
+  def exists: Boolean = { recover(); readable(dst) }
 
   def all(): Seq[CheckpointRange] = {
     recover()
@@ -100,28 +116,45 @@ class JdbcCheckpoints(
     try f(conn) finally conn.close()
   }
 
-  /** Create the table if absent (K5), then seed iff empty. */
+  /** Create the table if absent (K5), then seed any missing ranges.
+    * The seed is (a) per-range idempotent — the dialect's insert-if-absent
+    * keyed on range_id, so a partial seed from an earlier crash is
+    * REPAIRED rather than silently skipped (a plain count==0 guard would
+    * leave the unseeded ranges unmigrated forever) — and (b) wrapped in
+    * one transaction so a crash mid-batch leaves no partial state at all.
+    */
   def seedIfEmpty(ranges: Seq[TokenRange]): Unit = withConn { conn =>
     if (!dialect.tableExists(conn, table)) {
       val st = conn.createStatement()
       try st.executeUpdate(dialect.createCheckpointTableSql(table)) finally st.close()
     }
-    val st = conn.createStatement()
-    val n = try {
-      val rs = st.executeQuery(s"SELECT COUNT(*) FROM ${q(table)}")
-      rs.next(); rs.getLong(1)
-    } finally st.close()
-    if (n == 0L) {
-      val ps = conn.prepareStatement(
-        s"INSERT INTO ${q(table)} (${q("range_id")}, ${q("range_start")}, " +
-          s"${q("range_end")}, ${q("checkpoint")}) VALUES (?, ?, ?, ?)")
+    val n = {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(s"SELECT COUNT(*) FROM ${q(table)}")
+        rs.next(); rs.getLong(1)
+      } finally st.close()
+    }
+    if (n < ranges.size) {
+      val cols = Seq("range_id", "range_start", "range_end", "checkpoint")
+      val types: Map[String, org.apache.spark.sql.types.DataType] =
+        cols.map(_ -> org.apache.spark.sql.types.LongType).toMap
+      val sql = dialect.insertIgnoreSql(table, cols, Seq("range_id"), types)
+      val bindCols = dialect.insertBindCols(cols, Seq("range_id"))
+      conn.setAutoCommit(false)
+      val ps = conn.prepareStatement(sql)
       try {
         ranges.foreach { r =>
-          ps.setLong(1, r.rangeId.toLong); ps.setLong(2, r.start)
-          ps.setLong(3, r.end); ps.setLong(4, r.start)
+          val vals: Map[String, Long] = Map(
+            "range_id" -> r.rangeId.toLong, "range_start" -> r.start,
+            "range_end" -> r.end, "checkpoint" -> r.start)
+          bindCols.zipWithIndex.foreach { case (c, i) => ps.setLong(i + 1, vals(c)) }
           ps.addBatch()
         }
         ps.executeBatch()
+        conn.commit()
+      } catch {
+        case e: Throwable => conn.rollback(); throw e
       } finally ps.close()
     }
   }

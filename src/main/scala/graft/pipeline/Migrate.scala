@@ -75,16 +75,18 @@ final case class JdbcTableSink(cfg: JdbcSink.JdbcConfig) extends MigrateSink {
 
   def countsByRange(spark: SparkSession, rangeIds: Seq[Long]): Map[Long, Long] =
     if (rangeIds.isEmpty) Map.empty else withConn { conn =>
-    val ids = rangeIds.mkString(", ")
-    val st = conn.createStatement()
+    // Bound parameters, never interpolated values (control-sized list).
+    val qs = Seq.fill(rangeIds.size)("?").mkString(", ")
+    val ps = conn.prepareStatement(
+      s"SELECT ${q("range_id")}, COUNT(*) FROM ${q(cfg.table)} " +
+        s"WHERE ${q("range_id")} IN ($qs) GROUP BY ${q("range_id")}")
     try {
-      val rs = st.executeQuery(
-        s"SELECT ${q("range_id")}, COUNT(*) FROM ${q(cfg.table)} " +
-          s"WHERE ${q("range_id")} IN ($ids) GROUP BY ${q("range_id")}")
+      rangeIds.zipWithIndex.foreach { case (id, i) => ps.setLong(i + 1, id) }
+      val rs = ps.executeQuery()
       val buf = scala.collection.mutable.Map.empty[Long, Long]
       while (rs.next()) buf += rs.getLong(1) -> rs.getLong(2)
       buf.toMap
-    } finally st.close()
+    } finally ps.close()
   }
 
   def totalCount(spark: SparkSession): Long = withConn { conn =>
@@ -205,14 +207,21 @@ class Migrate(spark: SparkSession, cfg: MigrateConfig) {
 
   /** Wait briefly for the observation; None if the metric never arrived
     * (obs.get blocks forever, so bound it — correctness then falls back
-    * to a source re-scan rather than hanging the driver).
+    * to a source re-scan rather than hanging the driver). The wait runs
+    * on a dedicated DAEMON thread, not the global ExecutionContext: a
+    * timed-out get would otherwise pin a shared pool thread forever,
+    * starving the default ForkJoin pool in a long-lived driver.
     */
   private def observedCounts(obs: Observation): Option[Map[Long, Long]] = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration._
+    val pending = new java.util.concurrent.CompletableFuture[Map[String, Any]]()
+    val waiter = new Thread(() =>
+      try pending.complete(obs.get)
+      catch { case e: Throwable => pending.completeExceptionally(e) },
+      "graft-observation-wait")
+    waiter.setDaemon(true)
+    waiter.start()
     val m =
-      try Await.result(Future(obs.get), 30.seconds)
+      try pending.get(30, java.util.concurrent.TimeUnit.SECONDS)
       catch { case _: java.util.concurrent.TimeoutException => Map.empty[String, Any] }
     m.get("written").map {
       case null => Map.empty[Long, Long]

@@ -65,4 +65,28 @@ class CheckpointsSpec extends AnyFunSuite {
     val cp = new Checkpoints(spark, dir)
     assert(!cp.exists)
   }
+
+  test("crash mid-seed (only _temporary debris): dir reads as absent and reseeds") {
+    val dir = Files.createTempDirectory("graft_cp").toString + "/state"
+    // simulate a seed that died before job commit: the target dir holds
+    // only committer scratch, no data files and no _SUCCESS marker
+    fs.mkdirs(new Path(dir + "/_temporary/0"))
+    val cp = new Checkpoints(spark, dir)
+    assert(!cp.exists, "partial state dir must read as absent")
+    cp.seedIfEmpty(Tokens.split(4))
+    val state = cp.all() // must not throw — the reseed repaired the dir
+    assert(state.size == 4 && state.count(_.complete) == 0)
+  }
+
+  test("partial dst with a good .bak: recover prefers the complete backup") {
+    val (cp, dir) = fresh()
+    cp.seedIfEmpty(Tokens.split(4))
+    cp.markComplete(Seq(1L))
+    // crash window variant: good state moved to .bak, dst replaced by debris
+    assert(fs.rename(new Path(dir), new Path(dir + ".bak")))
+    fs.mkdirs(new Path(dir + "/_temporary/0"))
+    val cp2 = new Checkpoints(spark, dir)
+    val state = cp2.all()
+    assert(state.size == 4 && state.count(_.complete) == 1)
+  }
 }

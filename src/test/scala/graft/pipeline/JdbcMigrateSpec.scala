@@ -100,4 +100,29 @@ class JdbcMigrateSpec extends AnyFunSuite {
     assert(queryLong(url, "SELECT COUNT(*) FROM \"orders_sink\"") == 1500L)
     assert(m2.validate().status == "OK")
   }
+
+  test("partial checkpoint seed (crash mid-batch) is repaired, not skipped") {
+    val (url, cfg) = freshBinding()
+    // simulate a seeding crash: only 2 of 4 ranges made it into the table
+    // before the process died (the old count>0 guard would never reseed
+    // the missing two, silently skipping their data forever)
+    val store = new JdbcCheckpoints(url, "", "", dialect = DerbyDialect)
+    val ranges = graft.core.Tokens.split(4)
+    val conn = DriverManager.getConnection(url)
+    try {
+      val ps = conn.prepareStatement(
+        "INSERT INTO \"migration_checkpoint\" VALUES (?, ?, ?, ?)")
+      ranges.take(2).foreach { r =>
+        ps.setLong(1, r.rangeId.toLong); ps.setLong(2, r.start)
+        ps.setLong(3, r.end); ps.setLong(4, r.start); ps.addBatch()
+      }
+      ps.executeBatch(); ps.close()
+    } finally conn.close()
+    store.seedIfEmpty(ranges)
+    assert(store.all().size == 4, "missing ranges must be re-seeded")
+    val m = new Migrate(spark, cfg)
+    m.run()
+    assert(!m.checkpointsIncomplete())
+    assert(m.validate().status == "OK")
+  }
 }
