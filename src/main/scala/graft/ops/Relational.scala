@@ -290,6 +290,49 @@ object Relational {
       doc = "grouped state counts: total/done/incomplete (A6)"
     ),
 
+    // K2/T3 audit — the post-crash WAL report (the reference's
+    // debug_checkpoints.py:23-41 audit intent applied to the WAL table):
+    // batches stuck in STARTED with no COMMITTED transition, per range —
+    // the first thing you'd look at after a crash. The WAL is derived
+    // deterministically from lineitem (token-bucketed batches; every batch
+    // whose id % 5 == 2 "crashed" before commit) so the report is fully
+    // oracle-checkable; the live-database twin runs in JdbcSinkSpec.
+    "a14_wal_orphans" -> Q(
+      fn = (s, d) => {
+        val bstep = step / 8 // 8 batches per range
+        val wal = li(s, d)
+          .withColumn("token_key", tok("l_orderkey"))
+          .withColumn("range_id", Tokens.oracleRangeId(col("token_key"), N))
+          .withColumn("batch_id", floor(col("token_key") / bstep).cast("long"))
+          .groupBy("range_id", "batch_id").agg(count(lit(1)).as("n_rows"))
+          .withColumn("status",
+            when(pmod(col("batch_id"), lit(5)) === 2, "STARTED").otherwise("COMMITTED"))
+        wal.groupBy("range_id").agg(
+            count(lit(1)).as("n_batches"),
+            sum(when(col("status") === "STARTED", 1L).otherwise(0L)).as("n_orphans"),
+            min(when(col("status") === "STARTED", col("batch_id"))).as("first_orphan_batch"),
+            sum(when(col("status") === "STARTED", col("n_rows")).otherwise(0L)).as("rows_at_risk"))
+          .where(col("n_orphans") > 0)
+          .orderBy("range_id")
+      },
+      oracle = Some(
+        s"""WITH wal AS (
+              SELECT (${tokSql("l_orderkey")}) // $step AS range_id,
+                     (${tokSql("l_orderkey")}) // ${step / 8} AS batch_id,
+                     count(*) AS n_rows
+              FROM lineitem GROUP BY 1, 2),
+            st AS (
+              SELECT range_id, batch_id, n_rows,
+                     CASE WHEN batch_id % 5 = 2 THEN 'STARTED' ELSE 'COMMITTED' END AS status
+              FROM wal)
+            SELECT range_id, count(*) AS n_batches,
+                   CAST(sum(CASE WHEN status = 'STARTED' THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+                   min(CASE WHEN status = 'STARTED' THEN batch_id END) AS first_orphan_batch,
+                   CAST(sum(CASE WHEN status = 'STARTED' THEN n_rows ELSE 0 END) AS BIGINT) AS rows_at_risk
+            FROM st GROUP BY range_id HAVING n_orphans > 0 ORDER BY range_id"""),
+      doc = "WAL orphan audit: STARTED-without-COMMITTED batches per range (K2/T3 debug)"
+    ),
+
     // O2 — ordered top-k (plans as TakeOrderedAndProject: no full sort).
     "o2_topk_orders" -> Q(
       fn = (s, d) =>
