@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CassandraToken, MinHashSig, PortableWordHashes, QCosine, RollingFingerprint, ShingleHashes}
+import graft.functions.{CassandraToken, HyperplaneBucket, MinHashSig, PortableWordHashes, QCosine, RollingFingerprint, ShingleHashes}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions for SQL use. Attach with
@@ -50,6 +50,7 @@ object GraftExtensions {
     unary("shingle_hashes", classOf[ShingleHashes], ShingleHashes(_)),
     unary("rolling_fingerprint", classOf[RollingFingerprint], RollingFingerprint(_)),
     unary("portable_word_hashes", classOf[PortableWordHashes], PortableWordHashes(_)),
+    unary("hyperplane_bucket", classOf[HyperplaneBucket], HyperplaneBucket(_)),
     binary("qcosine", classOf[QCosine], QCosine(_, _)))
 
   /** Register directly on an existing session (tests / REPL); idempotent. */

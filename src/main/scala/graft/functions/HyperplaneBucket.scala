@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+
+/** Random-hyperplane LSH signature of a float vector, one pass.
+  *
+  * bit j = sign of <quantized vec, plane j> over the fixed seeded plane
+  * table; exact int64 arithmetic (|dot| <= 64 * 10^4*|x| * 500 << 2^63),
+  * identical semantics to the 8-aggregate HOF formulation it replaces
+  * (graft.ops.Similarity LSH bucketing) but the generated code is ONE
+  * static call instead of eight array-lambda loops — the same
+  * HOF-vs-codegen tradeoff as qcosine/portable_word_hashes.
+  *
+  * The plane table here is the single source of truth: the DataFrame API
+  * and the oracle SQL's literal VALUES table both read it, so the bucket
+  * assignment stays cross-engine exact.
+  */
+object HyperplaneBucketImpl {
+  val NPlanes = 8
+  val Dim = 64
+
+  /** Deterministic random-hyperplane coefficients (fixed seed — bucket
+    * assignment must be stable across runs and engines).
+    */
+  val planes: Array[Array[Int]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(NPlanes)(Array.fill(Dim)(rnd.nextInt(1001) - 500))
+  }
+
+  /** round-half-AWAY-FROM-ZERO, matching Spark round() / DuckDB round(). */
+  @inline private def q(v: Double): Long =
+    if (v >= 0) (v + 0.5).toLong else (v - 0.5).toLong
+
+  def bucket(a: ArrayData): Long = {
+    val n = math.min(a.numElements(), Dim)
+    val qv = new Array[Long](n)
+    var i = 0
+    while (i < n) { qv(i) = q(a.getFloat(i).toDouble * 10000); i += 1 }
+    var b = 0L
+    var j = 0
+    while (j < NPlanes) {
+      val p = planes(j)
+      var dot = 0L
+      i = 0
+      while (i < n) { dot += qv(i) * p(i); i += 1 }
+      if (dot > 0) b |= 1L << j
+      j += 1
+    }
+    b
+  }
+}
+
+case class HyperplaneBucket(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_bucket expects array<float>, got $other")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any =
+    HyperplaneBucketImpl.bucket(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = classOf[HyperplaneBucketImpl.type].getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, a => s"$m.bucket($a)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+
+  override def prettyName: String = "hyperplane_bucket"
+}

@@ -65,25 +65,20 @@ object Similarity {
   private def norm2Sql(a: String): String =
     s"CAST(list_sum(list_transform(range(1, ${Dim + 1}), i -> ${qElemSql(s"$a[i]")} * ${qElemSql(s"$a[i]")})) AS BIGINT)"
 
-  // Deterministic random-hyperplane coefficients for LSH bucketing
-  // (fixed seed — bucket assignment must be stable across runs).
-  private val NPlanes = 8
-  private val planeRnd = new scala.util.Random(7)
-  private val planes: Array[Array[Int]] =
-    Array.fill(NPlanes)(Array.fill(Dim)(planeRnd.nextInt(1001) - 500))
+  // Deterministic random-hyperplane coefficients for LSH bucketing —
+  // sourced from the codegen expression's table so the DataFrame API,
+  // the Catalyst expression, and the oracle's literal VALUES table all
+  // agree bit-for-bit.
+  private val NPlanes = graft.functions.HyperplaneBucketImpl.NPlanes
+  private val planes: Array[Array[Int]] = graft.functions.HyperplaneBucketImpl.planes
 
   /** Random-hyperplane signature: bit j = sign of <quantized vec, plane j>.
-    * Exact int64 arithmetic (|dot| <= 64 * 10^4*|x| * 500 << 2^63).
+    * One codegen'd static call (HyperplaneBucket expression) — the 8
+    * aggregate(zip_with(..)) HOF passes this replaces built 512 lambda
+    * multiplies per row. Requires GraftExtensions registration.
     */
-  def hyperplaneBucket(vec: Column): Column = {
-    val bits = (0 until NPlanes).map { j =>
-      val dotJ = aggregate(
-        zip_with(vec, typedLit(planes(j)), (x, w) => qElem(x) * w.cast("long")),
-        lit(0L), (acc, v) => acc + v)
-      when(dotJ > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  def hyperplaneBucket(vec: Column): Column =
+    call_function("hyperplane_bucket", vec)
 
   /** LSH-bucketed ANN: candidates share a hyperplane-signature bucket;
     * exact cosine re-rank within the bucket. The scale path: bucket is an
@@ -91,6 +86,7 @@ object Similarity {
     * brute-force cross product).
     */
   def annLsh(spark: SparkSession, sfDir: String, nProbes: Int, k: Int): DataFrame = {
+    graft.GraftExtensions.register(spark)
     val e = Tables.embeddings(spark, sfDir)
       .withColumn("bucket", hyperplaneBucket(col("embedding")))
     val probes = e.where(col("vec_id") < nProbes)
@@ -121,34 +117,43 @@ object Similarity {
   def ivfCentroids(e: DataFrame, nCells: Int, iters: Int): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    // init: the first nCells vectors, in quantized-INTEGER space. Keeping
-    // centroid components integer (round(mean of quantized components))
-    // makes every centroid dot/norm exact int64 — so assignment, probe
-    // ranking, and therefore the whole IVF query are cross-engine exact
-    // and oracle-checkable, same discipline as v1's qcosine.
-    var cents = e.where(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"),
-              transform(col("embedding"), x => qElem(x)).as("centroid"))
-    for (_ <- 0 until iters) {
-      // One map-side-combined shuffle via the typed CentroidAgg (dim longs
-      // + count per cell cross the network), instead of exploding to
-      // (cell, dim) rows. Exact integer sums -> mean -> round to int.
-      val agg = new graft.functions.CentroidAgg(Dim)
-      val next = assignCells(e, cents)
-        .select(col("cell").cast("int"), col("embedding"))
-        .as[(Int, Array[Float])]
-        .groupByKey(_._1).agg(agg.toColumn.name("centroid"))
-        .toDF("cell", "centroid")
-        .select(col("cell").cast("long").as("cell"),
-                transform(col("centroid"), c => round(c).cast("long")).as("centroid"))
-      // Materialize: centroids are driver-sized (nCells x dim), and every
-      // downstream consumer (next iteration, inverted file, probe ranking)
-      // would otherwise re-run the whole lineage — at scale this is the
-      // per-iteration centroid checkpoint every k-means implementation does.
-      cents = next.as[(Long, Array[Long])].collect().toSeq
-        .toDF("cell", "centroid")
-    }
-    cents
+    // The corpus is scanned once per Lloyd iteration; persist it for the
+    // duration of the centroid computation so iterations 2..k (each
+    // materialized by the collect below) read cached columnar batches
+    // instead of re-scanning the source — at 100 TB this is the standard
+    // "cache the training set across k-means iterations" pattern.
+    // Released before return: downstream consumers do one scan each.
+    val corpus = e.persist()
+    try {
+      // init: the first nCells vectors, in quantized-INTEGER space. Keeping
+      // centroid components integer (round(mean of quantized components))
+      // makes every centroid dot/norm exact int64 — so assignment, probe
+      // ranking, and therefore the whole IVF query are cross-engine exact
+      // and oracle-checkable, same discipline as v1's qcosine.
+      var cents = corpus.where(col("vec_id") < nCells)
+        .select(col("vec_id").as("cell"),
+                transform(col("embedding"), x => qElem(x)).as("centroid"))
+      for (_ <- 0 until iters) {
+        // One map-side-combined shuffle via the typed CentroidAgg (dim longs
+        // + count per cell cross the network), instead of exploding to
+        // (cell, dim) rows. Exact integer sums -> mean -> round to int.
+        val agg = new graft.functions.CentroidAgg(Dim)
+        val next = assignCells(corpus, cents)
+          .select(col("cell").cast("int"), col("embedding"))
+          .as[(Int, Array[Float])]
+          .groupByKey(_._1).agg(agg.toColumn.name("centroid"))
+          .toDF("cell", "centroid")
+          .select(col("cell").cast("long").as("cell"),
+                  transform(col("centroid"), c => round(c).cast("long")).as("centroid"))
+        // Materialize: centroids are driver-sized (nCells x dim), and every
+        // downstream consumer (next iteration, inverted file, probe ranking)
+        // would otherwise re-run the whole lineage — at scale this is the
+        // per-iteration centroid checkpoint every k-means implementation does.
+        cents = next.as[(Long, Array[Long])].collect().toSeq
+          .toDF("cell", "centroid")
+      }
+      cents
+    } finally { corpus.unpersist(); () }
   }
 
   /** Nearest-centroid assignment by cosine; deterministic tie-break on
