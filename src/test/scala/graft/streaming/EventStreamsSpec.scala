@@ -269,4 +269,54 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(stream.length == batch.length && stream.length == 3)
     stream.zip(batch).foreach { case (s, b) => assert(s.toSeq == b.toSeq) }
   }
+
+  test("stream-stream join restart: join state restores from checkpoint, no dupes or losses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def imps(df: org.apache.spark.sql.DataFrame) = df.toDF("i_user", "i_mins")
+      .withColumn("i_ts", timestamp_micros(col("i_mins") * 60L * 1000000L))
+    def clks(df: org.apache.spark.sql.DataFrame) = df.toDF("c_user", "c_mins")
+      .withColumn("c_ts", timestamp_micros(col("c_mins") * 60L * 1000000L))
+    val out = java.nio.file.Files.createTempDirectory("ssj_out").toString + "/data"
+    val cp = java.nio.file.Files.createTempDirectory("ssj_cp").toString
+    def newQuery(im: MemoryStream[(Long, Long)], cm: MemoryStream[(Long, Long)]) =
+      EventStreams.clickAttribution(imps(im.toDF()), clks(cm.toDF()))
+        .select("c_user", "c_mins", "i_mins")
+        .writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation", cp)
+        .format("parquet").option("path", out)
+        .start()
+    // impressions arrive ONLY before the crash; user 3's click ONLY after —
+    // so its match can come solely from join state restored off the
+    // checkpoint, not from reprocessing.
+    val impChunk1 = Seq((1L, 10L), (3L, 40L), (3L, 50L))
+    val clkChunk1 = Seq((1L, 30L))
+    val clkChunk2 = Seq((1L, 120L), (2L, 35L), (3L, 60L))
+    val im1 = MemoryStream[(Long, Long)](spark)
+    val cm1 = MemoryStream[(Long, Long)](spark)
+    val q1 = newQuery(im1, cm1)
+    im1.addData(impChunk1: _*); cm1.addData(clkChunk1: _*)
+    q1.processAllAvailable()
+    q1.stop() // "crash" mid-stream
+    // restart: a restarted reader re-serves the same prefix, then the tail;
+    // the file sink's commit log dedupes any replayed epoch.
+    val im2 = MemoryStream[(Long, Long)](spark)
+    val cm2 = MemoryStream[(Long, Long)](spark)
+    im2.addData(impChunk1: _*)
+    cm2.addData(clkChunk1: _*); cm2.addData(clkChunk2: _*)
+    val q2 = newQuery(im2, cm2)
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(out)
+      .orderBy("c_user", "c_mins", "i_mins").collect()
+    val batch = clks((clkChunk1 ++ clkChunk2).toDF()).join(imps(impChunk1.toDF()),
+        expr("c_user = i_user AND i_ts BETWEEN c_ts - INTERVAL 1 HOUR AND c_ts"), "inner")
+      .select("c_user", "c_mins", "i_mins")
+      .orderBy("c_user", "c_mins", "i_mins").collect()
+    assert(got.length == batch.length && got.length == 3)
+    got.zip(batch).foreach { case (s, b) => assert(s.toSeq == b.toSeq) }
+    // the cross-restart matches exist (click after restart x impressions
+    // from before): proof the interval-join state survived the restart
+    assert(got.count(_.getLong(0) == 3L) == 2)
+  }
 }
