@@ -542,6 +542,38 @@ object Dedup {
           FROM p)
         SELECT rnk, doc_a, doc_b, jaccard FROM r WHERE rnk <= 20 ORDER BY rnk"""),
       doc = "exact n-gram Jaccard baseline (bounded all-pairs)"
+    ),
+
+    // Decontamination — the training-data op every eval-conscious pipeline
+    // runs: drop (here: report) training documents that share word-3-gram
+    // shingles with a held-out benchmark set. Scale shape: the benchmark
+    // side is TINY relative to a 100 TB corpus, so its distinct shingle
+    // set rides a broadcast and the corpus streams through a broadcast
+    // hash join — no shuffle of the big side; the per-doc overlap count
+    // is the only keyed aggregation. Benchmark membership here is the
+    // deterministic holdout doc_id % 97 == 0.
+    "d15_decontaminate" -> Q(
+      fn = (s, d) => {
+        graft.GraftExtensions.register(s)
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"), portableWordHashes("text").as("wh"))
+          .select(col("doc_id"), explode(portableShingleHashes("wh")).as("sh"))
+        val bench = sh.where(col("doc_id") % 97 === 0).select("sh").distinct()
+        sh.where(col("doc_id") % 97 =!= 0)
+          .join(broadcast(bench), "sh")
+          .groupBy("doc_id")
+          .agg(countDistinct(col("sh")).as("n_shared"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH wh AS (SELECT doc_id, ${wordHashesSql("text")} AS wh FROM documents),
+        sh AS (SELECT doc_id, unnest(${shingleHashesSql("wh")}) AS sh FROM wh),
+        bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+        train AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0)
+        SELECT t.doc_id, count(DISTINCT t.sh) AS n_shared
+        FROM train t JOIN bench b USING (sh)
+        GROUP BY t.doc_id ORDER BY doc_id"""),
+      doc = "decontamination: shingle overlap vs a held-out benchmark set"
     )
   )
 }

@@ -272,6 +272,114 @@ object TextOps {
                substr(md5(lower(text)), 1, 8) AS shard_key
         FROM documents ORDER BY doc_id LIMIT 1000"""),
       doc = "content fingerprint + shard key"
+    ),
+
+    // Sequence packing — assembling training batches: docs are packed into
+    // fixed token-budget bins in deterministic order, streaming-style
+    // (bin = exclusive-prefix-sum div budget; a doc may straddle a
+    // boundary, which is exactly what sequence packers do with
+    // cross-document attention masking). The window partitions by lang, so
+    // at scale each stratum packs independently — no global sort, and the
+    // per-partition prefix sum is the one window pass.
+    "d16_pack_sequences" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        doc(s, d)
+          .select(col("doc_id"), col("lang"), nWords(col("text")).as("n_tokens"))
+          .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+          .withColumn("bin_id", floor(col("cum_before") / 512).cast("long"))
+          .groupBy("lang", "bin_id")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens_packed"))
+          .orderBy("lang", "bin_id")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          FROM t)
+        SELECT lang, cum_before // 512 AS bin_id, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens_packed
+        FROM c GROUP BY lang, bin_id ORDER BY lang, bin_id"""),
+      doc = "sequence packing: fixed token-budget bins per stratum"
+    ),
+
+    // Stratified sampling — corpus curation by quota: top-K docs per
+    // (lang, source) stratum in deterministic scrambled order (the oracle
+    // token hash of doc_id — a portable pseudo-random permutation). One
+    // window pass per stratum; at scale the row_number never materializes
+    // more than K rows per stratum past the filter.
+    "d17_stratified_sample" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("lang", "source")
+          .orderBy(col("h"), col("doc_id"))
+        doc(s, d)
+          .select(col("doc_id"), col("lang"), col("source"),
+                  graft.core.Tokens.tokenOracle(col("doc_id")).as("h"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .where(col("rnk") <= 5)
+          .select("lang", "source", "rnk", "doc_id")
+          .orderBy("lang", "source", "rnk")
+      },
+      oracle = Some(s"""
+        SELECT lang, source, rnk, doc_id FROM (
+          SELECT doc_id, lang, source,
+                 CAST(row_number() OVER (PARTITION BY lang, source
+                        ORDER BY ${graft.core.Tokens.tokenOracleSql("doc_id")}, doc_id) AS BIGINT) AS rnk
+          FROM documents)
+        WHERE rnk <= 5 ORDER BY lang, source, rnk"""),
+      doc = "stratified sampling: deterministic top-K per stratum"
+    ),
+
+    // Keyword extraction by tf/df ratio — the exact-integer stand-in for
+    // tf-idf (a float log would not be bit-stable across engines): score =
+    // tf * 10^6 div df. The document-frequency table is a vocabulary-sized
+    // aggregate (broadcastable at corpus scale); per-doc top-3 is a
+    // bounded window.
+    "d18_keyword_scores" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val words = doc(s, d)
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+          .where(col("word").rlike("^[a-z]{4,}$"))
+        val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        val df = words.select("doc_id", "word").distinct()
+          .groupBy("word").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("word"))
+        tf.where(col("doc_id") < 50)
+          .join(broadcast(df), "word")
+          .withColumn("score", expr("tf * 1000000 div df"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .where(col("rnk") <= 3)
+          .select("doc_id", "rnk", "word", "tf", "df", "score")
+          .orderBy("doc_id", "rnk")
+      },
+      oracle = Some("""
+        WITH words AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+          FROM documents),
+        fw AS (SELECT doc_id, word FROM words WHERE regexp_full_match(word, '[a-z]{4,}')),
+        tf AS (SELECT doc_id, word, count(*) AS tf FROM fw GROUP BY doc_id, word),
+        df AS (SELECT word, count(*) AS df FROM (SELECT DISTINCT doc_id, word FROM fw) GROUP BY word),
+        s AS (
+          SELECT tf.doc_id, tf.word, tf.tf, df.df, tf.tf * 1000000 // df.df AS score
+          FROM tf JOIN df USING (word) WHERE tf.doc_id < 50),
+        r AS (
+          SELECT doc_id, word, tf, df, score,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, word) AS BIGINT) AS rnk
+          FROM s)
+        SELECT doc_id, rnk, word, CAST(tf AS BIGINT) AS tf,
+               CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS score
+        FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk"""),
+      doc = "keyword extraction: exact-integer tf/df scoring, top-3 per doc"
     )
   )
 }
