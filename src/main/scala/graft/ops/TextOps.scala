@@ -380,6 +380,77 @@ object TextOps {
                CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS score
         FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk"""),
       doc = "keyword extraction: exact-integer tf/df scoring, top-3 per doc"
+    ),
+
+    // PII scrubbing — redaction as a pure scan-side transform (no shuffle;
+    // codegen regexp). The fixture carries no PII, so emails are PLANTED
+    // deterministically on every 10th doc and the query proves complete
+    // redaction: per-doc match count, the scrubbed text's hash, and a
+    // residual count that the oracle confirms is zero after scrubbing.
+    "d19_pii_scrub" -> Q(
+      fn = (s, d) => {
+        val pat = "[a-z0-9]+@[a-z0-9.]+[a-z]"
+        val withPii = when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(col("text"))
+        doc(s, d)
+          .select(col("doc_id"), withPii.as("t"))
+          .select(
+            col("doc_id"),
+            regexp_count(col("t"), lit(pat)).cast("long").as("n_pii"),
+            md5(encode(regexp_replace(col("t"), pat, "<EMAIL>"), "UTF-8")).as("scrubbed_md5"),
+            regexp_count(regexp_replace(col("t"), pat, "<EMAIL>"), lit(pat))
+              .cast("long").as("n_residual"))
+          .orderBy("doc_id").limit(1000)
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 10 = 0
+                      THEN text || ' contact user' || doc_id || '@example.com'
+                      ELSE text END AS t
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9.]+[a-z]')) AS BIGINT) AS n_pii,
+               md5(regexp_replace(t, '[a-z0-9]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g')) AS scrubbed_md5,
+               CAST(len(regexp_extract_all(
+                 regexp_replace(t, '[a-z0-9]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+                 '[a-z0-9]+@[a-z0-9.]+[a-z]')) AS BIGINT) AS n_residual
+        FROM p ORDER BY doc_id LIMIT 1000"""),
+      doc = "PII scrubbing: planted emails redacted, zero residual proven"
+    ),
+
+    // Percentile-based quality filtering — drop each language's bottom
+    // decile by length: percent_rank is value-based (ties share a rank),
+    // so the cut is deterministic across engines and partitionings. One
+    // window pass per stratum; the filter composes with d12's pipeline.
+    "d20_quality_percentile" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+        doc(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .withColumn("pr", percent_rank().over(w))
+          .where(col("pr") >= 0.1)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"),
+               min(col("n_chars")).cast("long").as("min_len"),
+               max(col("n_chars")).cast("long").as("max_len"),
+               sum(col("n_chars").cast("long")).as("chars_kept"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id, lang, n_chars,
+                 percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS pr
+          FROM documents)
+        SELECT lang, count(*) AS n_kept,
+               CAST(min(n_chars) AS BIGINT) AS min_len,
+               CAST(max(n_chars) AS BIGINT) AS max_len,
+               CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        FROM r WHERE pr >= 0.1
+        GROUP BY lang ORDER BY lang"""),
+      doc = "quality filter: drop each language's bottom length decile"
     )
   )
 }
