@@ -360,6 +360,30 @@ object Dedup {
                        sum(col("n_words")).as("tokens_kept")))
   }
 
+  /** Distinct word-3-gram shingle hashes as (doc_id, sh) rows, for ANY
+    * documents-shaped input — a per-row projection + explode, so it works
+    * identically on a batch OR STREAMING DataFrame (the streaming
+    * decontamination path in EventStreams reuses it verbatim).
+    */
+  def shingleTable(docs: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), portableWordHashes("text").as("wh"))
+      .select(col("doc_id"), explode(portableShingleHashes("wh")).as("sh"))
+  }
+
+  /** Overlap counts of a (doc_id, sh) shingle table against a benchmark
+    * shingle-set — the decontamination core. The benchmark side is tiny
+    * relative to the corpus and rides a broadcast; shingles are distinct
+    * per doc (shingleTable dedupes), so the plain count after the join IS
+    * the distinct-overlap count — which keeps the aggregation legal on a
+    * streaming left side too (no countDistinct in streaming).
+    */
+  def decontaminate(sh: DataFrame, benchShingles: DataFrame): DataFrame =
+    sh.join(broadcast(benchShingles), "sh")
+      .groupBy("doc_id")
+      .agg(count(col("sh")).as("n_shared"))
+
   val queries: Map[String, Q] = Map(
 
     // Composed data-prep pipeline, one oracle-checked summary row.
@@ -554,15 +578,9 @@ object Dedup {
     // deterministic holdout doc_id % 97 == 0.
     "d15_decontaminate" -> Q(
       fn = (s, d) => {
-        graft.GraftExtensions.register(s)
-        val sh = Tables.documents(s, d)
-          .select(col("doc_id"), portableWordHashes("text").as("wh"))
-          .select(col("doc_id"), explode(portableShingleHashes("wh")).as("sh"))
+        val sh = shingleTable(Tables.documents(s, d))
         val bench = sh.where(col("doc_id") % 97 === 0).select("sh").distinct()
-        sh.where(col("doc_id") % 97 =!= 0)
-          .join(broadcast(bench), "sh")
-          .groupBy("doc_id")
-          .agg(countDistinct(col("sh")).as("n_shared"))
+        decontaminate(sh.where(col("doc_id") % 97 =!= 0), bench)
           .orderBy("doc_id")
       },
       oracle = Some(s"""

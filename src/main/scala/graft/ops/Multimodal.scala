@@ -134,6 +134,27 @@ object Multimodal {
       doc = "aspect-preserving resize planning (geometry oracle-checked; resample stubbed)"
     ),
 
+    // Frame-sampling plan: uniform sample indices over a stub frame count
+    // (n_chars stands in for the demuxed frame total) — the row-explosion
+    // step a video pipeline runs BEFORE any decode, so the planned
+    // (doc_id, frame_idx) worklist can repartition freely while the heavy
+    // payload stays columnar until the decode stage consumes the plan.
+    "m5_frame_sample" -> Q(
+      fn = (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), ((col("n_chars") % 2048) + 1).cast("long").as("n_frames"))
+          .select(col("doc_id"), col("n_frames"), explode(sequence(lit(0L), lit(7L))).as("k"))
+          .withColumn("frame_idx", expr("k * n_frames div 8"))
+          .select(col("doc_id"), col("k"), col("frame_idx"))
+          .orderBy("doc_id", "k"),
+      oracle = Some("""
+        SELECT doc_id, k, k * n_frames // 8 AS frame_idx
+        FROM (SELECT doc_id, CAST(n_chars % 2048 + 1 AS BIGINT) AS n_frames FROM documents),
+             range(0, 8) t(k)
+        ORDER BY doc_id, k"""),
+      doc = "uniform frame-sampling plan over stub frame counts (pre-decode worklist)"
+    ),
+
     // Media-bucket statistics: group payloads by stub-decoded shape —
     // the partition-friendly layout step of a media pipeline.
     "m2_media_buckets" -> Q(

@@ -148,6 +148,29 @@ object EventStreams {
       }
       .start()
 
+  /** File-source stream over an sf directory's documents parquet (same
+    * directory-plus-glob shape as the events stream; schema taken from
+    * the batch fixture so the two readers agree).
+    */
+  def readDocumentStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+  }
+
+  /** Stream-static decontamination — the continuous-ingest twin of the
+    * batch d15_decontaminate: documents stream in, the benchmark shingle
+    * set is a STATIC broadcast side (stream-static join needs no
+    * watermark on the static side and keeps no join state), and the
+    * per-doc overlap count is the one streaming aggregation. At 100 TB/day
+    * ingest this is exactly the deploy shape: the benchmark table updates
+    * rarely; the corpus never stops.
+    */
+  def streamingDecontaminate(docStream: DataFrame, benchShingles: DataFrame): DataFrame =
+    graft.ops.Dedup.decontaminate(graft.ops.Dedup.shingleTable(docStream), benchShingles)
+
   /** Drain open sessions from a final state snapshot (test helper: after
     * processAllAvailable, open sessions are still in state).
     */

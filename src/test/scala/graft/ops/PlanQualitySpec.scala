@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Plan-quality regression guards: the scale properties PLANS.md claims
+  * are asserted here against the EXECUTED plans, so a refactor that
+  * silently un-pushes a filter, un-broadcasts a dimension side, or
+  * introduces a shuffle into a scan-only operator fails the build
+  * instead of surfacing as a 100 TB incident.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def executedPlan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, SparkTestBase.Sf0001)
+    df.collect() // finalize AQE so we assert on the plan that actually ran
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q6: filters are pushed into the parquet scan and columns pruned") {
+    val plan = executedPlan("q6_forecast_revenue")
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters in:\n$plan")
+    assert(plan.contains("l_discount"), "discount predicate should reach the scan")
+    // pruned read schema: the 16-column lineitem is read as few columns
+    assert(!plan.contains("l_comment"), "untouched columns must not be read")
+  }
+
+  test("d19 (PII scrub): scan-side only — no shuffle exchange") {
+    val plan = executedPlan("d19_pii_scrub")
+    assert(!plan.contains("Exchange"),
+      s"scan-side transform grew a shuffle:\n$plan")
+  }
+
+  test("d15 (decontamination): benchmark side broadcast, corpus not shuffled before the join") {
+    val plan = executedPlan("d15_decontaminate")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark side must ride a broadcast:\n$plan")
+  }
+
+  test("q3: dimension sides broadcast into the fact scan") {
+    val plan = executedPlan("q3_shipping_priority")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast joins on the dimension sides:\n$plan")
+  }
+}

@@ -319,4 +319,26 @@ class EventStreamsSpec extends AnyFunSuite {
     // from before): proof the interval-join state survived the restart
     assert(got.count(_.getLong(0) == 3L) == 2)
   }
+
+  test("stream-static decontamination equals the batch d15 shape") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Dedup
+    val sfDir = graft.SparkTestBase.Sf0001
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val sh = Dedup.shingleTable(docs)
+    // static benchmark side (tiny, broadcast) — identical in both paths
+    val bench = sh.where(col("doc_id") % 97 === 0).select("sh").distinct()
+    val expected = Dedup.decontaminate(sh.where(col("doc_id") % 97 =!= 0), bench)
+      .orderBy("doc_id").collect()
+    val stream = EventStreams.readDocumentStream(spark, sfDir)
+      .where(col("doc_id") % 97 =!= 0)
+    val q = EventStreams.streamingDecontaminate(stream, bench)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("sdecon").start()
+    q.processAllAvailable()
+    val got = spark.sql("SELECT doc_id, n_shared FROM sdecon ORDER BY doc_id").collect()
+    q.stop()
+    assert(got.length == expected.length && got.length > 0)
+    got.zip(expected).foreach { case (g, e) => assert(g.toSeq == e.toSeq) }
+  }
 }
