@@ -333,6 +333,47 @@ object Relational {
       doc = "WAL orphan audit: STARTED-without-COMMITTED batches per range (K2/T3 debug)"
     ),
 
+    // K-family extension — incremental snapshot merge (CDC compaction):
+    // the reference's INSERT IGNORE sink is first-wins; a follow-up delta
+    // snapshot needs latest-wins-by-version instead. One shuffle on the
+    // primary key (window row_number), which is exactly the merge-on-read
+    // compaction shape every lakehouse runs at scale. The delta here is a
+    // deterministic re-pricing of every 7th order at version 2.
+    "k6_incremental_merge" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = ord(s, d).select(
+          col("o_orderkey").as("pk"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"),
+          lit(1L).as("version"))
+        val delta = ord(s, d).where(col("o_orderkey") % 7 === 0).select(
+          col("o_orderkey").as("pk"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 2).as("price"),
+          lit(2L).as("version"))
+        base.union(delta)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("pk").orderBy(col("version").desc)))
+          .where(col("rn") === 1)
+          .agg(count(lit(1)).as("n_rows"),
+               sum(when(col("version") === 2L, 1L).otherwise(0L)).as("n_updated"),
+               sum(col("price")).cast("double").as("total_price"))
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT o_orderkey AS pk, CAST(o_totalprice AS DECIMAL(18,2)) AS price, 1 AS version
+          FROM orders),
+        delta AS (
+          SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) * 2, 2
+          FROM orders WHERE o_orderkey % 7 = 0),
+        u AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
+        m AS (SELECT *, row_number() OVER (PARTITION BY pk ORDER BY version DESC) AS rn FROM u)
+        SELECT count(*) AS n_rows,
+               CAST(sum(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+               CAST(sum(price) AS DOUBLE) AS total_price
+        FROM m WHERE rn = 1"""),
+      doc = "incremental snapshot merge: latest-wins-by-version CDC compaction"
+    ),
+
     // O2 — ordered top-k (plans as TakeOrderedAndProject: no full sort).
     "o2_topk_orders" -> Q(
       fn = (s, d) =>
