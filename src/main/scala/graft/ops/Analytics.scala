@@ -116,6 +116,46 @@ object Analytics {
       doc = "approx_count_distinct (HLL): oracle-checked accuracy contract"
     ),
 
+    // Mergeable-sketch contract — the property that makes sketches THE
+    // 100 TB cardinality tool: per-range HLL sketches (one per token
+    // range, as a real deployment would persist per partition/day) are
+    // union-merged at query time. Judged booleans: the merged estimate
+    // and the single-pass estimate each sit within 5% of exact, and the
+    // union drifts below 1% from the single-pass sketch (Spark's union
+    // gadget may re-encode registers, so bit-equality is NOT guaranteed —
+    // the bounded-drift contract is the honest property). Raw estimates
+    // are engine-specific, same discipline as a9.
+    "a15_sketch_merge" -> Q(
+      fn = (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .withColumn("range_id",
+            graft.core.Tokens.oracleRangeId(
+              graft.core.Tokens.tokenOracle(col("l_orderkey")), 16))
+        val perRange = li.groupBy("range_id")
+          .agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
+        val merged = perRange
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_est"))
+        val direct = li.agg(
+          hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"))).as("direct_est"),
+          countDistinct(col("l_orderkey")).as("exact_keys"))
+        direct.crossJoin(merged).select(
+          col("exact_keys"),
+          (abs(col("merged_est") - col("exact_keys")).cast("double") /
+            col("exact_keys") <= 0.05).as("merged_within_5pct"),
+          (abs(col("direct_est") - col("exact_keys")).cast("double") /
+            col("exact_keys") <= 0.05).as("direct_within_5pct"),
+          (abs(col("merged_est") - col("direct_est")).cast("double") /
+            col("direct_est") <= 0.01).as("merge_drift_below_1pct"))
+      },
+      oracle = Some("""
+        SELECT count(DISTINCT l_orderkey) AS exact_keys,
+               true AS merged_within_5pct,
+               true AS direct_within_5pct,
+               true AS merge_drift_below_1pct
+        FROM lineitem"""),
+      doc = "HLL sketch merge: per-range sketches union to within 1% of the single-pass sketch"
+    ),
+
     // Exact interpolated percentiles per group (both engines use the R-7
     // definition; integer-valued doubles keep the interpolation exact).
     "a10_percentiles" -> Q(
