@@ -412,6 +412,50 @@ object Similarity {
       doc = "embedding-cosine near-dup pairs (dedup-flavored similarity)"
     ),
 
+    // Cross-modal curation: the text table and the vector table decide a
+    // keep/drop verdict TOGETHER — too-short documents drop on the text
+    // side, embedding near-dups (>= 0.9 cosine, keep-lowest-id) drop on
+    // the vector side. The join between modalities is a key equi-join
+    // (doc_id = vec_id), so at scale the verdict computation co-partitions
+    // with either table; the pair search stays the bounded d10 shape.
+    "v5_crossmodal_curation" -> Q(
+      fn = (s, d) => {
+        graft.GraftExtensions.register(s)
+        val e = Tables.embeddings(s, d).where(col("vec_id") < 200)
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+        val dups = a.join(broadcast(b), col("id_a") < col("id_b"))
+          .withColumn("sim", call_function("qcosine", col("va"), col("vb")))
+          .where(col("sim") >= 0.9)
+          .select(col("id_b").as("doc_id")).distinct()
+          .withColumn("is_dup", lit(true))
+        Tables.documents(s, d).where(col("doc_id") < 200)
+          .select(col("doc_id"), col("n_chars"))
+          .join(dups, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            (col("n_chars") >= 100).as("ok_len"),
+            col("is_dup").isNull.as("ok_dup"),
+            (col("n_chars") >= 100 && col("is_dup").isNull).as("keep"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+            p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     CAST(${dotSql("a.embedding", "b.embedding")} AS DOUBLE) /
+                       (sqrt(CAST(${norm2Sql("a.embedding")} AS DOUBLE)) *
+                        sqrt(CAST(${norm2Sql("b.embedding")} AS DOUBLE))) AS sim
+              FROM e a, e b WHERE a.vec_id < b.vec_id),
+            dups AS (SELECT DISTINCT id_b AS doc_id FROM p WHERE sim >= 0.9)
+            SELECT d.doc_id, d.n_chars >= 100 AS ok_len,
+                   dups.doc_id IS NULL AS ok_dup,
+                   (d.n_chars >= 100 AND dups.doc_id IS NULL) AS keep
+            FROM documents d LEFT JOIN dups USING (doc_id)
+            WHERE d.doc_id < 200 ORDER BY d.doc_id"""),
+      doc = "cross-modal curation: text-length + embedding-near-dup joint verdict"
+    ),
+
     // Pairwise similarity histogram of a vector sample — demonstrates the
     // self-join shape with an exact, order-independent aggregate output.
     "v2_sim_histogram" -> Q(
