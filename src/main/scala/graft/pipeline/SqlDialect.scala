@@ -125,6 +125,14 @@ trait SqlDialect extends Serializable {
 /** Production dialect — the reference's exact SQL surface:
   * INSERT IGNORE (K1, snapshot_use_pyspark.py:300-305) and
   * INSERT .. ON DUPLICATE KEY UPDATE for the WAL (K2).
+  *
+  * Execution coverage: this dialect's statement text is executed
+  * end-to-end (bootstrap, idempotent re-run, WAL transitions, retry,
+  * rollback, full migration) in MySqlDialectSpec via the recording
+  * MySQL-over-Derby bridge (test-only `jdbc:mysqlemu:` driver) — no
+  * MySQL-compatible engine ships in the build environment, so the three
+  * MySQL-isms are bridged and everything else hits a live database
+  * unmediated; the recorded SQL is asserted character-for-character.
   */
 object MySqlDialect extends SqlDialect {
   val name = "mysql"
