@@ -384,6 +384,48 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(col("sh")).as("n_shared"))
 
+  /** Transitive near-dup cluster compaction — connected components over
+    * the verified pair graph by min-label propagation. Pairwise
+    * keep-lowest-id (d12's drop rule) is NOT transitive: a~b, b~c must
+    * collapse to ONE representative even when a~c was never a candidate
+    * pair. Iterative equi-joins on (id, label) longs; each iteration is
+    * localCheckpoint'ed so lineage stays flat (the standard iterative-
+    * algorithm discipline — at scale this is exactly large-graph CC over
+    * the dedup pair list, converging in cluster-diameter iterations,
+    * which for dup clusters is small).
+    */
+  def dupClusters(spark: SparkSession, sfDir: String, minJaccard: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minhashPortable(spark, sfDir, minJaccard).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (!done && iter < 20) {
+      val nmin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
+      val next = labels.join(nmin, Seq("id"), "left")
+        .select(col("id"),
+                least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      done = next
+        .join(labels.withColumnRenamed("label", "prev"), "id")
+        .where(col("label") =!= col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster_rep")).cast("long"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Composed data-prep pipeline, one oracle-checked summary row.
@@ -592,6 +634,30 @@ object Dedup {
         FROM train t JOIN bench b USING (sh)
         GROUP BY t.doc_id ORDER BY doc_id"""),
       doc = "decontamination: shingle overlap vs a held-out benchmark set"
+    ),
+
+    // Transitive dup clusters over the d6b pair graph; the oracle computes
+    // the same components via a recursive label-closure CTE, so the
+    // iterative Spark propagation is hash-checked end-to-end.
+    "d21_dup_clusters" -> Q(
+      fn = (s, d) => dupClusters(s, d, minJaccard = 0.5),
+      oracle = Some(s"""
+        WITH RECURSIVE $minhashPairsCtes,
+        p2 AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= 0.5),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM p2
+          UNION ALL
+          SELECT doc_b, doc_a FROM p2),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach(node, label) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+        lab AS (SELECT node AS doc_id, min(label) AS cluster_rep FROM reach GROUP BY node)
+        SELECT doc_id, cluster_rep,
+               CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS n_members
+        FROM lab ORDER BY doc_id"""),
+      doc = "transitive near-dup clusters: connected components by min-label propagation"
     )
   )
 }
