@@ -159,17 +159,22 @@ object Similarity {
   /** Nearest-centroid assignment by cosine; deterministic tie-break on
     * the lowest cell id. Centroids ride a broadcast; the corpus streams
     * once through a map-side max_by aggregation.
+    *
+    * Cost shape: the per-(row x centroid) dot product is ONE codegen'd
+    * static call (qdot_long), and both norms are computed once per INPUT
+    * row (corpus side) / once per centroid (16-row broadcast side) BEFORE
+    * the join, never per joined pair — the HOF formulation this replaces
+    * re-ran three array lambdas per pair and dominated the IVF cost.
     */
   def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
-    // exact int64 dot/norm against the integer centroids; the final
-    // division is deterministic double math (v1 discipline)
-    val dot = aggregate(
-      zip_with(col("embedding"), col("centroid"), (x, c) => qElem(x) * c),
-      lit(0L), (acc, v) => acc + v)
-    val cn2 = aggregate(transform(col("centroid"), c => c * c), lit(0L), (acc, v) => acc + v)
-    e.join(broadcast(cents), lit(true))
-      .withColumn("csim", dot.cast("double") /
-        (sqrt(qNorm2(col("embedding")).cast("double")) * sqrt(cn2.cast("double"))))
+    graft.GraftExtensions.register(e.sparkSession)
+    val c2 = cents.withColumn("cn2",
+      aggregate(transform(col("centroid"), c => c * c), lit(0L), (acc, v) => acc + v))
+    val e2 = e.withColumn("en2", call_function("qnorm2", col("embedding")))
+    e2.join(broadcast(c2), lit(true))
+      .withColumn("csim",
+        call_function("qdot_long", col("embedding"), col("centroid")).cast("double") /
+          (sqrt(col("en2").cast("double")) * sqrt(col("cn2").cast("double"))))
       .groupBy("vec_id")
       .agg(max_by(col("cell"), struct(col("csim"), -col("cell"))).as("cell"),
            first(col("embedding")).as("embedding"))
@@ -187,16 +192,17 @@ object Similarity {
     val cents = ivfCentroids(e, nCells, iters)
     val inverted = assignCells(e, cents)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("cell"))
-    // probe cells: top nProbeCells centroids per query vector
+    // probe cells: top nProbeCells centroids per query vector (same
+    // precomputed-norm + codegen-dot shape as assignCells)
     val probes = e.where(col("vec_id") < nProbes)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val dot = aggregate(
-      zip_with(col("qv"), col("centroid"), (x, c) => qElem(x) * c),
-      lit(0L), (acc, v) => acc + v)
-    val cn2 = aggregate(transform(col("centroid"), c => c * c), lit(0L), (acc, v) => acc + v)
-    val probeCells = probes.join(broadcast(cents), lit(true))
-      .withColumn("csim", dot.cast("double") /
-        (sqrt(qNorm2(col("qv")).cast("double")) * sqrt(cn2.cast("double"))))
+      .withColumn("qn2", call_function("qnorm2", col("qv")))
+    val centsN = cents.withColumn("cn2",
+      aggregate(transform(col("centroid"), c => c * c), lit(0L), (acc, v) => acc + v))
+    val probeCells = probes.join(broadcast(centsN), lit(true))
+      .withColumn("csim",
+        call_function("qdot_long", col("qv"), col("centroid")).cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("cn2").cast("double"))))
       .withColumn("crnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("csim").desc, col("cell"))))
       .where(col("crnk") <= nProbeCells)
