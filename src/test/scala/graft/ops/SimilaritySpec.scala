@@ -81,4 +81,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rIvf >= rLsh, s"IVF recall $rIvf below LSH recall $rLsh")
     assert(rIvf > 0.0)
   }
+
+  test("qdot_long/qnorm2 codegen expressions equal the HOF formulation on every fixture vector") {
+    import org.apache.spark.sql.functions._
+    graft.GraftExtensions.register(spark)
+    val e = graft.core.Tables.embeddings(spark, SparkTestBase.Sf0001)
+      .select(col("vec_id"), col("embedding"))
+      // integer "centroid": quantize the vector itself (same shape the
+      // IVF path feeds qdot_long — array<float> against array<bigint>)
+      .withColumn("cent", expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 10000) as bigint))"))
+    val hofDot = expr(
+      """aggregate(zip_with(embedding, cent,
+           (x, c) -> cast(round(cast(x as double) * 10000) as bigint) * c),
+         cast(0 as bigint), (acc, v) -> acc + v)""")
+    val hofN2 = expr(
+      """aggregate(transform(embedding,
+           x -> cast(round(cast(x as double) * 10000) as bigint) *
+                cast(round(cast(x as double) * 10000) as bigint)),
+         cast(0 as bigint), (acc, v) -> acc + v)""")
+    val bad = e.select(
+        call_function("qdot_long", col("embedding"), col("cent")).as("ed"),
+        hofDot.as("hd"),
+        call_function("qnorm2", col("embedding")).as("en"),
+        hofN2.as("hn"))
+      .where(col("ed") =!= col("hd") || col("en") =!= col("hn"))
+    assert(bad.isEmpty, "codegen expressions diverged from the HOF math")
+  }
 }
