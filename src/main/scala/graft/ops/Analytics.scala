@@ -262,6 +262,74 @@ object Analytics {
       doc = "shipping priority: broadcast dims, top-k"
     ),
 
+    // TPC-H Q10 shape: returned-item revenue by customer. The two fact
+    // tables shuffle-join on the order key (neither side broadcastable at
+    // scale); the nation dimension broadcasts; top-20 customers plan as
+    // TakeOrderedAndProject over the aggregated (small) result.
+    "q10_returned_revenue" -> Q(
+      fn = (s, d) => {
+        val li = Tables.lineitem(s, d).where(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        val c = Tables.customer(s, d)
+          .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+        val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20"""),
+      doc = "returned-item revenue by customer (Q10): fact-fact shuffle join + broadcast dim"
+    ),
+
+    // TPC-H Q17 shape: the correlated scalar subquery (per-part average
+    // quantity threshold) DECORRELATED into an aggregate-then-join — the
+    // rewrite every optimizer wants: one pass computes per-part avg, the
+    // (small) per-part threshold table broadcasts back against the fact.
+    // avg is derived exactly (integer-valued quantity sum / count) so the
+    // 0.2x threshold comparison is deterministic cross-engine.
+    "q17_small_quantity" -> Q(
+      fn = (s, d) => {
+        val p = Tables.part(s, d).where(col("p_brand") === "Brand#13")
+          .select("p_partkey")
+        val li = Tables.lineitem(s, d)
+          .select("l_partkey", "l_quantity", "l_extendedprice")
+        val thresholds = li.groupBy("l_partkey")
+          .agg((sum(col("l_quantity")) / count(lit(1)) * 0.2).as("qty_threshold"))
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(thresholds.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+                  .select(col("l_partkey").as("t_partkey"), col("qty_threshold"))),
+                col("l_partkey") === col("t_partkey"))
+          .where(col("l_quantity") < col("qty_threshold"))
+          .agg((dsum(col("l_extendedprice"), 2) / 7.0).as("avg_yearly"),
+               count(lit(1)).as("n_small"))
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT l_partkey, sum(l_quantity) / count(*) * 0.2 AS qty_threshold
+          FROM lineitem GROUP BY l_partkey)
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+               count(*) AS n_small
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN t ON t.l_partkey = lineitem.l_partkey
+        WHERE p_brand = 'Brand#13' AND l_quantity < qty_threshold"""),
+      doc = "small-quantity revenue (Q17): correlated subquery decorrelated to agg + broadcast join"
+    ),
+
     // TPC-H Q18 shape: large-quantity orders. The IN (GROUP BY .. HAVING)
     // subquery becomes an aggregation-derived semi-join: the big-order key
     // set is aggregated first (shuffle on l_orderkey), then joined — the
