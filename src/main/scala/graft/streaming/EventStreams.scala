@@ -171,6 +171,27 @@ object EventStreams {
   def streamingDecontaminate(docStream: DataFrame, benchShingles: DataFrame): DataFrame =
     graft.ops.Dedup.decontaminate(graft.ops.Dedup.shingleTable(docStream), benchShingles)
 
+  /** Continuous curation ingest — the streaming composition of the batch
+    * curation operators: quality gate (d20's length floor), PII scrub
+    * (d19's redaction) and the idempotent JDBC sink, as ONE streaming
+    * pipeline. Every stage is scan-side codegen except the sink write;
+    * replayed epochs are absorbed by the key-idempotent insert, so the
+    * pipeline is effectively-once end to end.
+    */
+  def curatedDocsToJdbc(
+      docStream: DataFrame,
+      cfg: graft.pipeline.JdbcSink.JdbcConfig,
+      checkpointDir: String,
+      minChars: Int = 50): org.apache.spark.sql.streaming.StreamingQuery = {
+    val pat = "[a-z0-9]+@[a-z0-9.]+[a-z]"
+    val curated = docStream
+      .where(col("n_chars") >= minChars)
+      .withColumn("text", regexp_replace(col("text"), pat, "<EMAIL>"))
+      .withColumn("range_id", pmod(col("doc_id"), lit(8)))
+      .select("doc_id", "text", "range_id")
+    streamToJdbc(curated, cfg, checkpointDir)
+  }
+
   /** Drain open sessions from a final state snapshot (test helper: after
     * processAllAvailable, open sessions are still in state).
     */

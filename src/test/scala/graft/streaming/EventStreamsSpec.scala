@@ -320,6 +320,56 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.count(_.getLong(0) == 3L) == 2)
   }
 
+  test("streaming curation: quality gate + PII scrub into the idempotent JDBC sink") {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.{Ddl, DerbyDialect, JdbcSink}
+    import org.apache.spark.sql.types._
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    // landing dir: fixture docs with deterministic planted emails
+    val landing = java.nio.file.Files.createTempDirectory("curate_in").toString
+    val docs = graft.core.Tables.documents(spark, graft.SparkTestBase.Sf0001)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(col("text")).as("text"),
+        col("n_chars"))
+    docs.write.parquet(s"$landing/docs.parquet")
+    val expectedKept = docs.where(col("n_chars") >= 50).count()
+    assert(expectedKept > 0 && docs.where(col("text").contains("@")).count() > 0)
+
+    val url = s"jdbc:derby:memory:cur_${java.util.UUID.randomUUID().toString.take(8)};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try Ddl.ensureTables(conn, DerbyDialect, "curated_docs",
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
+      Seq("doc_id"))
+    finally conn.close()
+    val cfg = JdbcSink.JdbcConfig(url, "", "", "curated_docs",
+      columns = Seq("doc_id", "text"), keyCols = Seq("doc_id"),
+      dialect = DerbyDialect, batchSize = 100, walTable = None, retryBaseDelayMs = 1)
+
+    val schema = spark.read.parquet(s"$landing/docs.parquet").schema
+    def run(cp: String): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$landing/docs.parquet")
+      val q = EventStreams.curatedDocsToJdbc(stream, cfg, cp)
+      q.processAllAvailable(); q.stop()
+    }
+    run(java.nio.file.Files.createTempDirectory("curate_cp").toString)
+    def queryLong(sql: String): Long = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try { val rs = c.createStatement().executeQuery(sql); rs.next(); rs.getLong(1) }
+      finally c.close()
+    }
+    // quality gate dropped the short docs; every landed row is scrubbed
+    assert(queryLong("SELECT COUNT(*) FROM \"curated_docs\"") == expectedKept)
+    assert(queryLong("SELECT COUNT(*) FROM \"curated_docs\" WHERE \"text\" LIKE '%@%'") == 0L)
+    assert(queryLong("SELECT COUNT(*) FROM \"curated_docs\" WHERE \"text\" LIKE '%<EMAIL>%'") > 0L)
+    // a second pipeline over the same source (fresh checkpoint = full
+    // replay) is absorbed by the idempotent sink — effectively-once
+    run(java.nio.file.Files.createTempDirectory("curate_cp2").toString)
+    assert(queryLong("SELECT COUNT(*) FROM \"curated_docs\"") == expectedKept)
+  }
+
   test("stream-static decontamination equals the batch d15 shape") {
     import org.apache.spark.sql.functions._
     import graft.ops.Dedup
