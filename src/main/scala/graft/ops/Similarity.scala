@@ -28,17 +28,9 @@ object Similarity {
   private def qElem(x: Column): Column =
     round(x.cast("double") * lit(Scale)).cast("long")
 
-  /** Exact int64 dot product of two quantized float arrays. */
-  def qDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => qElem(x) * qElem(y)), lit(0L), (acc, v) => acc + v)
-
-  /** Exact int64 squared norm of a quantized float array. */
-  def qNorm2(a: Column): Column =
-    aggregate(transform(a, x => qElem(x) * qElem(x)), lit(0L), (acc, v) => acc + v)
-
-  /** Cosine over quantized vectors: exact ints -> deterministic double. */
-  def qCosine(dot: Column, n1: Column, n2: Column): Column =
-    dot.cast("double") / (sqrt(n1.cast("double")) * sqrt(n2.cast("double")))
+  // The former HOF dot/norm helpers are gone: every consumer now uses the
+  // codegen expressions (qcosine, qdot_long, qnorm2 — graft.functions),
+  // whose HOF-equivalence is asserted in SimilaritySpec.
 
   /** Brute-force exact top-k cosine neighbors for each probe vector. */
   def cosineTopK(spark: SparkSession, sfDir: String, nProbes: Int, k: Int): DataFrame = {
