@@ -262,6 +262,38 @@ object Analytics {
       doc = "shipping priority: broadcast dims, top-k"
     ),
 
+    // RANGE-framed window: 7-day trailing revenue per order day. Unlike
+    // the ROWS frames elsewhere (w1/d16), RANGE BETWEEN closes over VALUE
+    // distance — days with no orders still age out of the trailing
+    // window. Day keys are integer epoch-days and revenue stays DECIMAL
+    // through the window sum, so the frame math is exact cross-engine.
+    "w3_moving_revenue" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.orders(s, d)
+          .groupBy(datediff(col("o_orderdate").cast("date"),
+                            to_date(lit("1970-01-01"))).cast("long").as("day_num"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev_dec"))
+        val w = Window.orderBy("day_num").rangeBetween(-6, 0)
+        daily.select(
+            col("day_num"),
+            col("rev_dec").cast("double").as("day_rev"),
+            sum(col("rev_dec")).over(w).cast("double").as("rev_7d"))
+          .orderBy("day_num")
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+          FROM orders GROUP BY 1)
+        SELECT CAST(day_num AS BIGINT) AS day_num,
+               CAST(rev_dec AS DOUBLE) AS day_rev,
+               CAST(sum(rev_dec) OVER (ORDER BY day_num
+                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
+        FROM daily ORDER BY day_num"""),
+      doc = "7-day trailing revenue: RANGE-framed window over integer day keys"
+    ),
+
     // TPC-H Q10 shape: returned-item revenue by customer. The two fact
     // tables shuffle-join on the order key (neither side broadcastable at
     // scale); the nation dimension broadcasts; top-20 customers plan as
