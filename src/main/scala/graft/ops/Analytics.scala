@@ -262,6 +262,37 @@ object Analytics {
       doc = "shipping priority: broadcast dims, top-k"
     ),
 
+    // Unpivot (melt, the inverse of a12's PIVOT): wide metric columns ->
+    // long (metric, value) rows, the wide-to-long reshape every feature
+    // pipeline runs before per-metric processing. Spark's native unpivot
+    // is a zero-shuffle row expansion; the oracle states the same reshape
+    // as the portable UNION ALL.
+    "a16_unpivot" -> Q(
+      fn = (s, d) => {
+        val wide = Tables.lineitem(s, d).groupBy("l_returnflag")
+          .agg(sum(col("l_quantity")).as("sum_qty"),
+               dsum(col("l_extendedprice"), 2).as("sum_price"),
+               count(lit(1)).cast("double").as("n_rows"))
+        wide.unpivot(
+            Array(col("l_returnflag")),
+            Array(col("sum_qty"), col("sum_price"), col("n_rows")),
+            "metric", "value")
+          .orderBy("l_returnflag", "metric")
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                 CAST(count(*) AS DOUBLE) AS n_rows
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT * FROM (
+          SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+          UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
+          UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM w)
+        ORDER BY l_returnflag, metric"""),
+      doc = "unpivot/melt: wide metrics to long (metric, value) rows"
+    ),
+
     // RANGE-framed window: 7-day trailing revenue per order day. Unlike
     // the ROWS frames elsewhere (w1/d16), RANGE BETWEEN closes over VALUE
     // distance — days with no orders still age out of the trailing
