@@ -262,6 +262,26 @@ object Analytics {
       doc = "shipping priority: broadcast dims, top-k"
     ),
 
+    // Grouped collection aggregate: the collect_set/string_agg surface.
+    // Deterministic despite unordered collection semantics: the set is
+    // sorted before joining, which is exactly how a distributed engine
+    // must emit reproducible list-valued aggregates (collection order is
+    // partitioning-dependent otherwise).
+    "a17_grouped_strings" -> Q(
+      fn = (s, d) =>
+        Tables.orders(s, d)
+          .groupBy("o_orderstatus")
+          .agg(concat_ws(",", sort_array(collect_set(col("o_orderpriority")))).as("priorities"),
+               count(lit(1)).as("n"))
+          .orderBy("o_orderstatus"),
+      oracle = Some("""
+        SELECT o_orderstatus,
+               string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+               count(*) AS n
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+      doc = "grouped collection aggregate: sorted distinct set joined to a string"
+    ),
+
     // Unpivot (melt, the inverse of a12's PIVOT): wide metric columns ->
     // long (metric, value) rows, the wide-to-long reshape every feature
     // pipeline runs before per-metric processing. Spark's native unpivot
