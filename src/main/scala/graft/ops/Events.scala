@@ -101,6 +101,44 @@ object Events {
     ),
 
     // Semi-structured extraction from the JSON props column.
+    // Conversion funnel — staged event-sequence analytics: users who
+    // viewed, then clicked AT OR AFTER their first view, then purchased
+    // at or after their first qualifying click. Each stage is one
+    // user-keyed aggregation + one user-keyed join (no self-join blowup,
+    // no per-user sorting) — the funnel shape that scales to billions of
+    // users. All time comparisons run in integer microseconds on both
+    // engines (unix_micros / epoch_us) so ns->us truncation can't skew a
+    // boundary.
+    "e5_funnel" -> Q(
+      fn = (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        val v = ev.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min("us").as("t_view"))
+        val c = ev.where(col("event_type") === "click")
+          .join(v, "user_id").where(col("us") >= col("t_view"))
+          .groupBy("user_id").agg(min("us").as("t_click"))
+        val p = ev.where(col("event_type") === "purchase")
+          .join(c, "user_id").where(col("us") >= col("t_click"))
+          .groupBy("user_id").agg(min("us").as("t_buy"))
+        v.agg(count(lit(1)).as("n_view"))
+          .crossJoin(c.agg(count(lit(1)).as("n_click")))
+          .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        v AS (SELECT user_id, min(us) AS t_view FROM e
+              WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(us) AS t_click FROM e JOIN v USING (user_id)
+              WHERE event_type = 'click' AND us >= t_view GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(us) AS t_buy FROM e JOIN c USING (user_id)
+              WHERE event_type = 'purchase' AND us >= t_click GROUP BY e.user_id)
+        SELECT (SELECT count(*) FROM v) AS n_view,
+               (SELECT count(*) FROM c) AS n_click,
+               (SELECT count(*) FROM p) AS n_purchase"""),
+      doc = "conversion funnel: staged ordered-event counts per user"
+    ),
+
     "e4_json_extract" -> Q(
       fn = (s, d) =>
         Tables.events(s, d)
