@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+/** Property check of the vector codegen expressions against an
+  * independent BigInt formulation (no overflow possible in the
+  * reference, so any int64 overflow or rounding bug in the fast path
+  * diverges): 2000 seeded random vectors across dims 1..64, plus the
+  * documented edge shapes (zeros, extreme components, dim mismatch).
+  */
+class VectorExprPropertySpec extends AnyFunSuite {
+
+  private def q(x: Float): BigInt = {
+    val v = x.toDouble * 10000
+    BigInt(if (v >= 0) (v + 0.5).toLong else (v - 0.5).toLong)
+  }
+  private def arr(a: Array[Float]) = new GenericArrayData(a.map(x => x: Any))
+  private def arrL(a: Array[Long]) = new GenericArrayData(a.map(x => x: Any))
+
+  test("qdot_long and qnorm2 match the BigInt reference on random vectors") {
+    val rnd = new scala.util.Random(42)
+    for (i <- 0 until 2000) {
+      val dim = 1 + rnd.nextInt(64)
+      val a = Array.fill(dim)(rnd.nextFloat() * 4 - 2)
+      val c = Array.fill(dim)(rnd.nextLong() % 20001L)
+      val dotRef = (0 until dim).map(j => q(a(j)) * BigInt(c(j))).sum
+      val n2Ref = (0 until dim).map(j => q(a(j)) * q(a(j))).sum
+      assert(BigInt(QDotLongImpl.dot(arr(a), arrL(c))) == dotRef, s"dot diverged at trial $i")
+      assert(BigInt(QDotLongImpl.norm2(arr(a))) == n2Ref, s"norm2 diverged at trial $i")
+    }
+  }
+
+  test("hyperplane_bucket matches a BigInt sign computation on random vectors") {
+    val rnd = new scala.util.Random(7)
+    val planes = HyperplaneBucketImpl.planes
+    for (i <- 0 until 2000) {
+      val dim = 1 + rnd.nextInt(64)
+      val a = Array.fill(dim)(rnd.nextFloat() * 4 - 2)
+      var ref = 0L
+      for (j <- planes.indices) {
+        val dot = (0 until dim).map(k => q(a(k)) * BigInt(planes(j)(k))).sum
+        if (dot > 0) ref |= 1L << j
+      }
+      assert(HyperplaneBucketImpl.bucket(arr(a)) == ref, s"bucket diverged at trial $i")
+    }
+  }
+
+  test("edge shapes: zeros, extremes, dim mismatch truncates") {
+    val zeros = Array.fill(64)(0.0f)
+    assert(QDotLongImpl.norm2(arr(zeros)) == 0L)
+    assert(HyperplaneBucketImpl.bucket(arr(zeros)) == 0L)
+    // extreme quantized components still fit int64 accumulation
+    val big = Array.fill(64)(2.0f)
+    val n2 = QDotLongImpl.norm2(arr(big))
+    assert(n2 == 64L * 20000L * 20000L)
+    // dot truncates to the shorter side (mirrors zip_with semantics)
+    val c3 = Array(1L, 2L, 3L)
+    assert(QDotLongImpl.dot(arr(big), arrL(c3)) == 20000L * (1 + 2 + 3))
+    // negative half-away rounding: float(-0.00015) * 10^4 ~= -1.50000007
+    // rounds AWAY to -2 (math.round would give -1); norm2 = 4
+    val neg = Array(-0.00015f)
+    assert(QDotLongImpl.norm2(arr(neg)) == 4L)
+  }
+}
