@@ -101,6 +101,33 @@ final case class JdbcTableSink(cfg: JdbcSink.JdbcConfig) extends MigrateSink {
   }
 }
 
+/** JDBC binding through the DataSource V2 WRITE path
+  * (graft.sources.JdbcSinkSource): same idempotent txn/WAL discipline as
+  * JdbcTableSink, but rows flow through Spark's native commit protocol
+  * (DataWriter per task, commit-message count roll-up) instead of
+  * foreachPartition. Drop-in via the same MigrateSink seam; verification
+  * queries are shared with the classic binding.
+  */
+final case class JdbcV2TableSink(cfg: JdbcSink.JdbcConfig) extends MigrateSink {
+  private val delegate = JdbcTableSink(cfg)
+
+  def write(df: DataFrame, rangeIds: Seq[Long]): Unit =
+    df.select(cfg.columns.map(col): _*)
+      .write.format("graft.sources.JdbcSinkSource")
+      .option("url", cfg.url)
+      .option("table", cfg.table)
+      .option("keyCols", cfg.keyCols.mkString(","))
+      .option("dialect", cfg.dialect.name)
+      .option("batchSize", cfg.batchSize.toString)
+      .option("walTable", cfg.walTable.getOrElse(""))
+      .mode("append").save()
+
+  def countsByRange(spark: SparkSession, rangeIds: Seq[Long]): Map[Long, Long] =
+    delegate.countsByRange(spark, rangeIds)
+
+  def totalCount(spark: SparkSession): Long = delegate.totalCount(spark)
+}
+
 /** The end-to-end migration pipeline — the reference's main() re-expressed
   * Spark-first (SURVEY.md §3.1):
   *
