@@ -101,6 +101,34 @@ object Events {
     ),
 
     // Semi-structured extraction from the JSON props column.
+    // Cohort retention — the other staple of event analytics: users
+    // grouped by first-activity week, counted per week-age since their
+    // cohort. Two user-keyed aggregations + one user-keyed join; the
+    // (cohort, age) matrix is output-bounded. Weeks are integer
+    // microsecond-epoch divisions, exact on both engines.
+    "e6_cohort_retention" -> Q(
+      fn = (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"),
+                  expr("unix_micros(ts) div 604800000000").as("wk"))
+        val firstWk = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+        val active = ev.distinct()
+        active.join(firstWk, "user_id")
+          .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("age_wk"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_wk", "age_wk")
+      },
+      oracle = Some("""
+        WITH ev AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+        f AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id),
+        a AS (SELECT DISTINCT user_id, wk FROM ev)
+        SELECT cohort_wk, wk - cohort_wk AS age_wk,
+               count(DISTINCT a.user_id) AS n_users
+        FROM a JOIN f USING (user_id)
+        GROUP BY cohort_wk, age_wk ORDER BY cohort_wk, age_wk"""),
+      doc = "cohort retention: users per (first-activity week, week age)"
+    ),
+
     // Conversion funnel — staged event-sequence analytics: users who
     // viewed, then clicked AT OR AFTER their first view, then purchased
     // at or after their first qualifying click. Each stage is one
