@@ -128,9 +128,14 @@ private[sources] class JdbcDataWriter(cfg: JdbcWriteConfig, partitionId: Int)
   private val types = fields.map(f => f.name -> f.dataType).toMap
   private val rangeIdx = columns.indexOf("range_id")
 
-  private lazy val conn = {
+  // Connection opens on FIRST ROW, not at writer creation — and close()
+  // and abort() must not touch it for an empty partition (a plain lazy
+  // val would open a pointless connection per empty task at close time).
+  private var connOpt: Option[java.sql.Connection] = None
+  private def conn: java.sql.Connection = connOpt.getOrElse {
     val c = DriverManager.getConnection(cfg.url)
     dialect.sessionInit(c)
+    connOpt = Some(c)
     c
   }
   private lazy val insert =
@@ -184,12 +189,13 @@ private[sources] class JdbcDataWriter(cfg: JdbcWriteConfig, partitionId: Int)
 
   override def commit(): WriterCommitMessage = { flush(); RowsWritten(written) }
 
-  override def abort(): Unit =
-    try conn.rollback() catch { case _: Throwable => () }
+  override def abort(): Unit = connOpt.foreach { c =>
+    try c.rollback() catch { case _: Throwable => () }
+  }
 
-  override def close(): Unit = {
+  override def close(): Unit = connOpt.foreach { c =>
     try insert.close() finally {
-      try wal.foreach(_.close()) finally conn.close()
+      try wal.foreach(_.close()) finally c.close()
     }
   }
 }
