@@ -370,6 +370,42 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(queryLong("SELECT COUNT(*) FROM \"curated_docs\"") == expectedKept)
   }
 
+  test("file stream honors maxFilesPerTrigger: bounded micro-batches, no loss") {
+    import spark.implicits._
+    // 3 landing files -> with maxFilesPerTrigger=1 the source must take
+    // at least 3 micro-batches (ingestion backpressure: at 100 TB/day a
+    // file-listing source MUST bound per-trigger intake or the first
+    // batch swallows the backlog)
+    val dir = java.nio.file.Files.createTempDirectory("mft").toString
+    Seq(1L to 100L, 101L to 200L, 201L to 300L).zipWithIndex.foreach { case (r, i) =>
+      r.toDF("id").coalesce(1).write.parquet(s"$dir/f$i")
+    }
+    val landing = s"$dir/all"
+    new java.io.File(landing).mkdirs()
+    (0 until 3).foreach { i =>
+      val src = new java.io.File(s"$dir/f$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(src.toPath,
+        java.nio.file.Paths.get(landing, s"part$i.parquet"))
+    }
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batches.incrementAndGet(); rows.addAndGet(b.count()); ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches.get() >= 3, s"expected >=3 bounded micro-batches, got ${batches.get()}")
+    assert(rows.get() == 300L, "no rows lost across bounded batches")
+  }
+
   test("stream-static decontamination equals the batch d15 shape") {
     import org.apache.spark.sql.functions._
     import graft.ops.Dedup
