@@ -636,6 +636,40 @@ object Dedup {
       doc = "decontamination: shingle overlap vs a held-out benchmark set"
     ),
 
+    // Within-document repetition — the quality signal near-dup detection
+    // does NOT catch: a document that repeats ITSELF (boilerplate loops,
+    // template spam) has few distinct shingles relative to its length.
+    // rep_ratio = 1 - distinct/total word-3-grams, exact in both engines
+    // over the portable shingle hashes; scan-side only, no shuffle.
+    "d23_repetition" -> Q(
+      fn = (s, d) => {
+        graft.GraftExtensions.register(s)
+        Tables.documents(s, d)
+          .select(col("doc_id"), portableWordHashes("text").as("wh"))
+          .where(size(col("wh")) >= 3)
+          .select(
+            col("doc_id"),
+            (size(col("wh")) - 2).cast("long").as("n_grams"),
+            size(portableShingleHashes("wh")).cast("long").as("n_distinct"))
+          .withColumn("rep_ratio",
+            lit(1.0) - col("n_distinct").cast("double") / col("n_grams"))
+          .withColumn("is_repetitive", col("rep_ratio") > 0.2)
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH wh AS (SELECT doc_id, ${wordHashesSql("text")} AS wh FROM documents),
+        t AS (
+          SELECT doc_id,
+                 CAST(len(wh) - 2 AS BIGINT) AS n_grams,
+                 CAST(len(${shingleHashesSql("wh")}) AS BIGINT) AS n_distinct
+          FROM wh WHERE len(wh) >= 3)
+        SELECT doc_id, n_grams, n_distinct,
+               1.0 - CAST(n_distinct AS DOUBLE) / n_grams AS rep_ratio,
+               (1.0 - CAST(n_distinct AS DOUBLE) / n_grams) > 0.2 AS is_repetitive
+        FROM t ORDER BY doc_id"""),
+      doc = "within-document repetition ratio (distinct vs total shingles)"
+    ),
+
     // Transitive dup clusters over the d6b pair graph; the oracle computes
     // the same components via a recursive label-closure CTE, so the
     // iterative Spark propagation is hash-checked end-to-end.
