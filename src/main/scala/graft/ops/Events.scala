@@ -101,6 +101,37 @@ object Events {
     ),
 
     // Semi-structured extraction from the JSON props column.
+    // Event-transition matrix — per-user consecutive-event bigrams (the
+    // first-order Markov view of behavior): one lag window per user
+    // ordered by time (event_id tie-break for exactness), then a count
+    // per (from, to) pair. The transition matrix is
+    // event-type^2-bounded — tiny output from any volume of input.
+    "e7_transition_matrix" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+                  unix_micros(col("ts")).as("us"), col("event_type"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .where(col("prev_type").isNotNull)
+          .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("from_type", "to_type")
+      },
+      oracle = Some("""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS prev_type
+          FROM events)
+        SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY from_type, to_type ORDER BY from_type, to_type"""),
+      doc = "event-transition matrix: per-user consecutive-event bigram counts"
+    ),
+
     // Cohort retention — the other staple of event analytics: users
     // grouped by first-activity week, counted per week-age since their
     // cohort. Two user-keyed aggregations + one user-keyed join; the

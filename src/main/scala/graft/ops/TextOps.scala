@@ -451,6 +451,47 @@ object TextOps {
         FROM r WHERE pr >= 0.1
         GROUP BY lang ORDER BY lang"""),
       doc = "quality filter: drop each language's bottom length decile"
+    ),
+
+    // Out-of-vocabulary ratio — distribution-similarity quality scoring:
+    // build the corpus's top-500 word vocabulary (deterministic
+    // frequency-then-word tie-break), then score each document by the
+    // fraction of its words outside it. The vocabulary is tiny and
+    // broadcasts; scoring is one scan + one broadcast join — the
+    // standard "similarity to clean distribution" gate shape.
+    "d24_oov_ratio" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val words = doc(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .where(col("word") =!= "")
+        val vocab = words.groupBy("word").agg(count(lit(1)).as("freq"))
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("freq").desc, col("word"))))
+          .where(col("rnk") <= 500)
+          .select("word").withColumn("in_vocab", lit(true))
+        words.join(broadcast(vocab), Seq("word"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+               sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .withColumn("oov_ratio", col("n_oov").cast("double") / col("n_words"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH words AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        fw AS (SELECT doc_id, word FROM words WHERE word <> ''),
+        vocab AS (
+          SELECT word FROM (
+            SELECT word, row_number() OVER (ORDER BY count(*) DESC, word) AS rnk
+            FROM fw GROUP BY word)
+          WHERE rnk <= 500)
+        SELECT doc_id, count(*) AS n_words,
+               CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+               CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_ratio
+        FROM fw LEFT JOIN vocab v USING (word)
+        GROUP BY doc_id ORDER BY doc_id"""),
+      doc = "OOV ratio vs corpus top-500 vocabulary (distribution-similarity gate)"
     )
   )
 }
