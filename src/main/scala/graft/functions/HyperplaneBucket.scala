@@ -30,6 +30,18 @@ object HyperplaneBucketImpl {
     Array.fill(NPlanes)(Array.fill(Dim)(rnd.nextInt(1001) - 500))
   }
 
+  /** Wider table for BANDED near-dup search: 32 planes = 4 independent
+    * 8-bit band signatures (256 buckets per band — bucket count must be
+    * large enough that per-bucket populations, not the corpus, bound the
+    * candidate join; a 2-bit band key made candidates quadratic at 10x
+    * scale). Separate seed keeps the 8-plane table (v3's oracle) stable.
+    */
+  val NPlanesWide = 32
+  val planesWide: Array[Array[Int]] = {
+    val rnd = new scala.util.Random(11)
+    Array.fill(NPlanesWide)(Array.fill(Dim)(rnd.nextInt(1001) - 500))
+  }
+
   /** round-half-AWAY-FROM-ZERO, matching Spark round() / DuckDB round(). */
   @inline private def q(v: Double): Long =
     if (v >= 0) (v + 0.5).toLong else (v - 0.5).toLong
@@ -43,6 +55,28 @@ object HyperplaneBucketImpl {
     var j = 0
     while (j < NPlanes) {
       val p = planes(j)
+      var dot = 0L
+      i = 0
+      while (i < n) { dot += qv(i) * p(i); i += 1 }
+      if (dot > 0) b |= 1L << j
+      j += 1
+    }
+    b
+  }
+
+  /** 32-bit signature over the wide plane table (bit j = sign against
+    * planesWide(j)); band b of the near-dup search reads bits
+    * [8b, 8b+8).
+    */
+  def sig32(a: ArrayData): Long = {
+    val n = math.min(a.numElements(), Dim)
+    val qv = new Array[Long](n)
+    var i = 0
+    while (i < n) { qv(i) = q(a.getFloat(i).toDouble * 10000); i += 1 }
+    var b = 0L
+    var j = 0
+    while (j < NPlanesWide) {
+      val p = planesWide(j)
       var dot = 0L
       i = 0
       while (i < n) { dot += qv(i) * p(i); i += 1 }
@@ -78,4 +112,32 @@ case class HyperplaneBucket(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "hyperplane_bucket"
+}
+
+/** 32-bit wide-table signature (see HyperplaneBucketImpl.sig32). */
+case class HyperplaneSig32(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_sig32 expects array<float>, got $other")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any =
+    HyperplaneBucketImpl.sig32(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = classOf[HyperplaneBucketImpl.type].getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, a => s"$m.sig32($a)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig32 =
+    copy(child = newChild)
+
+  override def prettyName: String = "hyperplane_sig32"
 }

@@ -228,6 +228,24 @@ object Similarity {
         e2 AS (SELECT e.vec_id, e.embedding, bk.bucket FROM embeddings e JOIN bk USING (vec_id))"""
   }
 
+  /** Oracle prefix for the WIDE 32-plane signature (d22's banding):
+    * literal plane table -> `wsig(vec_id, sig)`.
+    */
+  private def wideSigCtes: String = {
+    val wide = graft.functions.HyperplaneBucketImpl.planesWide
+    val vals = wide.indices.flatMap(j =>
+      (0 until Dim).map(i => s"($j, ${i + 1}, ${wide(j)(i)})")).mkString(", ")
+    s"""wplanes(j, i, w) AS (VALUES $vals),
+        wd AS (
+          SELECT e.vec_id, p.j, sum(${qElemSql("e.embedding[p.i]")} * p.w) AS dotj
+          FROM embeddings e JOIN wplanes p ON true
+          GROUP BY e.vec_id, p.j),
+        wsig AS (
+          SELECT vec_id,
+                 sum(CASE WHEN dotj > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS sig
+          FROM wd GROUP BY vec_id)"""
+  }
+
   /** Per-label centroids via the typed CentroidAgg Aggregator. */
   def labelCentroids(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -384,21 +402,29 @@ object Similarity {
     ),
 
     // FULL-CORPUS embedding near-dup, the scale path of d10: BANDED LSH
-    // over the hyperplane signature (4 bands x 2 planes — a >= 0.9-cosine
-    // pair collides in at least one band with ~99.5% probability, vs ~29%
-    // for the full 8-bit bucket), candidate generation is an equi-join on
-    // (band, band-bits), only ids ride the distinct, exact quantized
-    // cosine verifies survivors. Same exact-vs-banded relationship as
-    // d8 vs d6b on the text side.
+    // over a WIDE 32-plane signature — 4 bands x 8 planes, so each band
+    // has 256 buckets and per-bucket populations (not the corpus) bound
+    // the candidate join. A 2-bit band key was measured QUADRATIC at 10x
+    // scale (115x time for 10x data); with 8-bit bands + the d6-style
+    // spam-bucket cap, candidates stay cap-bounded at any corpus size.
+    // Only ids ride the distinct; exact quantized cosine verifies the
+    // survivors. Same exact-vs-banded relationship as d8 vs d6b on text.
     "d22_embedding_lsh_neardup" -> Q(
       fn = (s, d) => {
         graft.GraftExtensions.register(s)
         val e = Tables.embeddings(s, d)
-          .withColumn("bucket", hyperplaneBucket(col("embedding")))
+          .withColumn("sig", call_function("hyperplane_sig32", col("embedding")))
         val banded = e.select(col("vec_id"),
             explode(expr(
-              "transform(sequence(0, 3), b -> struct(b AS band, shiftright(bucket, 2*b) & 3 AS bkey))")).as("bb"))
+              "transform(sequence(0, 3), b -> struct(b AS band, shiftright(sig, 8*b) & 255 AS bkey))")).as("bb"))
           .select(col("vec_id"), col("bb.band"), col("bb.bkey"))
+          // spam-bucket guard (same rationale and cap as d6): a
+          // degenerate bucket of n docs costs n^2 candidate pairs and
+          // carries no near-dup signal worth that price
+          .withColumn("bsz", count(lit(1)).over(
+            Window.partitionBy("band", "bkey")))
+          .where(col("bsz") <= 1000)
+          .drop("bsz")
         val pairs = banded.select(col("band"), col("bkey"), col("vec_id").as("id_a"))
           .join(banded.select(col("band"), col("bkey"), col("vec_id").as("id_b")),
                 Seq("band", "bkey"))
@@ -419,10 +445,11 @@ object Similarity {
           .orderBy("rnk")
       },
       oracle = Some(s"""
-        WITH $bucketedCorpusCtes,
+        WITH $wideSigCtes,
         banded AS (
-          SELECT vec_id, b, (bucket >> (2*b)) & 3 AS bkey
-          FROM bk, range(0, 4) t(b)),
+          SELECT vec_id, b, (sig >> (8*b)) & 255 AS bkey
+          FROM wsig, range(0, 4) t(b)
+          QUALIFY count(*) OVER (PARTITION BY b, bkey) <= 1000),
         pairs AS (
           SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
           FROM banded a JOIN banded b2 ON a.b = b2.b AND a.bkey = b2.bkey AND a.vec_id < b2.vec_id),
