@@ -31,18 +31,23 @@ class VectorExprPropertySpec extends AnyFunSuite {
     }
   }
 
-  test("hyperplane_bucket matches a BigInt sign computation on random vectors") {
+  test("hyperplane_bucket and sig32 match a BigInt sign computation on random vectors") {
     val rnd = new scala.util.Random(7)
     val planes = HyperplaneBucketImpl.planes
+    val wide = HyperplaneBucketImpl.planesWide
     for (i <- 0 until 2000) {
       val dim = 1 + rnd.nextInt(64)
       val a = Array.fill(dim)(rnd.nextFloat() * 4 - 2)
-      var ref = 0L
-      for (j <- planes.indices) {
-        val dot = (0 until dim).map(k => q(a(k)) * BigInt(planes(j)(k))).sum
-        if (dot > 0) ref |= 1L << j
+      def sig(ps: Array[Array[Int]]): Long = {
+        var ref = 0L
+        for (j <- ps.indices) {
+          val dot = (0 until dim).map(k => q(a(k)) * BigInt(ps(j)(k))).sum
+          if (dot > 0) ref |= 1L << j
+        }
+        ref
       }
-      assert(HyperplaneBucketImpl.bucket(arr(a)) == ref, s"bucket diverged at trial $i")
+      assert(HyperplaneBucketImpl.bucket(arr(a)) == sig(planes), s"bucket diverged at trial $i")
+      assert(HyperplaneBucketImpl.sig32(arr(a)) == sig(wide), s"sig32 diverged at trial $i")
     }
   }
 
