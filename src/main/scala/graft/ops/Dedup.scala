@@ -405,7 +405,8 @@ object Dedup {
       .localCheckpoint(true)
     var iter = 0
     var done = false
-    while (!done && iter < 20) {
+    val maxIters = 20
+    while (!done && iter < maxIters) {
       val nmin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
@@ -420,6 +421,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // Diameter > maxIters means the labels above are NOT fixed-point —
+    // returning them silently would hand the caller wrong clusters.
+    if (!done) sys.error(
+      s"dupClusters: min-label propagation did not converge in $maxIters iterations " +
+        "(a dup-cluster chain longer than the cap); raise the cap for this corpus")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
       .withColumn("n_members",
         count(lit(1)).over(Window.partitionBy("cluster_rep")).cast("long"))

@@ -303,7 +303,7 @@ object TextOps {
           SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
           FROM t)
-        SELECT lang, cum_before // 512 AS bin_id, count(*) AS n_docs,
+        SELECT lang, CAST(cum_before // 512 AS BIGINT) AS bin_id, count(*) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS n_tokens_packed
         FROM c GROUP BY lang, bin_id ORDER BY lang, bin_id"""),
       doc = "sequence packing: fixed token-budget bins per stratum"

@@ -46,15 +46,21 @@ class Checkpoints(spark: SparkSession, path: String) extends CheckpointStore {
 
   /** A state dir only counts as present if its write COMPLETED: Spark's
     * committer renames data files in from `_temporary` and writes
-    * `_SUCCESS` last, so a dir holding only commit debris (crash
-    * mid-seed) must read as absent — seedIfEmpty then reseeds instead
-    * of leaving all() permanently unreadable. Checked by listing (no
-    * read-probe: a probe's exception stack in stderr is noise).
+    * `_SUCCESS` last, so `_SUCCESS` is the only reliable completion
+    * witness — a dir holding part- files without it is precisely the
+    * signature of a crash mid job-commit and must read as absent
+    * (seedIfEmpty then reseeds instead of accepting torn state). The
+    * part- fallback applies only when success markers are disabled in
+    * the Hadoop conf. Checked by listing (no read-probe: a probe's
+    * exception stack in stderr is noise).
     */
   private def readable(p: Path): Boolean =
     fs.exists(p) && {
       val names = fs.listStatus(p).map(_.getPath.getName)
-      names.contains("_SUCCESS") || names.exists(_.startsWith("part-"))
+      val successMarkers = spark.sparkContext.hadoopConfiguration
+        .getBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
+      if (successMarkers) names.contains("_SUCCESS")
+      else names.exists(_.startsWith("part-"))
     }
 
   /** If a crash landed between the two renames of markComplete, the

@@ -115,6 +115,8 @@ final case class JdbcV2TableSink(cfg: JdbcSink.JdbcConfig) extends MigrateSink {
     df.select(cfg.columns.map(col): _*)
       .write.format("graft.sources.JdbcSinkSource")
       .option("url", cfg.url)
+      .option("user", Option(cfg.user).getOrElse(""))
+      .option("password", Option(cfg.password).getOrElse(""))
       .option("table", cfg.table)
       .option("keyCols", cfg.keyCols.mkString(","))
       .option("dialect", cfg.dialect.name)

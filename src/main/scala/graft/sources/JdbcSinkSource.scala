@@ -55,6 +55,8 @@ object JdbcSinkSource {
 
 private[sources] final case class JdbcWriteConfig(
     url: String,
+    user: Option[String],
+    password: Option[String],
     table: String,
     keyCols: Seq[String],
     dialectName: String,
@@ -70,6 +72,8 @@ private[sources] class JdbcSinkTable(writeSchema: StructType, props: Map[String,
 
   private def cfg(schema: StructType) = JdbcWriteConfig(
     url = props.getOrElse("url", sys.error("JdbcSinkSource requires option url")),
+    user = props.get("user").filter(_.nonEmpty),
+    password = props.get("password").filter(_.nonEmpty),
     table = props.getOrElse("table", sys.error("JdbcSinkSource requires option table")),
     keyCols = props.getOrElse("keycols", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
     dialectName = props.getOrElse("dialect", "derby"),
@@ -133,7 +137,9 @@ private[sources] class JdbcDataWriter(cfg: JdbcWriteConfig, partitionId: Int)
   // val would open a pointless connection per empty task at close time).
   private var connOpt: Option[java.sql.Connection] = None
   private def conn: java.sql.Connection = connOpt.getOrElse {
-    val c = DriverManager.getConnection(cfg.url)
+    // getConnection(url, null, null) omits the absent credentials, so the
+    // embedded/no-auth targets keep working while authenticated ones connect.
+    val c = DriverManager.getConnection(cfg.url, cfg.user.orNull, cfg.password.orNull)
     dialect.sessionInit(c)
     connOpt = Some(c)
     c
@@ -143,19 +149,31 @@ private[sources] class JdbcDataWriter(cfg: JdbcWriteConfig, partitionId: Int)
   private lazy val wal = cfg.walTable.map(w => dialect.walDao(conn, w))
   private val bindCols = dialect.insertBindCols(columns, cfg.keyCols)
   private val bindIdx = bindCols.map(c => columns.indexOf(c))
+  private val bindSqlTypes = bindIdx.map(i => fields(i).dataType match {
+    case LongType => java.sql.Types.BIGINT
+    case IntegerType => java.sql.Types.INTEGER
+    case DoubleType => java.sql.Types.DOUBLE
+    case StringType => java.sql.Types.VARCHAR
+    case BooleanType => java.sql.Types.BOOLEAN
+    case other => sys.error(s"JdbcSinkSource: unsupported write type $other")
+  })
 
   private val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
   private var batchIndex = 0
   private var written = 0L
 
-  private def fieldValue(row: InternalRow, i: Int): Any = fields(i).dataType match {
-    case LongType => row.getLong(i)
-    case IntegerType => row.getInt(i)
-    case DoubleType => row.getDouble(i)
-    case StringType => row.getUTF8String(i).toString
-    case BooleanType => row.getBoolean(i)
-    case other => sys.error(s"JdbcSinkSource: unsupported write type $other")
-  }
+  // Nulls pass through as null (bound via setNull below) — matching the
+  // classic JdbcSink, which writes Row nulls with setObject.
+  private def fieldValue(row: InternalRow, i: Int): Any =
+    if (row.isNullAt(i)) null
+    else fields(i).dataType match {
+      case LongType => row.getLong(i)
+      case IntegerType => row.getInt(i)
+      case DoubleType => row.getDouble(i)
+      case StringType => row.getUTF8String(i).toString
+      case BooleanType => row.getBoolean(i)
+      case other => sys.error(s"JdbcSinkSource: unsupported write type $other")
+    }
 
   override def write(row: InternalRow): Unit = {
     buf += fields.indices.map(i => fieldValue(row, i)).toArray
@@ -172,7 +190,9 @@ private[sources] class JdbcDataWriter(cfg: JdbcWriteConfig, partitionId: Int)
         wal.foreach(_.start(rangeId, batchId))
         buf.foreach { vals =>
           bindIdx.zipWithIndex.foreach { case (src, bi) =>
-            insert.setObject(bi + 1, vals(src))
+            val v = vals(src)
+            if (v == null) insert.setNull(bi + 1, bindSqlTypes(bi))
+            else insert.setObject(bi + 1, v)
           }
           insert.addBatch()
         }

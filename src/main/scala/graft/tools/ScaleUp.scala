@@ -19,22 +19,63 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
-  /** Key columns to shift per table; both sides of each FK listed. */
-  val shiftCols: Map[String, Seq[String]] = Map(
-    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
-    "orders" -> Seq("o_orderkey", "o_custkey"),
-    "customer" -> Seq("c_custkey"),
-    "supplier" -> Seq("s_suppkey"),
-    "part" -> Seq("p_partkey"),
-    "events" -> Seq("event_id", "user_id"),
-    "documents" -> Seq("doc_id"),
-    "embeddings" -> Seq("vec_id"),
-    "region" -> Seq.empty,
-    "nation" -> Seq.empty)
+  /** Columns sharing one key space, grouped by domain: every column in a
+    * domain shifts by the SAME offset (the domain-wide max + 1), so FK
+    * pairs whose observed maxes differ — e.g. embeddings.vec_id covers
+    * only a prefix of documents.doc_id — still line up in every copy.
+    */
+  val keyDomains: Seq[Seq[(String, String)]] = Seq(
+    Seq("lineitem" -> "l_orderkey", "orders" -> "o_orderkey"),
+    Seq("orders" -> "o_custkey", "customer" -> "c_custkey"),
+    Seq("lineitem" -> "l_partkey", "part" -> "p_partkey"),
+    Seq("lineitem" -> "l_suppkey", "supplier" -> "s_suppkey"),
+    Seq("documents" -> "doc_id", "embeddings" -> "vec_id"),
+    Seq("events" -> "event_id"),
+    Seq("events" -> "user_id"))
+
+  /** Key columns to shift per table, derived from the domains; dimension
+    * tables (no shifted keys) are copied once.
+    */
+  val shiftCols: Map[String, Seq[String]] = {
+    val shifted = keyDomains.flatten.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    shifted ++ Map("region" -> Seq.empty, "nation" -> Seq.empty)
+  }
+
+  /** Core loop, shared with ScaleUpSpec. */
+  def run(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
+    val dfs = shiftCols.keys.map { t =>
+      t -> spark.read.parquet(s"$src/$t.parquet")
+    }.toMap
+
+    // one offset per key DOMAIN, not per (table, column)
+    val colOffset: Map[(String, String), Long] = keyDomains.flatMap { dom =>
+      val off = dom.map { case (t, c) =>
+        dfs(t).agg(max(col(c))).head.getAs[Number](0).longValue()
+      }.max + 1L
+      dom.map(tc => tc -> off)
+    }.toMap
+
+    shiftCols.foreach { case (table, keys) =>
+      val df = dfs(table)
+      val out =
+        if (keys.isEmpty) df
+        else
+          (0 until k).map { i =>
+            keys.foldLeft(df) { (d, c) =>
+              // copy i shifts every key by i * domainOffset, in the key's
+              // own type so the written schema matches the source fixture
+              d.withColumn(c,
+                (col(c) + lit(i * colOffset((table, c))).cast(df.schema(c).dataType))
+                  .cast(df.schema(c).dataType))
+            }
+          }.reduce(_ union _)
+      out.write.mode("overwrite").parquet(s"$dst/$table.parquet")
+      println(s"[scaleup] $table: ${if (keys.isEmpty) "1x dim" else s"${k}x"} written")
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val Array(src, dst, kStr) = args.take(3)
-    val k = kStr.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,28 +85,7 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    shiftCols.foreach { case (table, keys) =>
-      val df = spark.read.parquet(s"$src/$table.parquet")
-      val out =
-        if (keys.isEmpty) df
-        else {
-          // copy i shifts every key by i * (max+1), in the key's own type
-          // so the written schema matches the source fixture's exactly
-          val offs: Map[String, Long] = keys.map { c =>
-            c -> (df.agg(max(col(c))).head.getAs[Number](0).longValue() + 1L)
-          }.toMap
-          (0 until k).map { i =>
-            keys.foldLeft(df) { (d, c) =>
-              d.withColumn(c,
-                (col(c) + lit(i * offs(c)).cast(df.schema(c).dataType))
-                  .cast(df.schema(c).dataType))
-            }
-          }.reduce(_ union _)
-        }
-      out.write.mode("overwrite").parquet(s"$dst/$table.parquet")
-      println(s"[scaleup] $table: ${if (keys.isEmpty) "1x dim" else s"${k}x"} written")
-    }
+    run(spark, src, dst, kStr.toInt)
     spark.stop()
   }
 }

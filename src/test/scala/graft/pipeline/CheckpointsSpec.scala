@@ -78,6 +78,21 @@ class CheckpointsSpec extends AnyFunSuite {
     assert(state.size == 4 && state.count(_.complete) == 0)
   }
 
+  test("crash mid job-commit (part- files but no _SUCCESS): dir reads as absent") {
+    val dir = Files.createTempDirectory("graft_cp").toString + "/state"
+    // simulate a seed that died between renaming data files in and
+    // writing the _SUCCESS marker — the dir LOOKS populated but the job
+    // never committed, so some part- files may be missing
+    fs.mkdirs(new Path(dir))
+    val out = fs.create(new Path(dir + "/part-00000-torn.snappy.parquet"))
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    val cp = new Checkpoints(spark, dir)
+    assert(!cp.exists, "part- files without _SUCCESS are torn state, not a complete write")
+    cp.seedIfEmpty(Tokens.split(4))
+    val state = cp.all()
+    assert(state.size == 4 && state.count(_.complete) == 0)
+  }
+
   test("partial dst with a good .bak: recover prefers the complete backup") {
     val (cp, dir) = fresh()
     cp.seedIfEmpty(Tokens.split(4))

@@ -79,6 +79,54 @@ class JdbcSinkSourceSpec extends AnyFunSuite {
     assert(queryLong(url, "SELECT COUNT(*) FROM \"files_v2\"") == 200L)
   }
 
+  test("null columns land as SQL NULL, not zero/false/NPE") {
+    val url = freshUrl()
+    val df = testDf.withColumn("name",
+      when(col("id") % 3 === 0, lit(null: String)).otherwise(concat(lit("n"), col("id"))))
+    writeV2(url, df)
+    assert(queryLong(url, "SELECT COUNT(*) FROM \"files_v2\"") == 200L)
+    // 0,3,6,...,198 -> 67 nulls; they must be NULL, not the string "null"/"0"
+    assert(queryLong(url, "SELECT COUNT(*) FROM \"files_v2\" WHERE \"name\" IS NULL") == 67L)
+    assert(queryLong(url,
+      "SELECT COUNT(*) FROM \"files_v2\" WHERE \"name\" IS NOT NULL AND \"name\" LIKE 'n%'") == 133L)
+  }
+
+  test("user/password options reach the connection (authenticated target)") {
+    // Derby with BUILTIN auth: create the db, require authentication at
+    // the database level, reboot it, then prove the V2 writer can only
+    // connect when the options are forwarded.
+    val name = s"v2auth_${java.util.UUID.randomUUID().toString.take(8)}"
+    val url = s"jdbc:derby:memory:$name"
+    val conn = DriverManager.getConnection(s"$url;create=true")
+    try {
+      Ddl.ensureTables(conn, DerbyDialect, "files_v2", sinkSchema, Seq("id"))
+      val st = conn.createStatement()
+      st.executeUpdate("CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY(" +
+        "'derby.user.app', 'secret')")
+      st.executeUpdate("CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY(" +
+        "'derby.connection.requireAuthentication', 'true')")
+      st.close()
+    } finally conn.close()
+    // reboot so the static auth property takes effect
+    intercept[java.sql.SQLException] {
+      DriverManager.getConnection(s"$url;shutdown=true")
+    }
+    // unauthenticated connects are now refused...
+    intercept[java.sql.SQLException] { DriverManager.getConnection(url) }
+    // ...and the V2 write succeeds only because the options are forwarded
+    testDf.write.format("graft.sources.JdbcSinkSource")
+      .option("url", url).option("table", "files_v2")
+      .option("user", "app").option("password", "secret")
+      .option("keyCols", "id").option("dialect", "derby")
+      .option("batchSize", "37")
+      .mode("append").save()
+    val check = DriverManager.getConnection(url, "app", "secret")
+    try {
+      val rs = check.createStatement().executeQuery("SELECT COUNT(*) FROM \"files_v2\"")
+      rs.next(); assert(rs.getLong(1) == 200L)
+    } finally check.close()
+  }
+
   test("failed write job resubmitted: committed partial batches are absorbed") {
     val url = freshUrl()
     V2WriteFailures.remaining.set(1)
