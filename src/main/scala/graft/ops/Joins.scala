@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
 
@@ -184,6 +185,82 @@ object Joins {
           ON e.event_type = d.event_type AND e.ts >= d.rate_ts
         WHERE e.event_id < 2000 ORDER BY e.event_id"""),
       doc = "as-of join by composition (tagged union + event-time window)"
+    ),
+
+    // J9 — snapshot diff report: the reference's end-of-migration "diff 0"
+    // check generalized from counts to CONTENT — full outer join on the
+    // key, null-safe column compare, one classified count per key state.
+    // One keyed shuffle; at 100 TB both snapshots co-partition on pk and
+    // nothing but the 3-row report leaves the executors. The "target" is
+    // a deterministic corruption of the source (rows dropped at pk%97,
+    // prices bumped at pk%13) so every class is non-empty.
+    "j9_snapshot_diff" -> Q(
+      fn = (s, d) => {
+        def snap = Tables.orders(s, d).select(
+          col("o_orderkey").as("pk"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"),
+          col("o_orderstatus").as("status"))
+        val src = snap
+        val tgt = snap.where(col("pk") % 97 =!= 0)
+          .withColumn("price",
+            when(col("pk") % 13 === 0, col("price") + lit(1).cast(DecimalType(18, 2)))
+              .otherwise(col("price")))
+          .select(col("pk").as("t_pk"), col("price").as("t_price"), col("status").as("t_status"))
+        src.join(tgt, col("pk") === col("t_pk"), "full_outer")
+          .select(
+            when(col("t_pk").isNull, "missing_in_target")
+              .when(col("pk").isNull, "extra_in_target")
+              .when(col("price") <=> col("t_price") && col("status") <=> col("t_status"),
+                    "unchanged")
+              .otherwise("changed").as("diff_class"))
+          .groupBy("diff_class").agg(count(lit(1)).as("n"))
+          .orderBy("diff_class")
+      },
+      oracle = Some("""
+        WITH src AS (
+          SELECT o_orderkey AS pk, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                 o_orderstatus AS status
+          FROM orders),
+        tgt AS (
+          SELECT pk, CASE WHEN pk % 13 = 0 THEN price + CAST(1 AS DECIMAL(18,2))
+                          ELSE price END AS price, status
+          FROM src WHERE pk % 97 <> 0)
+        SELECT CASE WHEN t.pk IS NULL THEN 'missing_in_target'
+                    WHEN s.pk IS NULL THEN 'extra_in_target'
+                    WHEN s.price IS NOT DISTINCT FROM t.price
+                     AND s.status IS NOT DISTINCT FROM t.status THEN 'unchanged'
+                    ELSE 'changed' END AS diff_class,
+               count(*) AS n
+        FROM src s FULL OUTER JOIN tgt t ON s.pk = t.pk
+        GROUP BY diff_class ORDER BY diff_class"""),
+      doc = "content-level snapshot diff: full outer join + null-safe compare"
+    ),
+
+    // J10 — Bloom-pruned semi join: the big side is filtered during its
+    // own scan by an 8 KiB bitset built from the dim side (one literal in
+    // the plan), so at 100 TB the non-matching ~80% of orders never
+    // reaches the join. Bloom FPs are absorbed by the exact semi join
+    // that follows, so the result — and the oracle — is exactly the
+    // plain semi join.
+    "j10_bloom_prune" -> Q(
+      fn = (s, d) => {
+        val dim = Tables.customer(s, d)
+          .where(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val bloom = graft.functions.PortableBloom.build(dim, "c_custkey")
+        Tables.orders(s, d)
+          .where(graft.functions.PortableBloom.mightContain(col("o_custkey"), bloom))
+          .join(broadcast(dim), col("o_custkey") === col("c_custkey"), "left_semi")
+          .agg(count(lit(1)).as("n_orders"),
+               sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
+      },
+      oracle = Some("""
+        SELECT count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')"""),
+      doc = "bloom-filter pre-pruned semi join (portable runtime filter)"
     )
   )
 }

@@ -374,6 +374,107 @@ object Relational {
       doc = "incremental snapshot merge: latest-wins-by-version CDC compaction"
     ),
 
+    // K7 — SCD2 history assembly from versioned CDC rows: each key's
+    // versions become validity intervals (valid_to = next version via
+    // LEAD, open interval = current row). Same one-shuffle window shape
+    // as k6's compaction, but keeping the full history instead of the
+    // latest row — the other half of every warehouse's CDC story.
+    "k7_scd2_history" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = ord(s, d).select(
+          col("o_orderkey").as("pk"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"),
+          lit(1L).as("version"))
+        val delta = ord(s, d).where(col("o_orderkey") % 7 === 0).select(
+          col("o_orderkey").as("pk"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 2).as("price"),
+          lit(2L).as("version"))
+        base.union(delta)
+          .where(col("pk") % 7 === 0 && col("pk") < 3500)
+          .withColumn("valid_to", lead("version", 1).over(
+            Window.partitionBy("pk").orderBy("version")))
+          .select(col("pk"), col("version"),
+                  col("price").cast("double").as("price"),
+                  col("valid_to"), col("valid_to").isNull.as("is_current"))
+          .orderBy("pk", "version")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT o_orderkey AS pk, CAST(o_totalprice AS DECIMAL(18,2)) AS price, CAST(1 AS BIGINT) AS version
+          FROM orders),
+        delta AS (
+          SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) * 2, 2
+          FROM orders WHERE o_orderkey % 7 = 0),
+        u AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
+        SELECT pk, version, CAST(price AS DOUBLE) AS price,
+               lead(version, 1) OVER (PARTITION BY pk ORDER BY version) AS valid_to,
+               lead(version, 1) OVER (PARTITION BY pk ORDER BY version) IS NULL AS is_current
+        FROM u WHERE pk % 7 = 0 AND pk < 3500
+        ORDER BY pk, version"""),
+      doc = "SCD2 history: versioned rows to validity intervals via LEAD"
+    ),
+
+    // S8 — per-column data profiling (the production pre-migration check
+    // the reference's introspection + validation steps imply): row count,
+    // null count, distinct count, min/max per column, in ONE scan — all
+    // per-column aggregates ride a single Aggregate node, then the 1-row
+    // result unpivots into the report. At 100 TB this is exactly one
+    // pass over the table, no per-column jobs. Nulls are planted
+    // deterministically so the null-counting path is actually exercised.
+    "s8_profile" -> Q(
+      fn = (s, d) => {
+        val c = Tables.customer(s, d).select(
+          col("c_custkey"),
+          col("c_name"),
+          when(col("c_custkey") % 11 === 0, lit(null).cast("double"))
+            .otherwise(col("c_acctbal")).as("acctbal"))
+        def nulls(cn: String) = sum(when(col(cn).isNull, 1L).otherwise(0L))
+        c.agg(
+            count(lit(1)).as("n"),
+            nulls("c_custkey").as("key_nulls"),
+            countDistinct(col("c_custkey")).as("key_distinct"),
+            min(col("c_custkey")).cast("string").as("key_min"),
+            max(col("c_custkey")).cast("string").as("key_max"),
+            nulls("c_name").as("name_nulls"),
+            countDistinct(col("c_name")).as("name_distinct"),
+            min(col("c_name")).as("name_min"),
+            max(col("c_name")).as("name_max"),
+            nulls("acctbal").as("bal_nulls"),
+            countDistinct(col("acctbal")).as("bal_distinct"),
+            min(col("acctbal")).cast(DecimalType(18, 2)).cast("string").as("bal_min"),
+            max(col("acctbal")).cast(DecimalType(18, 2)).cast("string").as("bal_max"))
+          .selectExpr("""stack(3,
+              'acctbal',  n, bal_nulls,  bal_distinct,  bal_min,  bal_max,
+              'c_custkey', n, key_nulls,  key_distinct,  key_min,  key_max,
+              'c_name',   n, name_nulls, name_distinct, name_min, name_max)
+            AS (col_name, n_rows, n_nulls, n_distinct, min_val, max_val)""")
+          .orderBy("col_name")
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT c_custkey, c_name,
+                 CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_acctbal END AS acctbal
+          FROM customer)
+        SELECT 'acctbal' AS col_name, count(*) AS n_rows,
+               count(*) - count(acctbal) AS n_nulls,
+               count(DISTINCT acctbal) AS n_distinct,
+               CAST(CAST(min(acctbal) AS DECIMAL(18,2)) AS VARCHAR) AS min_val,
+               CAST(CAST(max(acctbal) AS DECIMAL(18,2)) AS VARCHAR) AS max_val
+        FROM c
+        UNION ALL
+        SELECT 'c_custkey', count(*), count(*) - count(c_custkey),
+               count(DISTINCT c_custkey),
+               CAST(min(c_custkey) AS VARCHAR), CAST(max(c_custkey) AS VARCHAR)
+        FROM c
+        UNION ALL
+        SELECT 'c_name', count(*), count(*) - count(c_name),
+               count(DISTINCT c_name), min(c_name), max(c_name)
+        FROM c
+        ORDER BY col_name"""),
+      doc = "per-column profiling report in one scan (S7 extension)"
+    ),
+
     // O2 — ordered top-k (plans as TakeOrderedAndProject: no full sort).
     "o2_topk_orders" -> Q(
       fn = (s, d) =>

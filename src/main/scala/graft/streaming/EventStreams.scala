@@ -192,6 +192,44 @@ object EventStreams {
     streamToJdbc(curated, cfg, checkpointDir)
   }
 
+  // --- transformWithState (the arbitrary-state API v2) -------------------
+
+  final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Per-user running totals on the v2 arbitrary-state API
+    * (`transformWithState`): a typed ValueState survives across
+    * micro-batches in RocksDB, one updated row per user per batch. This
+    * is the scale path for custom streaming state going forward — named
+    * state variables in RocksDB column families instead of one opaque
+    * GroupState blob, with timers and per-state TTL available — so the
+    * engine carries the minimal production shape of it next to the
+    * flatMapGroupsWithState sessionizer it will eventually replace.
+    */
+  class UserTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Double), UserTotals] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, TimerValues, ValueState}
+
+    @transient private var totals: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)](
+        "totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[UserTotals] = {
+      var (n, v) = if (totals.exists()) totals.get() else (0L, 0.0)
+      rows.foreach { case (_, value) => n += 1; v += value }
+      totals.update((n, v))
+      Iterator.single(UserTotals(key, n, v))
+    }
+  }
+
   /** Drain open sessions from a final state snapshot (test helper: after
     * processAllAvailable, open sessions are still in state).
     */

@@ -115,6 +115,47 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(c.getAs[Long]("n_events") == 2L)
   }
 
+  test("transformWithState keeps typed per-user state across micro-batches (RocksDB)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    // the v2 state API requires the RocksDB provider; scope it to this test
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Double)](spark)
+      val out = mem.toDS().groupByKey(_._1)
+        .transformWithState(
+          new EventStreams.UserTotalsProcessor,
+          TimeMode.None(),
+          OutputMode.Update(),
+          implicitly[org.apache.spark.sql.Encoder[EventStreams.UserTotals]])
+      val q = out.writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("user_totals").start()
+
+      mem.addData((1L, 10.0), (1L, 5.0), (2L, 1.0))
+      q.processAllAvailable()
+      mem.addData((1L, 2.0), (3L, 7.0)) // state for user 1 must carry over
+      q.processAllAvailable()
+      q.stop()
+
+      // memory sink in Update mode appends each batch's emissions: take
+      // the LAST row per user = the final running totals
+      val last = spark.sql("SELECT * FROM user_totals").collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (u, rows) => u -> rows.maxBy(_.getAs[Long]("n_events")) }
+      assert(last(1L).getAs[Long]("n_events") == 3L)
+      assert(last(1L).getAs[Double]("total_value") == 17.0)
+      assert(last(2L).getAs[Long]("n_events") == 1L)
+      assert(last(3L).getAs[Double]("total_value") == 7.0)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("session_window builtin (batch) equals the e3 window-composition sessionization") {
     import org.apache.spark.sql.functions._
     val builtin = EventStreams.sessionWindowCounts(
