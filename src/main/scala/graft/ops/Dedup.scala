@@ -231,11 +231,14 @@ object Dedup {
   /** Oracle-gated MinHash+LSH: same band/bucket/verify pipeline as d6
     * over portable hashes — full corpus, K=16, 4 bands x 4 rows.
     */
-  def minhashPortable(spark: SparkSession, sfDir: String, minJaccard: Double): DataFrame = {
+  /** Portable-hash signature table (doc_id, hpos, sig) — the shared base
+    * of the twin near-dup pipeline (d6b / d12 / d21 / d25).
+    */
+  private[ops] def portableSigTable(spark: SparkSession, sfDir: String): DataFrame = {
     graft.GraftExtensions.register(spark)
     val aLit = s"array(${PermA.mkString("L, ")}L)"
     val bLit = s"array(${PermB.mkString("L, ")}L)"
-    val base = Tables.documents(spark, sfDir)
+    Tables.documents(spark, sfDir)
       .select(col("doc_id"), portableWordHashes("text").as("wh"))
       .where(size(col("wh")) >= 3)
       .select(col("doc_id"), portableShingleHashes("wh").as("hpos"))
@@ -243,6 +246,12 @@ object Dedup {
         s"""transform(sequence(1, ${PermA.length}), j ->
               array_min(transform(hpos, h ->
                 (element_at($aLit, j) * h + element_at($bLit, j)) % $SigP)))"""))
+  }
+
+  /** Banded candidate pairs (doc_a < doc_b) from a signature table, with
+    * the spam-bucket cap applied.
+    */
+  private[ops] def portableCandidatePairs(base: DataFrame): DataFrame = {
     val bandCols = (0 until TwinBands).map { b =>
       struct(lit(b.toLong).as("band"),
              expr(bandHashExpr("sig", b, (s, i) => s"element_at($s, $i)")).as("bh"))
@@ -257,11 +266,16 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
       .where(col("bsz") <= MaxBucket)
       .drop("bsz")
-    val pairs = capped.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+    capped.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
       .join(capped.select(col("band"), col("bh"), col("doc_id").as("doc_b")),
             Seq("band", "bh"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+  }
+
+  def minhashPortable(spark: SparkSession, sfDir: String, minJaccard: Double): DataFrame = {
+    val base = portableSigTable(spark, sfDir)
+    val pairs = portableCandidatePairs(base)
     val hs = base.select(col("doc_id"), col("hpos"))
     pairs
       .join(hs.select(col("doc_id").as("doc_a"), col("hpos").as("h_a")), Seq("doc_a"))
@@ -410,14 +424,15 @@ object Dedup {
       val nmin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
+      // carry the previous label through the checkpoint so convergence is
+      // a cheap filter on materialized data, not a re-joined recompute
       val next = labels.join(nmin, Seq("id"), "left")
         .select(col("id"),
-                least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+                least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+                col("label").as("prev"))
         .localCheckpoint(true)
-      done = next
-        .join(labels.withColumnRenamed("label", "prev"), "id")
-        .where(col("label") =!= col("prev")).isEmpty
-      labels = next
+      done = next.where(col("label") =!= col("prev")).isEmpty
+      labels = next.select("id", "label")
       iter += 1
     }
     edges.unpersist()
@@ -507,6 +522,51 @@ object Dedup {
       fn = (s, d) => minhashPortable(s, d, minJaccard = 0.5),
       oracle = Some(minhashPortableOracle(0.5)),
       doc = "MinHash+LSH near-dup with portable hashes (full oracle)"
+    ),
+
+    // Sketch-accuracy audit: per candidate pair, the signature-estimated
+    // Jaccard (matching minhash positions / permutations) against the
+    // exact shingle Jaccard, with the absolute error. The operational
+    // query behind tuning band/row counts — at corpus scale the exact
+    // side is only ever computed on LSH survivors, so this audit is the
+    // same bounded join as the dedup itself. All math is exact: integer
+    // match counts, and doubles only in final deterministic divisions.
+    "d25_minhash_est_error" -> Q(
+      fn = (s, d) => {
+        val base = portableSigTable(s, d)
+        val pairs = portableCandidatePairs(base)
+        val sigs = base.select(col("doc_id"), col("sig"), col("hpos"))
+        pairs
+          .join(sigs.select(col("doc_id").as("doc_a"),
+                            col("sig").as("sig_a"), col("hpos").as("h_a")), Seq("doc_a"))
+          .join(sigs.select(col("doc_id").as("doc_b"),
+                            col("sig").as("sig_b"), col("hpos").as("h_b")), Seq("doc_b"))
+          .withColumn("n_match",
+            size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+                        m => m)).cast("long"))
+          .withColumn("est_jaccard", col("n_match").cast("double") / PermA.length)
+          .withColumn("jaccard",
+            size(array_intersect(col("h_a"), col("h_b"))).cast("double") /
+              size(array_union(col("h_a"), col("h_b"))))
+          .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+          .select("doc_a", "doc_b", "n_match", "est_jaccard", "jaccard", "abs_err")
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some(
+        s"""WITH $minhashPairsCtes,
+            m AS (
+              SELECT v.doc_a, v.doc_b, v.jaccard,
+                     CAST(len(list_filter(range(1, ${PermA.length + 1}),
+                            j -> sa.sig[j] = sb.sig[j])) AS BIGINT) AS n_match
+              FROM v
+              JOIN sg sa ON sa.doc_id = v.doc_a
+              JOIN sg sb ON sb.doc_id = v.doc_b)
+            SELECT doc_a, doc_b, n_match,
+                   CAST(n_match AS DOUBLE) / ${PermA.length} AS est_jaccard,
+                   jaccard,
+                   abs(CAST(n_match AS DOUBLE) / ${PermA.length} - jaccard) AS abs_err
+            FROM m ORDER BY doc_a, doc_b"""),
+      doc = "minhash sketch accuracy: estimated vs exact Jaccard per pair"
     ),
 
     // Oracle-gated SimHash twin: portable word hashes, planted recall

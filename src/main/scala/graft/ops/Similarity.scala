@@ -547,6 +547,76 @@ object Similarity {
       doc = "cross-modal curation: text-length + embedding-near-dup joint verdict"
     ),
 
+    // Embedding preprocessing: mean-centered cosine — the retrieval-side
+    // normalization that removes the corpus's common direction before
+    // similarity ranking. Exactness trick: with quantized q and per-dim
+    // integer sums s over n rows, the centered vector scales to
+    // c = n*q - s (still exact int64; cosine is scale-invariant), so NO
+    // division touches the vector math and both engines agree bit-for-bit.
+    // The per-dim sum table is a 64-row control aggregate (one scan +
+    // 8 KiB collect, like the IVF centroids); at 100 TB the mean is the
+    // cheap pass, the ranking joins stay the bounded v1 shape.
+    "v6_centered_cosine" -> Q(
+      fn = (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.select(col("vec_id"), transform(col("embedding"), x => qElem(x)).as("q"))
+        val statRows = q.select(posexplode(col("q")))
+          .groupBy("pos").agg(sum("col").as("sm"), count(lit(1)).as("n"))
+          .collect()
+        val n = statRows.head.getAs[Long]("n")
+        val dimSum = statRows.map(r => r.getAs[Int]("pos") -> r.getAs[Long]("sm")).toMap
+        val sums = typedlit((0 until Dim).map(dimSum(_)))
+        def ldot(a: Column, b: Column): Column =
+          aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+        val centered = q
+          .withColumn("c", zip_with(col("q"), sums, (x, sv) => x * lit(n) - sv))
+          .withColumn("n2", ldot(col("c"), col("c")))
+        val probes = centered.where(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("c").as("qc"), col("n2").as("qn2"))
+        val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+        centered.select(col("vec_id").as("neighbor_id"), col("c"), col("n2"))
+          .join(broadcast(probes), col("query_id") =!= col("neighbor_id"))
+          .withColumn("sim", ldot(col("qc"), col("c")).cast("double") /
+            (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .where(col("rnk") <= 3)
+          .select("query_id", "neighbor_id", "rnk", "sim")
+          .orderBy("query_id", "rnk")
+      },
+      oracle = Some(
+        s"""WITH q AS (
+              SELECT vec_id, list_transform(range(1, ${Dim + 1}),
+                       i -> ${qElemSql("embedding[i]")}) AS q
+              FROM embeddings),
+            dimsum AS (
+              SELECT i, CAST(sum(q[i]) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+              FROM q, range(1, ${Dim + 1}) t(i)
+              GROUP BY i),
+            st AS (SELECT max(n) AS n, list(s ORDER BY i) AS sl FROM dimsum),
+            c AS (
+              SELECT vec_id,
+                     list_transform(range(1, ${Dim + 1}), i -> q[i] * n - sl[i]) AS c
+              FROM q, st),
+            cn AS (
+              SELECT vec_id, c,
+                     CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS n2
+              FROM c),
+            p AS (
+              SELECT pr.vec_id AS query_id, nb.vec_id AS neighbor_id,
+                     CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+                            i -> pr.c[i] * nb.c[i])) AS BIGINT)::DOUBLE /
+                       (sqrt(pr.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)) AS sim
+              FROM cn pr JOIN cn nb ON pr.vec_id < 5 AND pr.vec_id <> nb.vec_id),
+            r AS (
+              SELECT query_id, neighbor_id, sim,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+              FROM p)
+            SELECT query_id, neighbor_id, rnk, sim FROM r WHERE rnk <= 3
+            ORDER BY query_id, rnk"""),
+      doc = "mean-centered cosine top-k (exact integer centering, no division)"
+    ),
+
     // Pairwise similarity histogram of a vector sample — demonstrates the
     // self-join shape with an exact, order-independent aggregate output.
     "v2_sim_histogram" -> Q(

@@ -230,6 +230,58 @@ object EventStreams {
     }
   }
 
+  final case class EvT(user_id: Long, ts: Timestamp)
+
+  /** Event-time session timeout on the v2 API's TIMERS: while events for a
+    * user keep arriving the session extends and re-arms a timer at
+    * end + gap; when the WATERMARK passes that instant the expired timer
+    * fires and the closed session is emitted from `handleExpiredTimer` —
+    * the push-based shape that flatMapGroupsWithState can only emulate by
+    * waiting for the next input batch. Stale timers (re-armed sessions
+    * leave earlier registrations behind) are recognized by comparing the
+    * expiry against the CURRENT state's end + gap and ignored.
+    */
+  class SessionTimeoutProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EvT, SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TTLConfig, TimerValues, ValueState}
+
+    @transient private var sess: ValueState[(Long, Long, Long)] = _ // start_ms, end_ms, n
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long)](
+        "sess",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[EvT], tv: TimerValues): Iterator[SessionOut] = {
+      var (st, en, n) =
+        if (sess.exists()) sess.get() else (Long.MaxValue, Long.MinValue, 0L)
+      rows.foreach { e =>
+        val t = e.ts.getTime
+        st = math.min(st, t); en = math.max(en, t); n += 1
+      }
+      sess.update((st, en, n))
+      getHandle.registerTimer(en + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: Long, tv: TimerValues, info: ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (!sess.exists()) Iterator.empty
+      else {
+        val (st, en, n) = sess.get()
+        if (info.getExpiryTimeInMs >= en + gapMs) {
+          sess.clear()
+          Iterator.single(SessionOut(key, new Timestamp(st), new Timestamp(en), n))
+        } else Iterator.empty // stale timer from before the session extended
+      }
+    }
+  }
+
   /** Drain open sessions from a final state snapshot (test helper: after
     * processAllAvailable, open sessions are still in state).
     */

@@ -156,6 +156,60 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("v2-API event-time timers close sessions when the watermark passes end+gap") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val GapMs = 5L * 60 * 1000
+      val mem = MemoryStream[EventStreams.EvT](spark)
+      val out = mem.toDS()
+        .withWatermark("ts", "10 seconds")
+        .groupByKey(_.user_id)
+        .transformWithState(
+          new EventStreams.SessionTimeoutProcessor(GapMs),
+          TimeMode.EventTime(),
+          OutputMode.Append(),
+          implicitly[org.apache.spark.sql.Encoder[EventStreams.SessionOut]])
+      val q = out.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("timer_sessions").start()
+
+      def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+      // user 1: two events within the gap -> one session ending at 100 s;
+      // its timer arms at 100 s + 5 min = 400 s. (Start at 1 s, not 0 s:
+      // rows at-or-before the current watermark — initially 0 — are
+      // dropped as late before they reach the processor.)
+      mem.addData(EventStreams.EvT(1, ts(1)), EventStreams.EvT(1, ts(100)))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM timer_sessions").isEmpty) // watermark still behind
+      // user 2's far-future event pushes the watermark past 400 s...
+      mem.addData(EventStreams.EvT(2, ts(1000)))
+      q.processAllAvailable()
+      // ...and the fired timer emits user 1's closed session (one more
+      // batch may be needed for the timer to evaluate post-watermark-move)
+      mem.addData(EventStreams.EvT(2, ts(1001)))
+      q.processAllAvailable()
+      q.stop()
+
+      val sessions = spark.sql("SELECT * FROM timer_sessions").collect()
+      assert(sessions.exists { r =>
+        r.getAs[Long]("user_id") == 1L &&
+          r.getAs[java.sql.Timestamp]("session_start").getTime == 1000L &&
+          r.getAs[java.sql.Timestamp]("session_end").getTime == 100000L &&
+          r.getAs[Long]("n_events") == 2L
+      }, sessions.mkString(", "))
+      // user 2 keeps arriving within its own gap -> still open, not emitted
+      assert(!sessions.exists(_.getAs[Long]("user_id") == 2L))
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("session_window builtin (batch) equals the e3 window-composition sessionization") {
     import org.apache.spark.sql.functions._
     val builtin = EventStreams.sessionWindowCounts(
