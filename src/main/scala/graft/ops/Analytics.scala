@@ -672,6 +672,92 @@ object Analytics {
           AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name ORDER BY revenue DESC, n_name"""),
       doc = "region revenue: star join, all dims broadcast"
+    ),
+
+    // TPC-H Q7 shape: bilateral shipping volume between two nations by
+    // year. The nation filters land on the SMALL sides (supplier,
+    // customer) so both broadcast; lineitem-orders stays the one
+    // fact-fact shuffle join, pre-pruned by the broadcast supplier
+    // filter before it shuffles.
+    "q7_volume_shipping" -> Q(
+      fn = (s, d) => {
+        val nations = Seq("NATION_18", "NATION_19")
+        val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
+          .where(col("n_name").isin(nations: _*))
+        val supp = Tables.supplier(s, d)
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val cust = Tables.customer(s, d)
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("cust_nation"))
+        val o = Tables.orders(s, d)
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .select("o_orderkey", "cust_nation")
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .where(col("supp_nation") =!= col("cust_nation"))
+          .withColumn("l_year", year(col("l_shipdate")).cast("long"))
+          .groupBy("supp_nation", "cust_nation", "l_year")
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      oracle = Some("""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM supplier, lineitem, orders, customer, nation n1, nation n2
+          WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+            AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+            AND c_nationkey = n2.n_nationkey
+            AND n1.n_name IN ('NATION_18', 'NATION_19')
+            AND n2.n_name IN ('NATION_18', 'NATION_19')
+            AND n1.n_name <> n2.n_name) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year"""),
+      doc = "bilateral nation shipping volume by year (TPC-H Q7 shape)"
+    ),
+
+    // TPC-H Q9 shape (no partsupp table in the fixture, so profit =
+    // revenue): product-line profit by supplier nation and order year.
+    // part is filtered by a LIKE (scan-side), then broadcasts; lineitem
+    // shuffles once against orders; nation/supplier broadcast.
+    "q9_product_profit" -> Q(
+      fn = (s, d) => {
+        val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
+        val supp = Tables.supplier(s, d)
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("nation"))
+        val prt = Tables.part(s, d).where(col("p_name").like("%gear%"))
+          .select("p_partkey")
+        val o = Tables.orders(s, d).select("o_orderkey", "o_orderdate")
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+          .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+          .groupBy("nation", "o_year")
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("profit"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      oracle = Some("""
+        SELECT nation, o_year,
+               CAST(sum(CAST(amount AS DECIMAL(18,6))) AS DOUBLE) AS profit
+        FROM (
+          SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS amount
+          FROM part, supplier, lineitem, orders, nation
+          WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+            AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+            AND p_name LIKE '%gear%') profit
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC"""),
+      doc = "product-line profit by nation and year (TPC-H Q9 shape)"
     )
   )
 }

@@ -610,6 +610,26 @@ object Relational {
       doc = "uniform token-ring split, no gaps/overlaps (T1, F5)"
     ),
 
+    // The same ring read through the custom DataSource V2 connector
+    // (sources/TokenRingSource) — the connector becomes part of the
+    // correctness gate, not just its spec: the range_id predicate is
+    // PUSHED into the source and prunes partitions at planning time (8
+    // of 16 are never scheduled), which is the S1/S2 contract a real
+    // Cassandra connector gives you.
+    "s9_v2_ring_source" -> Q(
+      fn = (s, d) =>
+        s.read.format("graft.sources.TokenRingSource")
+          .option("numRanges", "16").load()
+          .where(col("range_id") < 8)
+          .orderBy("range_id"),
+      oracle = Some("""
+        SELECT i AS range_id,
+               -1 + i * 268435456 AS range_start,
+               -1 + (i + 1) * 268435456 AS range_end
+        FROM range(16) t(i) WHERE i < 8 ORDER BY range_id"""),
+      doc = "token ring via the custom V2 connector (planning-time pruning)"
+    ),
+
     // W1 — the reference's running max-token per range (A4) re-expressed
     // relationally as a window function.
     "w1_running_max_token" -> Q(
