@@ -234,11 +234,16 @@ object Dedup {
   /** Portable-hash signature table (doc_id, hpos, sig) — the shared base
     * of the twin near-dup pipeline (d6b / d12 / d21 / d25).
     */
-  private[ops] def portableSigTable(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.GraftExtensions.register(spark)
+  /** Portable-hash signatures over any (doc_id, text) relation — batch
+    * tables and streaming sources alike (every expression is
+    * deterministic scan-side codegen, so the same column program runs
+    * under Structured Streaming unchanged).
+    */
+  private[graft] def portableSignatures(docs: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
     val aLit = s"array(${PermA.mkString("L, ")}L)"
     val bLit = s"array(${PermB.mkString("L, ")}L)"
-    Tables.documents(spark, sfDir)
+    docs
       .select(col("doc_id"), portableWordHashes("text").as("wh"))
       .where(size(col("wh")) >= 3)
       .select(col("doc_id"), portableShingleHashes("wh").as("hpos"))
@@ -248,17 +253,25 @@ object Dedup {
                 (element_at($aLit, j) * h + element_at($bLit, j)) % $SigP)))"""))
   }
 
-  /** Banded candidate pairs (doc_a < doc_b) from a signature table, with
-    * the spam-bucket cap applied.
-    */
-  private[ops] def portableCandidatePairs(base: DataFrame): DataFrame = {
+  /** (doc_id, band, bh) LSH band keys from a signature table. */
+  private[graft] def bandedKeys(base: DataFrame): DataFrame = {
     val bandCols = (0 until TwinBands).map { b =>
       struct(lit(b.toLong).as("band"),
              expr(bandHashExpr("sig", b, (s, i) => s"element_at($s, $i)")).as("bh"))
     }
-    val banded = base
+    base
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bh"))
+  }
+
+  private[ops] def portableSigTable(spark: SparkSession, sfDir: String): DataFrame =
+    portableSignatures(Tables.documents(spark, sfDir))
+
+  /** Banded candidate pairs (doc_a < doc_b) from a signature table, with
+    * the spam-bucket cap applied.
+    */
+  private[graft] def portableCandidatePairs(base: DataFrame): DataFrame = {
+    val banded = bandedKeys(base)
     // same spam-bucket guard as the production d6 (see minhashNearDups);
     // mirrored in the oracle SQL via QUALIFY, proving it a fixture no-op
     val capped = banded
