@@ -758,6 +758,53 @@ object Analytics {
         GROUP BY nation, o_year
         ORDER BY nation, o_year DESC"""),
       doc = "product-line profit by nation and year (TPC-H Q9 shape)"
+    ),
+
+    // TPC-H Q21 shape: suppliers who were the ONLY late shipper on
+    // multi-supplier orders — an EXISTS + NOT EXISTS chain, planned as
+    // left-semi + left-anti joins on the order key. The `late` branch
+    // (lineitem x orders date comparison) is built once and feeds both
+    // the base rows and the anti side; everything co-partitions on
+    // l_orderkey, so the chain is one shuffle key throughout.
+    "q21_waiting_supplier" -> Q(
+      fn = (s, d) => {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+        val o = Tables.orders(s, d).select("o_orderkey", "o_orderdate")
+        val late = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .select("l_orderkey", "l_suppkey")
+        val others = li.select(col("l_orderkey").as("o2_key"), col("l_suppkey").as("o2_supp"))
+        val lateOthers = late.select(col("l_orderkey").as("o3_key"), col("l_suppkey").as("o3_supp"))
+        late
+          .join(others,
+                col("l_orderkey") === col("o2_key") && col("l_suppkey") =!= col("o2_supp"),
+                "left_semi")
+          .join(lateOthers,
+                col("l_orderkey") === col("o3_key") && col("l_suppkey") =!= col("o3_supp"),
+                "left_anti")
+          .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+                col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name")
+          .agg(countDistinct(col("l_orderkey")).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(20)
+      },
+      oracle = Some("""
+        SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait
+        FROM supplier, lineitem l1, orders
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name LIMIT 20"""),
+      doc = "only-late-supplier on multi-supplier orders (TPC-H Q21 shape)"
     )
   )
 }
