@@ -44,4 +44,32 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"expected broadcast joins on the dimension sides:\n$plan")
   }
+
+  test("s8 (profiling): all per-column aggregates ride ONE parquet scan") {
+    // count scans in the FINAL adaptive plan only (the executed-plan
+    // string also embeds the pre-AQE "Initial Plan" section)
+    val plan = executedPlan("s8_profile").split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"profiling must be one pass, saw $scans scans:\n$plan")
+  }
+
+  test("j10 (bloom prune): dim broadcasts and the probe stays codegen") {
+    val plan = executedPlan("j10_bloom_prune")
+    assert(plan.contains("BroadcastHashJoin"), s"dim side must broadcast:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"bloom probe must stay codegen arithmetic:\n$plan")
+  }
+
+  test("q21: the EXISTS/NOT-EXISTS chain plans as semi + anti joins") {
+    val plan = executedPlan("q21_waiting_supplier")
+    assert(plan.contains("LeftSemi"), s"EXISTS must plan as a left-semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must plan as a left-anti join:\n$plan")
+  }
+
+  test("s9 (V2 ring source): range_id predicate prunes partitions at planning") {
+    val df = graft.SparkEntry.queries("s9_v2_ring_source")(spark, SparkTestBase.Sf0001)
+    assert(df.rdd.getNumPartitions <= 8,
+      s"range_id < 8 must prune to at most 8 input partitions, " +
+        s"saw ${df.rdd.getNumPartitions}")
+  }
 }
