@@ -805,6 +805,138 @@ object Analytics {
         GROUP BY s_name
         ORDER BY numwait DESC, s_name LIMIT 20"""),
       doc = "only-late-supplier on multi-supplier orders (TPC-H Q21 shape)"
+    ),
+
+    // TPC-H Q13 shape: customer order-count distribution. The filtered
+    // left-outer join keeps zero-order customers (the LEFT side drives),
+    // then two cascaded aggregations: per-customer counts shuffle on
+    // c_custkey, the distribution shuffle is count-cardinality (tiny).
+    "q13_custorder_dist" -> Q(
+      fn = (s, d) => {
+        val c = Tables.customer(s, d).select("c_custkey")
+        val o = Tables.orders(s, d)
+          .where(col("o_orderpriority") === "1-URGENT")
+          .select("o_custkey", "o_orderkey")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      oracle = Some("""
+        WITH c_orders AS (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+          GROUP BY c_custkey)
+        SELECT c_count, count(*) AS custdist
+        FROM c_orders GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC"""),
+      doc = "order-count distribution incl. zero bucket (TPC-H Q13 shape)"
+    ),
+
+    // TPC-H Q15 shape: top supplier by period revenue. Revenue stays
+    // DECIMAL through the max-equality comparison (exact on both
+    // engines); the scalar max is a 1-row crossJoin, not a re-scan, and
+    // the supplier dimension is broadcast.
+    "q15_top_supplier" -> Q(
+      fn = (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .where(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+                 col("l_shipdate") < to_timestamp(lit("1997-04-01")))
+          .groupBy("l_suppkey")
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 6))).as("r"))
+        val maxRev = rev.agg(max(col("r")).as("max_r"))
+        rev.crossJoin(maxRev)
+          .where(col("r") === col("max_r"))
+          .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+                col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+                  col("r").cast("double").as("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      oracle = Some("""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS r
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1997-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE r = (SELECT max(r) FROM rev)
+        ORDER BY s_suppkey"""),
+      doc = "max-revenue supplier via exact-decimal scalar max (TPC-H Q15 shape)"
+    ),
+
+    // TPC-H Q16 shape: distinct-supplier counts per part group with a
+    // NOT IN exclusion list. The exclusion is a left-anti join on the
+    // (tiny, broadcast) bad-supplier set; part is broadcast; the only
+    // real shuffle is the countDistinct on (brand, type, suppkey).
+    "q16_supplier_counts" -> Q(
+      fn = (s, d) => {
+        val p = Tables.part(s, d)
+          .where(col("p_brand") =!= "Brand#45")
+          .select("p_partkey", "p_brand", "p_type")
+        val bad = Tables.supplier(s, d)
+          .where(col("s_acctbal") < 0).select("s_suppkey")
+        Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+          .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand", "p_type")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+      },
+      oracle = Some("""
+        SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#45'
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type
+        ORDER BY supplier_cnt DESC, p_brand, p_type"""),
+      doc = "distinct suppliers per part group minus exclusion list (TPC-H Q16 shape)"
+    ),
+
+    // TPC-H Q22 shape: above-average-balance customers with no recent
+    // orders, by nation. The average is one exact-decimal scalar
+    // (1-row crossJoin); the "no recent order" test is a left-anti join
+    // on the date-filtered orders; nation is broadcast. (The classic
+    // no-orders-at-all form is empty on these fixtures — every customer
+    // has orders — so the recency cutoff supplies the Q22 semantics.)
+    "q22_dormant_customers" -> Q(
+      fn = (s, d) => {
+        val cust = Tables.customer(s, d)
+        val thresh = cust.where(col("c_acctbal") > 0)
+          .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double") /
+                count(lit(1))).as("avg_bal"))
+        val recent = Tables.orders(s, d)
+          .where(col("o_orderdate") >= to_timestamp(lit("2000-06-01")))
+          .select("o_custkey")
+        cust.crossJoin(thresh)
+          .where(col("c_acctbal") > col("avg_bal"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+                col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal"), 2).as("totacctbal"))
+          .orderBy("n_name")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+          FROM customer WHERE c_acctbal > 0)
+        SELECT n_name, count(*) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM customer, nation, t
+        WHERE c_nationkey = n_nationkey AND c_acctbal > t.avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-06-01')
+        GROUP BY n_name ORDER BY n_name"""),
+      doc = "rich dormant customers per nation (TPC-H Q22 shape)"
     )
   )
 }

@@ -198,6 +198,48 @@ object Events {
       doc = "conversion funnel: staged ordered-event counts per user"
     ),
 
+    // Two-pass z-score anomaly detection per event type: pass 1 computes
+    // exact moment sums (n, Σv, Σv² in DECIMAL — order-independent, so
+    // cross-engine exact), pass 2 scores every event against the
+    // broadcast per-type stats. The two-scan shape is deliberate: exact
+    // global moments need a full pass before any row can be scored, and
+    // the stats relation is type-cardinality sized (broadcast), so at
+    // 100 TB this is two scans and zero fact shuffles.
+    "e8_anomaly_zscore" -> Q(
+      fn = (s, d) => {
+        val ev = Tables.events(s, d).select("event_type", "value")
+        val dv = col("value").cast(DecimalType(18, 6))
+        val st = ev.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(dv).cast("double").as("s1"),
+          sum(dv * dv).cast("double").as("s2"))
+        val m = st.select(col("event_type"), col("n"),
+          (col("s1") / col("n")).as("mean"),
+          sqrt(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n"))).as("std"))
+        ev.join(broadcast(m), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(max(col("n")).as("n"),
+               sum(when(abs((col("value") - col("mean")) / col("std")) > 3.0, 1L)
+                     .otherwise(0L)).as("n_anomalies"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH st AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+                 CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+          FROM events GROUP BY event_type),
+        m AS (
+          SELECT event_type, n, s1 / n AS mean,
+                 sqrt(s2 / n - (s1 / n) * (s1 / n)) AS std
+          FROM st)
+        SELECT e.event_type, max(m.n) AS n,
+               CAST(sum(CASE WHEN abs((e.value - m.mean) / m.std) > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+        FROM events e JOIN m ON e.event_type = m.event_type
+        GROUP BY e.event_type ORDER BY e.event_type"""),
+      doc = "two-pass z-score anomalies per event type (exact moments, broadcast stats)"
+    ),
+
     "e4_json_extract" -> Q(
       fn = (s, d) =>
         Tables.events(s, d)
