@@ -937,6 +937,63 @@ object Analytics {
                             AND o_orderdate >= TIMESTAMP '2000-06-01')
         GROUP BY n_name ORDER BY n_name"""),
       doc = "rich dormant customers per nation (TPC-H Q22 shape)"
+    ),
+
+    // TPC-H Q8 shape: national market share — the widest star in the
+    // engine (lineitem ⨝ orders ⨝ customer ⨝ supplier ⨝ part ⨝
+    // nation×2 ⨝ region). Every dimension side broadcasts; the fact
+    // table streams through the join chain once, and the share ratio is
+    // a division of two exact-decimal sums per year.
+    "q8_market_share" -> Q(
+      fn = (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select("l_partkey", "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        val p = Tables.part(s, d).where(col("p_type") === "PROMO").select("p_partkey")
+        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate")
+        val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+        val n1 = Tables.nation(s, d).select(col("n_nationkey").as("n1_key"),
+                                            col("n_regionkey").as("n1_region"))
+        val n2 = Tables.nation(s, d).select(col("n_nationkey").as("n2_key"),
+                                            col("n_name").as("supp_nation"))
+        val r = Tables.region(s, d).where(col("r_name") === "ASIA").select("r_regionkey")
+        val vol = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 6))
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("c_nationkey") === col("n1_key"))
+          .join(broadcast(r), col("n1_region") === col("r_regionkey"))
+          .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
+          .select(year(col("o_orderdate")).cast("long").as("o_year"), vol.as("volume"),
+                  col("supp_nation"))
+          .groupBy("o_year")
+          .agg(
+            (sum(when(col("supp_nation") === "NATION_12", col("volume"))
+                   .otherwise(lit(0).cast(DecimalType(18, 6)))).cast("double") /
+             sum(col("volume")).cast("double")).as("mkt_share"),
+            count(lit(1)).as("n_lines"))
+          .orderBy("o_year")
+      },
+      oracle = Some("""
+        WITH all_nations AS (
+          SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+                 CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume,
+                 n2.n_name AS supp_nation
+          FROM part, lineitem, orders, customer, supplier, nation n1, nation n2, region
+          WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+            AND o_custkey = c_custkey AND l_suppkey = s_suppkey
+            AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+            AND s_nationkey = n2.n_nationkey
+            AND r_name = 'ASIA' AND p_type = 'PROMO')
+        SELECT o_year,
+               CAST(sum(CASE WHEN supp_nation = 'NATION_12' THEN volume
+                             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE) AS mkt_share,
+               count(*) AS n_lines
+        FROM all_nations GROUP BY o_year ORDER BY o_year"""),
+      doc = "national market share over the full star (TPC-H Q8 shape)"
     )
   )
 }

@@ -771,6 +771,79 @@ object Dedup {
                CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS n_members
         FROM lab ORDER BY doc_id"""),
       doc = "transitive near-dup clusters: connected components by min-label propagation"
+    ),
+
+    // Count-min-sketch heavy hitters. The sketch is built distributed:
+    // each word occurrence increments depth×1 buckets, and the groupBy
+    // (row, bucket) aggregation map-side-combines, so the shuffled state
+    // is the SKETCH SIZE (4×1024 cells), not the corpus — the property
+    // that lets one merged CMS summarize a 100 TB token stream. The
+    // estimate (min over rows) is deterministic given the portable
+    // hashes, so unlike HLL this sketch is fully oracle-gated: the
+    // DuckDB mirror rebuilds the identical CMS and must agree cell for
+    // cell. overest = est − true is the classic CMS one-sided error
+    // (never negative; bounded by collisions at these widths).
+    "d27_heavy_hitters_cms" -> Q(
+      fn = (s, d) => {
+        graft.GraftExtensions.register(s)
+        val D = 4; val W = 1024L
+        val As = Seq(104729L, 130363L, 174917L, 200183L)
+        val Bs = Seq(31L, 1009L, 7919L, 104659L)
+        val aLit = s"array(${As.mkString("L, ")}L)"
+        val bLit = s"array(${Bs.mkString("L, ")}L)"
+        val occ = Tables.documents(s, d)
+          .select(explode(split(lower(col("text")), " ")).as("word"))
+          .where(col("word").rlike("^[a-z]{2,}$"))
+          .withColumn("wh",
+            element_at(call_function("portable_word_hashes", col("word")), 1))
+        val sketch = occ
+          .select(explode(expr(
+            s"""transform(sequence(0, ${D - 1}), i -> struct(i AS row_i,
+                  ((element_at($aLit, i + 1) * wh + element_at($bLit, i + 1)) % $SigP) % $W AS bucket))"""))
+            .as("rb"))
+          .groupBy(col("rb.row_i").as("row_i"), col("rb.bucket").as("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+        val top = occ.groupBy("word", "wh").agg(count(lit(1)).as("true_cnt"))
+          .orderBy(col("true_cnt").desc, col("word")).limit(20)
+        val probes = top.select(col("word"), col("true_cnt"),
+          explode(expr(
+            s"""transform(sequence(0, ${D - 1}), i -> struct(i AS row_i,
+                  ((element_at($aLit, i + 1) * wh + element_at($bLit, i + 1)) % $SigP) % $W AS bucket))"""))
+            .as("rb"))
+          .select(col("word"), col("true_cnt"),
+                  col("rb.row_i").as("row_i"), col("rb.bucket").as("bucket"))
+        probes.join(broadcast(sketch), Seq("row_i", "bucket"))
+          .groupBy("word", "true_cnt")
+          .agg(min(col("cnt")).as("est_cnt"))
+          .select(col("word"), col("true_cnt"), col("est_cnt"),
+                  (col("est_cnt") - col("true_cnt")).as("overest"))
+          .orderBy(col("true_cnt").desc, col("word"))
+      },
+      oracle = Some {
+        val hv = "(VALUES (0, 104729, 31), (1, 130363, 1009), (2, 174917, 7919), (3, 200183, 104659))"
+        s"""
+        WITH occ AS (
+          SELECT x AS word, list_extract(${wordHashesSql("x")}, 1) AS wh
+          FROM (SELECT unnest(string_split(lower(text), ' ')) AS x FROM documents)
+          WHERE regexp_full_match(x, '[a-z]{2,}')),
+        cms AS (
+          SELECT h.i AS row_i, ((h.a * wh + h.b) % $SigP) % 1024 AS bucket, count(*) AS cnt
+          FROM occ, $hv h(i, a, b) GROUP BY row_i, bucket),
+        top AS (
+          SELECT word, wh, count(*) AS true_cnt FROM occ GROUP BY word, wh
+          ORDER BY true_cnt DESC, word LIMIT 20),
+        est AS (
+          SELECT t.word, t.true_cnt, min(c.cnt) AS est_cnt
+          FROM top t, $hv h(i, a, b)
+          JOIN cms c ON c.row_i = h.i
+                    AND c.bucket = ((h.a * t.wh + h.b) % $SigP) % 1024
+          GROUP BY t.word, t.true_cnt)
+        SELECT word, CAST(true_cnt AS BIGINT) AS true_cnt,
+               CAST(est_cnt AS BIGINT) AS est_cnt,
+               CAST(est_cnt - true_cnt AS BIGINT) AS overest
+        FROM est ORDER BY true_cnt DESC, word"""
+      },
+      doc = "count-min-sketch heavy hitters: deterministic mergeable sketch, cell-exact oracle"
     )
   )
 }

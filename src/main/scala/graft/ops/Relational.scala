@@ -630,6 +630,111 @@ object Relational {
       doc = "token ring via the custom V2 connector (planning-time pruning)"
     ),
 
+    // S10 — partition-pruned scan through a hive-partitioned layout: the
+    // events table is laid out as event_type=<v>/ directories (the
+    // standard big-table layout at 100 TB), and the equality predicate
+    // prunes to ONE directory at planning time — the other partitions
+    // are never listed into the scan. PartitionPruningSpec asserts the
+    // plan-level pruning; this entry puts the read path itself under the
+    // oracle gate. The write is a per-run staging step, same pattern as
+    // t2's sink.
+    "s10_partitioned_scan" -> Q(
+      fn = (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_s10").toString
+        Tables.events(s, d).write.mode("overwrite")
+          .partitionBy("event_type").parquet(s"$out/events_by_type")
+        s.read.parquet(s"$out/events_by_type")
+          .where(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+               dsum(col("value"), 6).as("total_value"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id ORDER BY user_id"""),
+      doc = "hive-partitioned layout + planning-time partition pruning (S10)"
+    ),
+
+    // S11 — CSV as a source format: schema-explicit round-trip through
+    // the writer and reader (header on, explicit timestamp format so the
+    // parse is unambiguous). Completes the source-format surface next to
+    // parquet, JDBC, and the V2 connector; the oracle reads the original
+    // parquet, so the round-trip must be lossless to hash-match.
+    "s11_csv_roundtrip" -> Q(
+      fn = (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_s11").toString
+        Tables.orders(s, d).write.mode("overwrite")
+          .option("header", "true")
+          .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+          .csv(s"$out/orders_csv")
+        s.read
+          .schema(Tables.orders(s, d).schema)
+          .option("header", "true")
+          .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+          .csv(s"$out/orders_csv")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+               dsum(col("o_totalprice"), 2).as("total_price"),
+               max(col("o_orderdate")).as("max_date"))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+               max(o_orderdate) AS max_date
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+      doc = "lossless CSV round-trip under the oracle gate (S11 source format)"
+    ),
+
+    // S12 — JSON-lines as a source format (the interchange format of
+    // most scraped/LLM corpora). Schema-explicit read; same lossless
+    // round-trip contract as s11: the oracle reads the original parquet.
+    "s12_json_roundtrip" -> Q(
+      fn = (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_s12").toString
+        Tables.documents(s, d).write.mode("overwrite").json(s"$out/docs_json")
+        s.read
+          .schema(Tables.documents(s, d).schema)
+          .json(s"$out/docs_json")
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("n_chars")).as("total_chars"),
+               max(length(col("text"))).cast("long").as("max_len"))
+          .orderBy("lang", "source")
+      },
+      oracle = Some("""
+        SELECT lang, source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(max(length(text)) AS BIGINT) AS max_len
+        FROM documents GROUP BY lang, source ORDER BY lang, source"""),
+      doc = "lossless JSON-lines round-trip under the oracle gate (S12 source format)"
+    ),
+
+    // S13 — ORC as the alternative columnar format: same predicate
+    // pushdown + column pruning contract as parquet (the filter below
+    // reaches the ORC reader as a pushed search argument).
+    "s13_orc_roundtrip" -> Q(
+      fn = (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_s13").toString
+        Tables.lineitem(s, d).write.mode("overwrite").orc(s"$out/lineitem_orc")
+        s.read.orc(s"$out/lineitem_orc")
+          .where(col("l_quantity") > 45)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_lines"),
+               dsum(col("l_extendedprice"), 2).as("total_price"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag, count(*) AS n_lines,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM lineitem WHERE l_quantity > 45
+        GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "ORC round-trip with pushdown under the oracle gate (S13 source format)"
+    ),
+
     // W1 — the reference's running max-token per range (A4) re-expressed
     // relationally as a window function.
     "w1_running_max_token" -> Q(

@@ -492,6 +492,50 @@ object TextOps {
         FROM fw LEFT JOIN vocab v USING (word)
         GROUP BY doc_id ORDER BY doc_id"""),
       doc = "OOV ratio vs corpus top-500 vocabulary (distribution-similarity gate)"
+    ),
+
+    // Bigram language-model counts with exact conditional probability:
+    // p(w2|w1) = c(w1,w2)/c(w1·) as a division of exact int64 counts
+    // (IEEE division is correctly rounded, so the double is bit-stable
+    // cross-engine — no transcendental smoothing here by design). The
+    // adjacent-pair expansion is a per-row transform (no shuffle); the
+    // two count aggregations shuffle only (w1,w2)/(w1) pairs, i.e.
+    // vocabulary-sized state — the classic distributed LM-counts shape.
+    "d26_bigram_lm" -> Q(
+      fn = (s, d) => {
+        val pairs = doc(s, d)
+          .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+          .where(size(col("ws")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(ws)-2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))"))
+            .as("p"))
+          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .where(col("w1").rlike("^[a-z]{2,}$") && col("w2").rlike("^[a-z]{2,}$"))
+        val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val uni = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+        big.join(uni, "w1")
+          .where(col("c12") >= 5)
+          .select(col("w1"), col("w2"), col("c12"), col("c1"),
+                  (col("c12").cast("double") / col("c1")).as("p_cond"))
+          .orderBy(col("c12").desc, col("w1"), col("w2"))
+          .limit(30)
+      },
+      oracle = Some("""
+        WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        pairs AS (
+          SELECT ws[i+1] AS w1, ws[i+2] AS w2
+          FROM w, unnest(range(len(ws)-1)) AS t(i)),
+        fp AS (SELECT w1, w2 FROM pairs
+               WHERE regexp_full_match(w1, '[a-z]{2,}')
+                 AND regexp_full_match(w2, '[a-z]{2,}')),
+        big AS (SELECT w1, w2, count(*) AS c12 FROM fp GROUP BY w1, w2),
+        uni AS (SELECT w1, count(*) AS c1 FROM fp GROUP BY w1)
+        SELECT b.w1, b.w2, CAST(c12 AS BIGINT) AS c12, CAST(c1 AS BIGINT) AS c1,
+               CAST(c12 AS DOUBLE) / c1 AS p_cond
+        FROM big b JOIN uni USING (w1)
+        WHERE c12 >= 5
+        ORDER BY c12 DESC, w1, w2 LIMIT 30"""),
+      doc = "bigram LM counts + exact conditional probabilities (top-30)"
     )
   )
 }

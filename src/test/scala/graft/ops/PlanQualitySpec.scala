@@ -72,4 +72,35 @@ class PlanQualitySpec extends AnyFunSuite {
       s"range_id < 8 must prune to at most 8 input partitions, " +
         s"saw ${df.rdd.getNumPartitions}")
   }
+
+  test("q8: every dimension side of the 8-table star broadcasts") {
+    val plan = executedPlan("q8_market_share").split("== Initial Plan ==").head
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 5, s"expected >=5 broadcast joins in the star, saw $bhj:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n$plan")
+  }
+
+  test("e8 (z-score): per-type stats broadcast; exactly two source scans") {
+    val plan = executedPlan("e8_anomaly_zscore").split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the stats relation must broadcast into the scoring pass:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 2, s"exact moments need two scans, no more — saw $scans:\n$plan")
+  }
+
+  test("d27 (CMS): sketch aggregation map-side combines and the sketch broadcasts") {
+    val plan = executedPlan("d27_heavy_hitters_cms").split("== Initial Plan ==").head
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"sketch build must partial-aggregate before the exchange:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 4x1024 sketch must broadcast into the probe join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n$plan")
+  }
+
+  test("s13 (ORC): the quantity predicate is pushed into the ORC reader") {
+    val plan = executedPlan("s13_orc_roundtrip")
+    assert(plan.contains("Scan orc"), s"expected an ORC scan:\n$plan")
+    assert(plan.contains("PushedFilters: [") && plan.contains("l_quantity"),
+      s"quantity filter must reach the ORC reader:\n$plan")
+  }
 }

@@ -61,4 +61,41 @@ class DedupStreamsSpec extends AnyFunSuite {
       }
     }
   }
+
+  // Streaming EXACT dedup — the watermark-bounded counterpart of
+  // d1/d2: dropDuplicatesWithinWatermark keys state by id but evicts
+  // entries once the watermark passes (eventTime + delay), so state
+  // stays bounded by the dup-arrival window instead of growing with
+  // the full key universe — the property that makes streaming exact
+  // dedup viable at 100 TB/day ingest.
+  test("dropDuplicatesWithinWatermark: cross-batch dups dropped, state evicted after the watermark") {
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long)](spark)
+    val deduped = mem.toDF().toDF("id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("exact_dedup").start()
+    // batch 1: id 1 arrives twice in-batch, id 2 once
+    mem.addData((1L, 100L), (2L, 110L), (1L, 105L))
+    q.processAllAvailable()
+    // batch 2: id 1 repeats across the batch boundary (within watermark) — dropped
+    mem.addData((1L, 130L), (3L, 140L))
+    q.processAllAvailable()
+    // batch 3: jump event time far ahead so the watermark passes every
+    // earlier entry's expiry and their state is evicted
+    mem.addData((9L, 10000L))
+    q.processAllAvailable()
+    // batch 4: id 2 reappears AFTER its state expired — re-emitted
+    mem.addData((2L, 10100L))
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.sql("SELECT id FROM exact_dedup").collect().map(_.getLong(0)).toSeq
+    assert(ids.count(_ == 1L) == 1, s"id 1 must be emitted exactly once, got $ids")
+    assert(ids.count(_ == 3L) == 1 && ids.count(_ == 9L) == 1)
+    assert(ids.count(_ == 2L) == 2,
+      s"id 2 must re-emit after its dedup state expired with the watermark, got $ids")
+  }
 }
