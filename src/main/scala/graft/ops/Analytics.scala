@@ -176,6 +176,33 @@ object Analytics {
       doc = "exact percentiles (ordered-set aggregate)"
     ),
 
+    // Approximate-percentile accuracy contract, a9-style: the GK-sketch
+    // estimate is engine-specific (and merge-order sensitive), so the
+    // JUDGED output is exact anchors that both engines agree on
+    // (integer-valued min/max/count) plus the drift booleans — the
+    // approx p50/p90 must sit within 1% of the exact percentile
+    // computed in the same engine. At 100 TB the GK sketch is the
+    // single-pass mergeable answer; this query pins its error bound.
+    "a18_approx_percentile_drift" -> Q(
+      fn = (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+               expr("percentile(l_extendedprice, 0.5)").as("x50"),
+               expr("percentile(l_extendedprice, 0.9)").as("x90"),
+               expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("a50"),
+               expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("a90"))
+          .select(col("l_returnflag"), col("n"),
+                  (abs(col("a50") - col("x50")) / col("x50") <= 0.01).as("p50_within_1pct"),
+                  (abs(col("a90") - col("x90")) / col("x90") <= 0.01).as("p90_within_1pct"))
+          .orderBy("l_returnflag"),
+      oracle = Some("""
+        SELECT l_returnflag, count(*) AS n,
+               true AS p50_within_1pct, true AS p90_within_1pct
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "approx_percentile (GK sketch): oracle-checked 1% accuracy contract"
+    ),
+
     // Date-part dimensional rollup (calendar functions surface).
     "f3_date_parts" -> Q(
       fn = (s, d) =>

@@ -735,6 +735,51 @@ object Relational {
       doc = "ORC round-trip with pushdown under the oracle gate (S13 source format)"
     ),
 
+    // S14 — Z-order (Morton) clustering key: bit-interleaving two bucket
+    // coordinates so that sorting by ONE key keeps BOTH dimensions
+    // local. The per-block min/max output IS the proof: each 4096-wide
+    // z-block covers a bounded tile in (x, y) space, so files written in
+    // z-order carry tight min/max on both columns and a scan filtered on
+    // EITHER dimension skips most files — the multi-dimensional
+    // counterpart of the 1-D range layout in WriterShapeSpec. The
+    // interleave is pure codegen bit arithmetic (16 shift/mask terms),
+    // identical on both engines.
+    "s14_zorder_locality" -> Q(
+      fn = (s, d) => {
+        val zkey = (0 until 8).foldLeft(lit(0L)) { (acc, i) =>
+          acc
+            .bitwiseOR(shiftleft(shiftright(col("xb"), i).bitwiseAND(lit(1L)), 2 * i))
+            .bitwiseOR(shiftleft(shiftright(col("yb"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+        }
+        Tables.events(s, d)
+          .select(
+            (col("user_id") % 256).as("xb"),
+            least(floor(col("value")).cast("long"), lit(255L)).as("yb"))
+          .withColumn("zkey", zkey)
+          .groupBy((col("zkey") / 4096).cast("long").as("zblock"))
+          .agg(count(lit(1)).as("n"),
+               min(col("xb")).as("min_x"), max(col("xb")).as("max_x"),
+               min(col("yb")).as("min_y"), max(col("yb")).as("max_y"))
+          .orderBy("zblock")
+      },
+      oracle = Some {
+        val z = (0 until 8).flatMap { i =>
+          Seq(s"(((xb >> $i) & 1) << ${2 * i})", s"(((yb >> $i) & 1) << ${2 * i + 1})")
+        }.mkString(" | ")
+        s"""
+        WITH b AS (
+          SELECT user_id % 256 AS xb,
+                 least(CAST(floor(value) AS BIGINT), 255) AS yb
+          FROM events),
+        z AS (SELECT xb, yb, $z AS zkey FROM b)
+        SELECT zkey // 4096 AS zblock, count(*) AS n,
+               min(xb) AS min_x, max(xb) AS max_x,
+               min(yb) AS min_y, max(yb) AS max_y
+        FROM z GROUP BY zblock ORDER BY zblock"""
+      },
+      doc = "Z-order clustering: interleaved key gives bounded 2-D tiles per block (S14)"
+    ),
+
     // W1 — the reference's running max-token per range (A4) re-expressed
     // relationally as a window function.
     "w1_running_max_token" -> Q(

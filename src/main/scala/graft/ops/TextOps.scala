@@ -536,6 +536,45 @@ object TextOps {
         WHERE c12 >= 5
         ORDER BY c12 DESC, w1, w2 LIMIT 30"""),
       doc = "bigram LM counts + exact conditional probabilities (top-30)"
+    ),
+
+    // Deterministic importance sampling by content weight: each doc's
+    // keep-probability scales with its length (clamped to [5%, 100%]),
+    // and the keep decision is a pure hash threshold — no RNG, no
+    // coordination, no driver round-trip. This is THE distributed
+    // sampling primitive at 100 TB: every executor decides locally from
+    // (doc_id, weight) alone, the sample is reproducible across reruns
+    // and engines, and changing the global rate is a literal, not a
+    // reshuffle. All arithmetic is exact int64.
+    "d28_hash_sample" -> Q(
+      fn = (s, d) => {
+        val h = (col("doc_id") * lit(2654435761L) + lit(104729L)) % lit(4294967296L)
+        val keepBps = least(greatest(col("n_chars") * 5, lit(500L)), lit(10000L))
+        doc(s, d)
+          .withColumn("u", h % 10000)
+          .withColumn("keep_bps", keepBps)
+          .withColumn("kept", (col("u") < col("keep_bps")).cast("int").cast("long"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_total"),
+               sum(col("kept")).as("n_kept"),
+               (sum(col("keep_bps")).cast("double") / (count(lit(1)) * 10000))
+                 .as("target_rate"),
+               (sum(col("kept")).cast("double") / count(lit(1))).as("actual_rate"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT lang,
+                 (doc_id * 2654435761 + 104729) % 4294967296 % 10000 AS u,
+                 least(greatest(n_chars * 5, 500), 10000) AS keep_bps
+          FROM documents)
+        SELECT lang, count(*) AS n_total,
+               CAST(sum(CASE WHEN u < keep_bps THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(keep_bps) AS DOUBLE) / (count(*) * 10000) AS target_rate,
+               CAST(sum(CASE WHEN u < keep_bps THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+                 AS actual_rate
+        FROM s GROUP BY lang ORDER BY lang"""),
+      doc = "deterministic weighted sampling via hash threshold (coordination-free)"
     )
   )
 }

@@ -115,6 +115,53 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(c.getAs[Long]("n_events") == 2L)
   }
 
+  test("streaming Welford moments equal the batch moments after the last batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // real per-type values from the fixture, split across 3 micro-batches
+      val rows = graft.core.Tables.events(spark, SparkTestBase.Sf0001)
+        .select("event_type", "value").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val batches = rows.grouped((rows.size + 2) / 3).toSeq
+
+      val mem = MemoryStream[(String, Double)](spark)
+      val out = mem.toDS().groupByKey(_._1)
+        .transformWithState(
+          new EventStreams.RunningMomentsProcessor,
+          TimeMode.None(),
+          OutputMode.Update(),
+          implicitly[org.apache.spark.sql.Encoder[EventStreams.MomentsOut]])
+      val q = out.writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("moments").start()
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+
+      val streamed = spark.sql("SELECT * FROM moments").collect()
+        .groupBy(_.getAs[String]("event_type"))
+        .map { case (t, rs) => t -> rs.maxBy(_.getAs[Long]("n")) }
+
+      // batch truth, computed independently per type
+      rows.groupBy(_._1).foreach { case (t, vs) =>
+        val n = vs.size.toLong
+        val mean = vs.map(_._2).sum / n
+        val m2 = vs.map(v => (v._2 - mean) * (v._2 - mean)).sum
+        val got = streamed(t)
+        assert(got.getAs[Long]("n") == n, s"$t: n")
+        assert(math.abs(got.getAs[Double]("mean") - mean) < 1e-9, s"$t: mean")
+        assert(math.abs(got.getAs[Double]("m2") - m2) < 1e-6 * (1 + m2), s"$t: m2")
+      }
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState keeps typed per-user state across micro-batches (RocksDB)") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
