@@ -788,27 +788,28 @@ object Analytics {
     ),
 
     // TPC-H Q21 shape: suppliers who were the ONLY late shipper on
-    // multi-supplier orders — an EXISTS + NOT EXISTS chain, planned as
-    // left-semi + left-anti joins on the order key. The `late` branch
-    // (lineitem x orders date comparison) is built once and feeds both
-    // the base rows and the anti side; everything co-partitions on
-    // l_orderkey, so the chain is one shuffle key throughout.
+    // multi-supplier orders. Window decorrelation: instead of planning
+    // EXISTS (another supplier) and NOT EXISTS (another late supplier)
+    // as semi/anti self-joins — which scanned the fact table three
+    // times — both facts come from per-order window collect_sets over a
+    // SINGLE lineitem ⨝ orders pass: the order's sole late supplier is
+    // "waiting" iff n_supp > 1 and n_late_supp = 1. One fact scan, one
+    // window shuffle on the order key (set sizes bounded by suppliers
+    // per order). The oracle keeps the EXISTS/NOT-EXISTS formulation,
+    // proving the rewrite equivalent.
     "q21_waiting_supplier" -> Q(
       fn = (s, d) => {
         val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
         val o = Tables.orders(s, d).select("o_orderkey", "o_orderdate")
-        val late = li.join(o, col("l_orderkey") === col("o_orderkey"))
-          .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
-          .select("l_orderkey", "l_suppkey")
-        val others = li.select(col("l_orderkey").as("o2_key"), col("l_suppkey").as("o2_supp"))
-        val lateOthers = late.select(col("l_orderkey").as("o3_key"), col("l_suppkey").as("o3_supp"))
-        late
-          .join(others,
-                col("l_orderkey") === col("o2_key") && col("l_suppkey") =!= col("o2_supp"),
-                "left_semi")
-          .join(lateOthers,
-                col("l_orderkey") === col("o3_key") && col("l_suppkey") =!= col("o3_supp"),
-                "left_anti")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .withColumn("is_late",
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .select("l_orderkey", "l_suppkey", "is_late")
+          .withColumn("n_supp", size(collect_set(col("l_suppkey")).over(w)))
+          .withColumn("n_late_supp",
+            size(collect_set(when(col("is_late"), col("l_suppkey"))).over(w)))
+          .where(col("is_late") && col("n_supp") > 1 && col("n_late_supp") === 1)
           .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
                 col("l_suppkey") === col("s_suppkey"))
           .groupBy("s_name")

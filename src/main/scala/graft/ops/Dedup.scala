@@ -357,6 +357,18 @@ object Dedup {
     * operator proven individually; this proves they compose, end-to-end,
     * against one oracle row.
     */
+  // Same swap-cache discipline as the signature table above: the
+  // post-exact-dedup survivor set feeds FOUR plan branches (both sides
+  // of the near-dup join, the anti-join base, and the funnel count);
+  // uncached, each branch re-derived it from the raw scan — documents
+  // was read ~10x per run. One slot, previous entry released on reuse.
+  private var lastPipelineCache: Option[DataFrame] = None
+
+  private def swapPipelineCache(next: DataFrame): Unit = cacheLock.synchronized {
+    lastPipelineCache.foreach(_.unpersist())
+    lastPipelineCache = Some(next)
+  }
+
   def dataprepPipeline(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.GraftExtensions.register(spark)
@@ -374,6 +386,8 @@ object Dedup {
         Window.partitionBy(md5(encode(col("text"), "UTF-8")))))
       .where(col("doc_id") === col("m"))
       .select("doc_id", "n_words")
+      .persist()
+    swapPipelineCache(e)
     val pairs = minhashPortable(spark, sfDir, 0.5).select("doc_a", "doc_b")
     val nd = pairs
       .join(e.select(col("doc_id").as("doc_a")), "doc_a")

@@ -60,10 +60,11 @@ class PlanQualitySpec extends AnyFunSuite {
       s"bloom probe must stay codegen arithmetic:\n$plan")
   }
 
-  test("q21: the EXISTS/NOT-EXISTS chain plans as semi + anti joins") {
-    val plan = executedPlan("q21_waiting_supplier")
-    assert(plan.contains("LeftSemi"), s"EXISTS must plan as a left-semi join:\n$plan")
-    assert(plan.contains("LeftAnti"), s"NOT EXISTS must plan as a left-anti join:\n$plan")
+  test("q21: window decorrelation — fact table scanned once, no self-joins") {
+    val plan = executedPlan("q21_waiting_supplier").split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 3, s"q21 must read lineitem/orders/supplier once each, saw $scans scans:\n$plan")
+    assert(plan.contains("Window"), s"per-order counts must come from a window pass:\n$plan")
   }
 
   test("s9 (V2 ring source): range_id predicate prunes partitions at planning") {
