@@ -1022,6 +1022,57 @@ object Analytics {
                count(*) AS n_lines
         FROM all_nations GROUP BY o_year ORDER BY o_year"""),
       doc = "national market share over the full star (TPC-H Q8 shape)"
+    ),
+
+    // Closed-form OLS (price on quantity, per return flag): slope/intercept
+    // and Pearson r from the five sufficient statistics (n, Sx, Sy, Sxx,
+    // Sxy, Syy). The sums accumulate as exact DECIMALs (order-independent),
+    // so the final double arithmetic is the same IEEE expression in both
+    // engines — a regression that is bit-stable across a 1000-way shuffle.
+    // Scale shape: one map-side-combined aggregate; the model fit itself is
+    // O(groups), not O(rows) — the textbook "reduce to sufficient stats"
+    // distributed-ML pattern.
+    "a19_ols_regression" -> Q(
+      fn = (s, d) => {
+        val x = col("l_quantity").cast(DecimalType(18, 2))
+        val y = col("l_extendedprice").cast(DecimalType(18, 2))
+        val st = Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).cast("double").as("n"),
+               sum(x).cast("double").as("sx"),
+               sum(y).cast("double").as("sy"),
+               sum(x * x).cast("double").as("sxx"),
+               sum(x * y).cast("double").as("sxy"),
+               sum(y * y).cast("double").as("syy"))
+        st.withColumn("slope",
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")))
+          .withColumn("intercept",
+            (col("sy") / col("n")) - col("slope") * (col("sx") / col("n")))
+          .withColumn("pearson_r",
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                   (col("n") * col("syy") - col("sy") * col("sy"))))
+          .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+                  col("slope"), col("intercept"), col("pearson_r"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        WITH st AS (
+          SELECT l_returnflag,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+               (sy / n) - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n) AS intercept,
+               (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS pearson_r
+        FROM st ORDER BY l_returnflag"""),
+      doc = "closed-form OLS + Pearson r from exact sufficient statistics"
     )
   )
 }

@@ -240,6 +240,34 @@ object Events {
       doc = "two-pass z-score anomalies per event type (exact moments, broadcast stats)"
     ),
 
+    // Windowed top-k: the 2 busiest event types per tumbling day — the
+    // batch twin of a streaming `window(...)` + rank sink (in streaming the
+    // same plan runs in complete mode or via flatMapGroupsWithState).
+    // Scale shape: one keyed shuffle of (day, type) partial counts (map-side
+    // combined), then a per-day window over at most |event_type| rows per
+    // day — the window input is aggregate-sized, not event-sized.
+    "e9_windowed_topk" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("day").orderBy(col("n").desc, col("event_type"))
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(to_date(col("win.start")).as("day"), col("event_type"), col("n"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .where(col("rnk") <= 2)
+          .orderBy("day", "rnk")
+      },
+      oracle = Some("""
+        SELECT day, event_type, n, rnk FROM (
+          SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
+                 CAST(row_number() OVER (PARTITION BY date_trunc('day', ts)
+                        ORDER BY count(*) DESC, event_type) AS BIGINT) AS rnk
+          FROM events GROUP BY 1, 2)
+        WHERE rnk <= 2 ORDER BY day, rnk"""),
+      doc = "top-k event types per tumbling day window (aggregate-sized rank input)"
+    ),
+
     "e4_json_extract" -> Q(
       fn = (s, d) =>
         Tables.events(s, d)

@@ -642,6 +642,67 @@ object Similarity {
             SELECT CAST(floor(sim * 10) AS BIGINT) AS bucket, count(*) AS n_pairs
             FROM p GROUP BY bucket ORDER BY bucket"""),
       doc = "pairwise cosine distribution over a sample"
+    ),
+
+    // kNN classification — the standard downstream consumer of the ANN
+    // index: predict each probe's label as the majority label of its 10
+    // exact-cosine neighbors (deterministic tie-break: more votes, then
+    // smaller label). Judged output includes the true label, so the
+    // result doubles as a labeled-accuracy audit of the embedding space.
+    // Scale shape: identical to v1 (broadcast probes, corpus streams
+    // once); the vote is a per-probe aggregation over k rows.
+    "v7_knn_classify" -> Q(
+      fn = (s, d) => {
+        graft.GraftExtensions.register(s)
+        val e = Tables.embeddings(s, d)
+        val probes = e.where(col("vec_id") < 50)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+                  col("label").cast("long").as("true_label"))
+        val corpus = e.select(col("vec_id").as("neighbor_id"),
+                              col("embedding").as("cv"),
+                              col("label").cast("long").as("nb_label"))
+        val wTop = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+        val wVote = Window.partitionBy("query_id").orderBy(col("votes").desc, col("nb_label"))
+        corpus.join(broadcast(probes), col("query_id") =!= col("neighbor_id"))
+          .withColumn("sim", call_function("qcosine", col("qv"), col("cv")))
+          .withColumn("rnk", row_number().over(wTop))
+          .where(col("rnk") <= 10)
+          .groupBy("query_id", "true_label", "nb_label")
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("vr", row_number().over(wVote))
+          .where(col("vr") === 1)
+          .select(col("query_id"), col("true_label"),
+                  col("nb_label").as("pred_label"), col("votes"),
+                  (col("true_label") === col("nb_label")).as("correct"))
+          .orderBy("query_id")
+      },
+      oracle = Some(
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+                              CAST(label AS BIGINT) AS true_label
+                       FROM embeddings WHERE vec_id < 50),
+            c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                         CAST(label AS BIGINT) AS nb_label
+                  FROM embeddings),
+            p AS (
+              SELECT query_id, true_label, neighbor_id, nb_label,
+                     CAST(${dotSql("qv", "cv")} AS DOUBLE) /
+                       (sqrt(CAST(${norm2Sql("qv")} AS DOUBLE)) *
+                        sqrt(CAST(${norm2Sql("cv")} AS DOUBLE))) AS sim
+              FROM q, c WHERE query_id <> neighbor_id),
+            topk AS (
+              SELECT * FROM p
+              QUALIFY row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) <= 10),
+            votes AS (
+              SELECT query_id, true_label, nb_label, count(*) AS votes
+              FROM topk GROUP BY query_id, true_label, nb_label)
+            SELECT query_id, true_label, nb_label AS pred_label, votes,
+                   (true_label = nb_label) AS correct
+            FROM votes
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                      ORDER BY votes DESC, nb_label) = 1
+            ORDER BY query_id"""),
+      doc = "kNN majority-vote classification over exact cosine neighbors"
     )
   )
 }

@@ -575,6 +575,134 @@ object TextOps {
                  AS actual_rate
         FROM s GROUP BY lang ORDER BY lang"""),
       doc = "deterministic weighted sampling via hash threshold (coordination-free)"
+    ),
+
+    // Paragraph/sentence-level boilerplate detection — the sub-document
+    // dedup pass (headers, footers, license blurbs) that document-level
+    // MinHash misses. A sentence is boilerplate when it appears in >= 2
+    // distinct documents. Scale shape: only (doc_id, sentence-hash) pairs
+    // shuffle (never sentence text); the doc-frequency side is an
+    // equi-join on the hash, and the per-doc rollup is one more keyed
+    // aggregation. md5 keeps the hash portable for the oracle; the
+    // production key would be xxhash64 (same plan, narrower shuffle).
+    "d29_boilerplate" -> Q(
+      fn = (s, d) => {
+        val sents = doc(s, d)
+          .select(col("doc_id"), explode(split(col("text"), "\\. ")).as("sent"))
+          .select(col("doc_id"), lower(trim(col("sent"))).as("sent"))
+          .where(length(col("sent")) >= 20)
+          .select(col("doc_id"), md5(encode(col("sent"), "UTF-8")).as("sh"))
+          .distinct()
+        val docFreq = sents.groupBy("sh")
+          .agg(countDistinct(col("doc_id")).as("ndocs"))
+        sents.join(docFreq, "sh")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sents"),
+               sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_boiler"))
+          .withColumn("boiler_ratio",
+            col("n_boiler").cast("double") / col("n_sents"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH raw0 AS (
+          SELECT doc_id, unnest(string_split(text, '. ')) AS sent0
+          FROM documents),
+        raw AS (SELECT doc_id, lower(trim(sent0)) AS sent FROM raw0),
+        sents AS (
+          SELECT DISTINCT doc_id, md5(sent) AS sh
+          FROM raw WHERE length(sent) >= 20),
+        df AS (SELECT sh, count(DISTINCT doc_id) AS ndocs FROM sents GROUP BY sh)
+        SELECT s.doc_id, count(*) AS n_sents,
+               CAST(sum(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+               CAST(sum(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) AS boiler_ratio
+        FROM sents s JOIN df USING (sh)
+        GROUP BY s.doc_id ORDER BY s.doc_id"""),
+      doc = "sentence-level boilerplate ratio (sub-document dedup signal)"
+    ),
+
+    // Character-class profile — the byte/charset quality gate (mojibake,
+    // binary spills, digit walls) run before any tokenizer. Pure scan:
+    // every ratio is an IEEE division of two exact character counts, so
+    // the doubles are bit-stable cross-engine. At 100 TB this is the
+    // cheapest filter in the pipeline and the first one applied.
+    "d30_charset_profile" -> Q(
+      fn = (s, d) => {
+        def kept(pattern: String): Column =
+          length(regexp_replace(col("text"), pattern, ""))
+        val denom = greatest(length(col("text")), lit(1)).cast("double")
+        doc(s, d)
+          .select(col("doc_id"),
+            length(col("text")).cast("long").as("n_chars"),
+            (kept("[^ -~]").cast("double") / denom).as("ascii_ratio"),
+            (kept("[^0-9]").cast("double") / denom).as("digit_ratio"),
+            (kept("[^a-zA-Z]").cast("double") / denom).as("alpha_ratio"),
+            (kept("[^ ]").cast("double") / denom).as("space_ratio"))
+          .withColumn("clean",
+            col("ascii_ratio") >= 0.99 && col("digit_ratio") <= 0.3)
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT doc_id,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 CAST(greatest(length(text), 1) AS DOUBLE) AS denom,
+                 length(regexp_replace(text, '[^ -~]', '', 'g')) AS a,
+                 length(regexp_replace(text, '[^0-9]', '', 'g')) AS dg,
+                 length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS al,
+                 length(regexp_replace(text, '[^ ]', '', 'g')) AS sp
+          FROM documents)
+        SELECT doc_id, n_chars,
+               a / denom AS ascii_ratio,
+               dg / denom AS digit_ratio,
+               al / denom AS alpha_ratio,
+               sp / denom AS space_ratio,
+               (a / denom >= 0.99 AND dg / denom <= 0.3) AS clean
+        FROM p ORDER BY doc_id"""),
+      doc = "character-class quality gate (ascii/digit/alpha/space ratios)"
+    ),
+
+    // N-gram novelty — per-document fraction of word trigrams whose FIRST
+    // corpus occurrence (min doc_id over the gram) is this document: the
+    // "how much new text does this shard add" curation score (dedup's
+    // dual — it rewards documents that contribute unseen n-grams).
+    // Scale shape: distinct (doc_id, gram) pairs shuffle once on the gram
+    // for the min-window, then once on doc_id for the rollup; gram text
+    // never leaves the first projection (hash it in production).
+    "d31_ngram_novelty" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val grams = doc(s, d)
+          .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+          .where(size(col("ws")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+            .as("g"))
+          .distinct()
+        grams
+          .withColumn("first_doc", min(col("doc_id")).over(Window.partitionBy("g")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+               sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+                 .as("n_novel"))
+          .withColumn("novelty", col("n_novel").cast("double") / col("n_grams"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        grams AS (
+          SELECT DISTINCT doc_id,
+                 ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS g
+          FROM w, unnest(range(len(ws)-2)) AS t(i)
+          WHERE len(ws) >= 3),
+        f AS (SELECT *, min(doc_id) OVER (PARTITION BY g) AS first_doc FROM grams)
+        SELECT doc_id, count(*) AS n_grams,
+               CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) AS novelty
+        FROM f GROUP BY doc_id ORDER BY doc_id"""),
+      doc = "trigram novelty: fraction of grams first seen in this document"
     )
   )
 }
