@@ -51,6 +51,21 @@ object Bench {
       li.limit(10000).withColumn("rn",
         row_number().over(Window.partitionBy("l_returnflag").orderBy("l_orderkey")))
         .count()
+      // The graft expression family (minhash/shingle/hyperplane/qcosine)
+      // carries the engine's heaviest generated code; exercise it on a
+      // few thousand rows so C2 compiles the hot loops before any timed
+      // run (alphabetical order otherwise bills all of it to d1*).
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(2000)
+        .select(col("doc_id"), col("text"),
+                call_function("portable_word_hashes", col("text")).as("wh"))
+      docs.select(call_function("minhash_sig", col("wh")).as("sig"),
+                  call_function("shingle_hashes", col("text")).as("sh"))
+        .count()
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(500)
+      emb.select(call_function("hyperplane_bucket", col("embedding")).as("b"),
+                 call_function("hyperplane_sig32", col("embedding")).as("s32"),
+                 call_function("qcosine", col("embedding"), col("embedding")).as("c"))
+        .count()
     }
 
     final case class QResult(secs: Double, error: Option[String])
