@@ -104,4 +104,57 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [") && plan.contains("l_quantity"),
       s"quantity filter must reach the ORC reader:\n$plan")
   }
+
+  test("a19 (OLS): one scan; the model fit is sufficient-stats aggregation only") {
+    val plan = executedPlan("a19_ols_regression").split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"OLS must reduce to sufficient stats in one pass, saw $scans scans:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"no window or join belongs in a sufficient-stats fit:\n$plan")
+  }
+
+  test("v7 (kNN classify): probes broadcast, corpus streams once") {
+    val plan = executedPlan("v7_knn_classify").split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the probe side must ride a broadcast:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 2, s"corpus+probes means at most 2 scans, saw $scans:\n$plan")
+  }
+
+  test("e9 (windowed top-k): the rank consumes aggregate-sized input, not events") {
+    val plan = executedPlan("e9_windowed_topk").split("== Initial Plan ==").head
+    val w = plan.indexOf("Window")
+    val agg = plan.indexOf("HashAggregate")
+    assert(w >= 0 && agg >= 0 && w < agg,
+      s"the window must sit ABOVE the (day,type) aggregation:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"one events scan expected, saw $scans:\n$plan")
+  }
+
+  test("d30 (charset profile): per-row projection — no join, no aggregation") {
+    val plan = executedPlan("d30_charset_profile").split("== Initial Plan ==").head
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"charset gate must stay a scan-side projection:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"one documents scan expected, saw $scans:\n$plan")
+  }
+
+  test("d31 (ngram novelty): one documents scan feeds both the gram window and the rollup") {
+    val plan = executedPlan("d31_ngram_novelty").split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"novelty is a single-scan pipeline, saw $scans:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"no product joins belong here:\n$plan")
+  }
+
+  test("d29 (boilerplate): hash-keyed equi-joins only; sentence text never shuffles") {
+    val plan = executedPlan("d29_boilerplate").split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"doc-frequency must join on the sentence hash:\n$plan")
+    // the shuffled attributes are doc_id + the md5 hash — the raw `sent`
+    // column must not appear in any Exchange's output
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.forall(l => !l.contains("sent#")),
+      s"sentence text leaked into a shuffle:\n$plan")
+  }
 }
