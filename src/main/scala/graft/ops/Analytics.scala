@@ -1073,6 +1073,86 @@ object Analytics {
                (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS pearson_r
         FROM st ORDER BY l_returnflag"""),
       doc = "closed-form OLS + Pearson r from exact sufficient statistics"
+    ),
+
+    // TPC-H Q11 shape (adapted: no partsupp fixture): parts whose revenue
+    // exceeds a fraction of GLOBAL revenue. The global total is a 1-row
+    // aggregate broadcast against the per-part rollup — the "group share
+    // vs corpus-wide scalar" pattern that at 100 TB must NOT be a second
+    // fact scan: both aggregates here descend from one shuffle's output.
+    "q11_value_share" -> Q(
+      fn = (s, d) => {
+        val li = Tables.lineitem(s, d)
+        // the per-part sums stay DECIMAL through the second (global)
+        // aggregation: summing the rounded doubles instead would be
+        // order-dependent and break the cross-engine hash
+        val perPart = li.groupBy("l_partkey")
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+                 .cast(DecimalType(18, 6))).as("pv_dec"),
+               count(lit(1)).as("n_lines"))
+          .select(col("l_partkey"), col("pv_dec"),
+                  col("pv_dec").cast("double").as("part_value"), col("n_lines"))
+          .persist()
+        PipelineCache.swap(perPart)
+        val total = perPart.agg(sum(col("pv_dec")).cast("double").as("total_value"),
+                                count(lit(1)).as("n_parts"))
+        perPart.crossJoin(broadcast(total))
+          // scale-free cut: parts worth > 1.5x the mean part (works at any SF)
+          .where(col("part_value") > col("total_value") / col("n_parts") * 1.5)
+          .select(col("l_partkey"), col("part_value"), col("n_lines"),
+                  (col("part_value") / col("total_value")).as("share"))
+          .orderBy(col("part_value").desc, col("l_partkey"))
+      },
+      oracle = Some("""
+        WITH pp AS (
+          SELECT l_partkey,
+                 sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS pv_dec,
+                 CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS part_value,
+                 count(*) AS n_lines
+          FROM lineitem GROUP BY l_partkey),
+        t AS (SELECT CAST(sum(pv_dec) AS DOUBLE) AS total_value, count(*) AS n_parts FROM pp)
+        SELECT l_partkey, part_value, n_lines, part_value / total_value AS share
+        FROM pp, t WHERE part_value > total_value / n_parts * 1.5
+        ORDER BY part_value DESC, l_partkey"""),
+      doc = "group share vs global scalar (TPC-H Q11 shape, one fact shuffle)"
+    ),
+
+    // Equi-depth histogram — the CBO statistic s8's min/max/ndv profile
+    // lacks. Boundaries are exact deciles (the oracle-stable stand-in for
+    // the mergeable approx_percentile sketch a18 pins the error contract
+    // of); bucket assignment is "count of boundaries strictly below the
+    // value", a broadcast of 9 doubles against the scan. Counts per bucket
+    // are then one keyed aggregation — depths come out equal by
+    // construction, which IS the property an equi-depth histogram claims.
+    "a20_equidepth_hist" -> Q(
+      fn = (s, d) => {
+        val o = Tables.orders(s, d)
+        val bounds = o.agg(
+          expr("percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+            .as("bs"))
+        o.select(col("o_totalprice")).crossJoin(broadcast(bounds))
+          .select(col("o_totalprice"),
+            expr("aggregate(bs, 0L, (acc, b) -> acc + CASE WHEN o_totalprice > b THEN 1 ELSE 0 END)")
+              .as("bucket"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("depth"),
+               min(col("o_totalprice")).as("lo"),
+               max(col("o_totalprice")).as("hi"))
+          .orderBy("bucket")
+      },
+      oracle = Some("""
+        WITH bs AS (
+          SELECT quantile_cont(o_totalprice,
+                   [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q
+          FROM orders),
+        b AS (
+          SELECT o_totalprice,
+                 CAST(len(list_filter(bs.q, x -> o_totalprice > x)) AS BIGINT) AS bucket
+          FROM orders, bs)
+        SELECT bucket, count(*) AS depth,
+               min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        FROM b GROUP BY bucket ORDER BY bucket"""),
+      doc = "equi-depth histogram: exact decile boundaries + broadcast bucketing"
     )
   )
 }

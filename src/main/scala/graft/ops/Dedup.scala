@@ -362,12 +362,6 @@ object Dedup {
   // of the near-dup join, the anti-join base, and the funnel count);
   // uncached, each branch re-derived it from the raw scan — documents
   // was read ~10x per run. One slot, previous entry released on reuse.
-  private var lastPipelineCache: Option[DataFrame] = None
-
-  private def swapPipelineCache(next: DataFrame): Unit = cacheLock.synchronized {
-    lastPipelineCache.foreach(_.unpersist())
-    lastPipelineCache = Some(next)
-  }
 
   def dataprepPipeline(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -387,7 +381,7 @@ object Dedup {
       .where(col("doc_id") === col("m"))
       .select("doc_id", "n_words")
       .persist()
-    swapPipelineCache(e)
+    PipelineCache.swap(e)
     val pairs = minhashPortable(spark, sfDir, 0.5).select("doc_a", "doc_b")
     val nd = pairs
       .join(e.select(col("doc_id").as("doc_a")), "doc_a")
@@ -858,6 +852,101 @@ object Dedup {
         FROM est ORDER BY true_cnt DESC, word"""
       },
       doc = "count-min-sketch heavy hitters: deterministic mergeable sketch, cell-exact oracle"
+    ),
+
+    // Containment (asymmetric Jaccard): |A∩B|/|A| and /|B| — the metric
+    // that catches a short document EMBEDDED in a long one (quotes,
+    // aggregator pages), which symmetric Jaccard dilutes toward 0. Same
+    // bounded-sample baseline contract as d8; at scale the pair set comes
+    // from the LSH candidate generation (d6b) instead of all-pairs.
+    "d33_containment" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val g = Tables.documents(s, d).where(col("doc_id") < 60)
+          .select(col("doc_id"), shingles("text").as("grams"))
+        val a = g.select(col("doc_id").as("doc_a"), col("grams").as("ga"))
+        val b = g.select(col("doc_id").as("doc_b"), col("grams").as("gb"))
+        a.join(b, col("doc_a") < col("doc_b"))
+          .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+          .withColumn("cont_a", col("inter").cast("double") / size(col("ga")))
+          .withColumn("cont_b", col("inter").cast("double") / size(col("gb")))
+          .withColumn("containment", greatest(col("cont_a"), col("cont_b")))
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("containment").desc, col("doc_a"), col("doc_b"))).cast("long"))
+          .where(col("rnk") <= 20)
+          .select("rnk", "doc_a", "doc_b", "inter", "cont_a", "cont_b", "containment")
+          .orderBy("rnk")
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 2)),
+                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS grams
+          FROM documents WHERE doc_id < 60),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS inter,
+                 CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / len(a.grams) AS cont_a,
+                 CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / len(b.grams) AS cont_b
+          FROM g a, g b WHERE a.doc_id < b.doc_id),
+        r AS (
+          SELECT CAST(row_number() OVER (
+                   ORDER BY greatest(cont_a, cont_b) DESC, doc_a, doc_b) AS BIGINT) AS rnk,
+                 doc_a, doc_b, inter, cont_a, cont_b,
+                 greatest(cont_a, cont_b) AS containment
+          FROM p)
+        SELECT rnk, doc_a, doc_b, inter, cont_a, cont_b, containment
+        FROM r WHERE rnk <= 20 ORDER BY rnk"""),
+      doc = "containment (asymmetric Jaccard): short-doc-inside-long-doc detection"
+    ),
+
+    // Keep-best-in-cluster — the production dedup POLICY on top of d21's
+    // clusters: from each transitive near-dup component, keep the highest
+    // -quality member (here: longest, tie -> lowest id), drop the rest.
+    // d12 keeps lowest-id pairwise; this is the cluster-aware upgrade
+    // that survives a~b~c chains. One window over cluster-sized groups.
+    "d34_cluster_keep_best" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val clusters = dupClusters(s, d, minJaccard = 0.5)
+        val nw = (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+          .cast("long")
+        val quality = Tables.documents(s, d).select(col("doc_id"), nw.as("n_words"))
+        val w = Window.partitionBy("cluster_rep")
+          .orderBy(col("n_words").desc, col("doc_id"))
+        clusters.join(quality, "doc_id")
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") === 1)
+          .select(col("cluster_rep"), col("doc_id").as("kept_doc"),
+                  col("n_members"), col("n_words").as("kept_n_words"),
+                  (col("n_members") - 1).as("n_dropped"))
+          .orderBy("cluster_rep")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $minhashPairsCtes,
+        p2 AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= 0.5),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM p2
+          UNION ALL
+          SELECT doc_b, doc_a FROM p2),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach(node, label) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+        lab AS (SELECT node AS doc_id, min(label) AS cluster_rep FROM reach GROUP BY node),
+        mem AS (
+          SELECT l.doc_id, l.cluster_rep,
+                 CAST(count(*) OVER (PARTITION BY l.cluster_rep) AS BIGINT) AS n_members,
+                 CAST(length(d.text) - length(replace(d.text, ' ', '')) + 1 AS BIGINT) AS n_words
+          FROM lab l JOIN documents d ON d.doc_id = l.doc_id)
+        SELECT cluster_rep, doc_id AS kept_doc, n_members,
+               n_words AS kept_n_words, n_members - 1 AS n_dropped
+        FROM mem
+        QUALIFY row_number() OVER (PARTITION BY cluster_rep
+                  ORDER BY n_words DESC, doc_id) = 1
+        ORDER BY cluster_rep"""),
+      doc = "cluster-aware dedup policy: keep the best member of each near-dup component"
     )
   )
 }

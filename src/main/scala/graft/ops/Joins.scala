@@ -261,6 +261,77 @@ object Joins {
         WHERE EXISTS (SELECT 1 FROM customer c
                       WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')"""),
       doc = "bloom-filter pre-pruned semi join (portable runtime filter)"
+    ),
+
+    // Fixed-point PageRank over the customer-supplier trade graph — the
+    // iterative-graph-compute shape (domain ranking for crawl curation is
+    // the 100 TB analog). All arithmetic is integer millionths with floor
+    // division, so every iteration is EXACT and order-independent: no
+    // float accumulation, hash-stable across engines and partitionings.
+    // Each iteration is one equi-join of (node, rank) against the edge
+    // list + one keyed aggregation — the Pregel superstep as DataFrames;
+    // the edge list and degrees persist across iterations.
+    "j11_pagerank" -> Q(
+      fn = (s, d) => {
+        val damp = 850000L; val base = 150000L; val unit = 1000000L
+        // undirected bipartite trade graph: customer 2k <-> supplier 2k+1
+        val trades = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d),
+                col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("c"),
+                  (col("l_suppkey") * 2 + 1).as("sp"))
+          .distinct()
+        val edges = trades.select(col("c").as("src"), col("sp").as("dst"))
+          .union(trades.select(col("sp").as("src"), col("c").as("dst")))
+          .persist()
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).persist()
+        PipelineCache.swap(edges, deg)
+        var rank = deg.select(col("src").as("node"), lit(unit).as("rank"))
+        for (_ <- 1 to 3) {
+          rank = edges
+            .join(rank, col("src") === col("node"))
+            .join(deg, "src")
+            .select(col("dst"), expr("rank div d").as("contrib"))
+            .groupBy("dst")
+            .agg(sum(col("contrib")).as("in_sum"))
+            .select(col("dst").as("node"),
+                    (lit(base) + expr(s"($damp * in_sum) div $unit")).as("rank"))
+        }
+        rank
+          .withColumn("kind", when(col("node") % 2 === 1, "supplier").otherwise("customer"))
+          .withColumn("key", expr("node div 2"))
+          .orderBy(col("rank").desc, col("node"))
+          .select("kind", "key", "rank")
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH trades AS (
+          SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sp
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        edges AS (
+          SELECT c AS src, sp AS dst FROM trades
+          UNION ALL SELECT sp, c FROM trades),
+        deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+        r1 AS (
+          SELECT e.dst AS node,
+                 150000 + (850000 * sum(r.rank // g.d)) // 1000000 AS rank
+          FROM edges e JOIN r0 r ON e.src = r.node JOIN deg g ON e.src = g.src
+          GROUP BY e.dst),
+        r2 AS (
+          SELECT e.dst AS node,
+                 150000 + (850000 * sum(r.rank // g.d)) // 1000000 AS rank
+          FROM edges e JOIN r1 r ON e.src = r.node JOIN deg g ON e.src = g.src
+          GROUP BY e.dst),
+        r3 AS (
+          SELECT e.dst AS node,
+                 150000 + (850000 * sum(r.rank // g.d)) // 1000000 AS rank
+          FROM edges e JOIN r2 r ON e.src = r.node JOIN deg g ON e.src = g.src
+          GROUP BY e.dst)
+        SELECT CASE WHEN node % 2 = 1 THEN 'supplier' ELSE 'customer' END AS kind,
+               node // 2 AS key, CAST(rank AS BIGINT) AS rank
+        FROM r3 ORDER BY rank DESC, node LIMIT 20"""),
+      doc = "fixed-point integer PageRank over the trade graph (Pregel-as-DataFrames)"
     )
   )
 }

@@ -147,6 +147,26 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no product joins belong here:\n$plan")
   }
 
+  test("q11 (value share): the global scalar reads the CACHED per-part aggregate, not the fact table") {
+    val plan = executedPlan("q11_value_share").split("== Initial Plan ==").head
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"the per-part aggregate must be persisted and reused by both branches:\n$plan")
+  }
+
+  test("j11 (pagerank): supersteps join the cached edge list; no cartesian") {
+    val plan = executedPlan("j11_pagerank").split("== Initial Plan ==").head
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"edges/degrees must be cached across iterations:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian in a superstep:\n$plan")
+  }
+
+  test("a20 (equi-depth): the 9 boundaries broadcast; two scans max") {
+    val plan = executedPlan("a20_equidepth_hist").split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastExchange"), s"boundaries must broadcast:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 2, s"boundaries+bucketing means at most 2 scans, saw $scans:\n$plan")
+  }
+
   test("d29 (boilerplate): hash-keyed equi-joins only; sentence text never shuffles") {
     val plan = executedPlan("d29_boilerplate").split("== Initial Plan ==").head
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
