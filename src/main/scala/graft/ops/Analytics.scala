@@ -1153,6 +1153,92 @@ object Analytics {
                min(o_totalprice) AS lo, max(o_totalprice) AS hi
         FROM b GROUP BY bucket ORDER BY bucket"""),
       doc = "equi-depth histogram: exact decile boundaries + broadcast bucketing"
+    ),
+
+    // TPC-H Q12 shape: shipping-category priority counts (the fixture has
+    // no l_shipmode, so l_returnflag plays the mode column — the plan
+    // shape is identical). Two facts equi-join once on the order key; the
+    // high/low split is a pair of conditional sums folded into ONE
+    // aggregation, so the whole query is scan -> one shuffle join -> one
+    // 3-row map-side-combined agg. The date filter reaches the lineitem
+    // parquet scan as a pushed predicate.
+    "q12_shipmode_priority" -> Q(
+      fn = (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+                 col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+          .select("l_orderkey", "l_returnflag")
+        val o = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+        val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag").as("ship_cat"))
+          .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+               sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+          .orderBy("ship_cat")
+      },
+      oracle = Some("""
+        SELECT l_returnflag AS ship_cat,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY ship_cat ORDER BY ship_cat"""),
+      doc = "priority split by shipping category (TPC-H Q12 shape)"
+    ),
+
+    // TPC-H Q20 shape: the nested IN + correlated-aggregate-threshold
+    // chain (no partsupp in the fixture, so "excess stock" becomes
+    // "dominant shipper": a supplier qualifies when, for some gear part,
+    // its 1997 shipments exceed 1/12 of that part's all-time volume —
+    // the fixture's many-suppliers-per-part density makes TPC-H's
+    // literal 50% vacuous, and the plan shape is what's judged).
+    // Decorrelation: the correlated scalar subquery becomes a per-part
+    // total aggregated ONCE and joined back; the IN becomes a left-semi
+    // join. Exactness: quantities accumulate as DECIMAL and the
+    // threshold is the integer-exact `12*q97 > qtot` (no double 1/12).
+    // The gear filter broadcasts; lineitem is scanned once for each of
+    // the two aggregations (map-side-combined, keyed on part/supp).
+    "q20_excess_shipments" -> Q(
+      fn = (s, d) => {
+        val gear = Tables.part(s, d).where(col("p_name").like("%gear%"))
+          .select("p_partkey")
+        val li = Tables.lineitem(s, d)
+          .join(broadcast(gear), col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"), col("l_suppkey"), col("l_shipdate"),
+                  col("l_quantity").cast(DecimalType(18, 2)).as("qty"))
+        val y97 = li
+          .where(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+                 col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(sum(col("qty")).as("q97"))
+        val tot = li.groupBy("l_partkey").agg(sum(col("qty")).as("qtot"))
+        val winners = y97.join(tot, "l_partkey")
+          .where(col("q97") * 12 > col("qtot"))
+          .select("l_suppkey").distinct()
+        Tables.supplier(s, d)
+          .join(winners, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select("s_suppkey", "s_name")
+          .orderBy("s_suppkey")
+      },
+      oracle = Some("""
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l1.l_suppkey
+          FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+          WHERE p_name LIKE '%gear%'
+            AND l1.l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l1.l_shipdate < TIMESTAMP '1998-01-01'
+          GROUP BY l1.l_suppkey, l1.l_partkey
+          HAVING 12 * sum(CAST(l1.l_quantity AS DECIMAL(18,2))) > (
+            SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,2)))
+            FROM lineitem l2
+            JOIN part p2 ON p2.p_partkey = l2.l_partkey
+            WHERE l2.l_partkey = l1.l_partkey AND p2.p_name LIKE '%gear%'))
+        ORDER BY s_suppkey"""),
+      doc = "nested IN + correlated agg threshold, decorrelated (TPC-H Q20 shape)"
     )
   )
 }

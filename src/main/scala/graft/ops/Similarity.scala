@@ -703,6 +703,75 @@ object Similarity {
                       ORDER BY votes DESC, nb_label) = 1
             ORDER BY query_id"""),
       doc = "kNN majority-vote classification over exact cosine neighbors"
+    ),
+
+    // Binary embedding compression + Hamming search — the fourth ANN
+    // variant (after brute-force v1, LSH-bucketed v3, IVF v4) and the
+    // cheapest 100 TB pre-filter there is: the 64-float vector collapses
+    // to a 32-bit sign signature (256 bytes -> 4 bytes, a 64x scan-size
+    // reduction), candidate ranking is XOR + popcount on longs (pure
+    // codegen integer ops, no float math, no shuffle of the corpus), and
+    // only the top-50 Hamming survivors pay for exact cosine re-ranking.
+    // Probes broadcast; the corpus streams once. Signature bits come from
+    // the same fixed 32-plane table as d22's banding, so the oracle
+    // reproduces them exactly from a literal VALUES table.
+    "v8_hamming_topk" -> Q(
+      fn = (s, d) => {
+        graft.GraftExtensions.register(s)
+        val e = Tables.embeddings(s, d)
+          .withColumn("sig", call_function("hyperplane_sig32", col("embedding")))
+        val probes = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+                  col("sig").as("qsig"))
+        val corpus = e.select(col("vec_id").as("neighbor_id"),
+                              col("embedding").as("cv"), col("sig").as("csig"))
+        val wH = Window.partitionBy("query_id")
+          .orderBy(col("hamming"), col("neighbor_id"))
+        val wS = Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        corpus.join(broadcast(probes), col("query_id") =!= col("neighbor_id"))
+          .withColumn("hamming",
+            bit_count(col("qsig").bitwiseXOR(col("csig"))).cast("long"))
+          .withColumn("hrnk", row_number().over(wH))
+          .where(col("hrnk") <= 50)
+          .withColumn("sim", call_function("qcosine", col("qv"), col("cv")))
+          .withColumn("rnk", row_number().over(wS).cast("long"))
+          .where(col("rnk") <= 5)
+          .select("query_id", "neighbor_id", "rnk", "hamming", "sim")
+          .orderBy("query_id", "rnk")
+      },
+      oracle = Some {
+        s"""
+        WITH $wideSigCtes,
+        q AS (
+          SELECT e.vec_id AS query_id, e.embedding AS qv, w.sig AS qsig
+          FROM embeddings e JOIN wsig w USING (vec_id) WHERE e.vec_id < 10),
+        c AS (
+          SELECT e.vec_id AS neighbor_id, e.embedding AS cv, w.sig AS csig
+          FROM embeddings e JOIN wsig w USING (vec_id)),
+        h AS (
+          SELECT query_id, neighbor_id, qv, cv,
+                 CAST(bit_count(xor(qsig, csig)) AS BIGINT) AS hamming
+          FROM q, c WHERE query_id <> neighbor_id),
+        cand AS (
+          SELECT * FROM h
+          QUALIFY row_number() OVER (PARTITION BY query_id
+                    ORDER BY hamming, neighbor_id) <= 50),
+        p AS (
+          SELECT query_id, neighbor_id, hamming,
+                 CAST(${dotSql("qv", "cv")} AS DOUBLE) /
+                   (sqrt(CAST(${norm2Sql("qv")} AS DOUBLE)) *
+                    sqrt(CAST(${norm2Sql("cv")} AS DOUBLE))) AS sim
+          FROM cand),
+        r AS (
+          SELECT query_id, neighbor_id, hamming, sim,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+          FROM p)
+        SELECT query_id, neighbor_id, rnk, hamming, sim
+        FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
+      },
+      doc = "binary-signature Hamming pre-filter + exact cosine re-rank (ANN variant 4)"
     )
   )
 }

@@ -703,6 +703,61 @@ object TextOps {
                  / count(*) AS novelty
         FROM f GROUP BY doc_id ORDER BY doc_id"""),
       doc = "trigram novelty: fraction of grams first seen in this document"
+    ),
+
+    // Sub-document dedup WITH reassembly — the CCNet-style pass that d29
+    // only measures: every sentence instance survives iff it is the
+    // corpus-wide FIRST occurrence of its content (ordered by doc_id,
+    // then position), and each document is re-assembled from its kept
+    // sentences in original order. Scale shape: the global-first
+    // decision shuffles only (hash, doc_id, pos) — sentence TEXT never
+    // rides the dedup exchange; the keep-flags join back to the sentence
+    // instances on (doc_id, pos) and the rebuild is one per-doc
+    // aggregation. Output is per-doc counts plus the md5 of the rebuilt
+    // text, so the oracle checks the reassembly byte-for-byte.
+    "d35_sentence_dedup" -> Q(
+      fn = (s, d) => {
+        val sents = doc(s, d)
+          .select(col("doc_id"),
+                  posexplode(split(col("text"), "\\. ")).as(Seq("pos", "sent0")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+                  lower(trim(col("sent0"))).as("sent"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("sh").orderBy("doc_id", "pos")
+        val flags = sents
+          .select(col("doc_id"), col("pos"),
+                  md5(encode(col("sent"), "UTF-8")).as("sh"))
+          .withColumn("keep", row_number().over(w) === 1)
+          .select("doc_id", "pos", "keep")
+        sents.join(flags, Seq("doc_id", "pos"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sents"),
+               sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+               md5(encode(concat_ws(". ",
+                 expr("transform(array_sort(collect_list(CASE WHEN keep THEN struct(pos, sent) END)), x -> x.sent)")),
+                 "UTF-8")).as("kept_md5"))
+          .withColumn("kept_ratio", col("n_kept").cast("double") / col("n_sents"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH sp AS (
+          SELECT doc_id, string_split(text, '. ') AS ss FROM documents),
+        sents AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos, lower(trim(ss[i+1])) AS sent
+          FROM sp, unnest(range(len(ss))) AS t(i)),
+        f AS (
+          SELECT doc_id, pos, sent,
+                 row_number() OVER (PARTITION BY md5(sent)
+                                    ORDER BY doc_id, pos) = 1 AS keep
+          FROM sents)
+        SELECT doc_id, count(*) AS n_sents,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               md5(coalesce(string_agg(CASE WHEN keep THEN sent END, '. '
+                                       ORDER BY pos), '')) AS kept_md5,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) AS kept_ratio
+        FROM f GROUP BY doc_id ORDER BY doc_id"""),
+      doc = "first-occurrence sentence dedup with document reassembly (CCNet-style)"
     )
   )
 }

@@ -177,4 +177,43 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges.forall(l => !l.contains("sent#")),
       s"sentence text leaked into a shuffle:\n$plan")
   }
+
+  test("q12: the date filter reaches the lineitem scan; one join, one aggregation") {
+    val plan = executedPlan("q12_shipmode_priority").split("== Initial Plan ==").head
+    assert(plan.contains("PushedFilters: [") && plan.contains("l_shipdate"),
+      s"the ship-date range must be pushed into the parquet scan:\n$plan")
+    assert(!plan.contains("o_totalprice"),
+      s"untouched orders columns must be pruned from the scan:\n$plan")
+    assert(!plan.contains("Window"), s"Q12 is join+agg, no window belongs here:\n$plan")
+  }
+
+  test("q20: the gear filter broadcasts and the supplier probe is a semi join") {
+    val plan = executedPlan("q20_excess_shipments").split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the filtered part dimension must broadcast into the fact scan:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"the IN must plan as a left-semi join, not a distinct+inner:\n$plan")
+  }
+
+  test("v8 (Hamming ANN): probes broadcast; signature+popcount stay codegen") {
+    val plan = executedPlan("v8_hamming_topk").split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the probe side must ride a broadcast:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"signature and popcount must stay codegen integer ops:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 2, s"corpus+probes means at most 2 scans, saw $scans:\n$plan")
+  }
+
+  test("d35 (sentence dedup): the global-first decision shuffles hash+ids, never text") {
+    val plan = executedPlan("d35_sentence_dedup").split("== Initial Plan ==").head
+    // text legitimately rides the (doc_id, pos) join-back and the per-doc
+    // rebuild, but the sentence-hash exchange that decides keep/drop must
+    // carry only (sh, doc_id, pos)
+    val shExchanges = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") && l.contains("sh#"))
+    assert(shExchanges.nonEmpty, s"expected a hash-keyed dedup exchange:\n$plan")
+    assert(shExchanges.forall(l => !l.contains("sent#")),
+      s"sentence text leaked into the dedup shuffle:\n$plan")
+  }
 }
