@@ -735,6 +735,34 @@ object Relational {
       doc = "ORC round-trip with pushdown under the oracle gate (S13 source format)"
     ),
 
+    // S15 — raw text (line-oriented) as a source/sink: the ingest format
+    // of scraped corpora before any schema exists. Write is one line per
+    // document (tab-framed fields), read is `spark.read.text` + scan-side
+    // parsing back into columns. The md5 riding the line makes the
+    // round-trip content-checked per document, not just count-checked:
+    // a single corrupted byte anywhere would flip the hash and miss the
+    // oracle. Completes the format matrix: parquet, CSV, JSON, ORC,
+    // text, JDBC, custom V2.
+    "s15_text_roundtrip" -> Q(
+      fn = (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_s15").toString
+        Tables.documents(s, d)
+          .select(concat_ws("\t", col("doc_id"), col("lang"),
+                            md5(encode(col("text"), "UTF-8"))).as("value"))
+          .write.mode("overwrite").text(s"$out/docs_txt")
+        s.read.text(s"$out/docs_txt")
+          .select(split(col("value"), "\t").as("f"))
+          .select(col("f").getItem(0).cast("long").as("doc_id"),
+                  col("f").getItem(1).as("lang"),
+                  col("f").getItem(2).as("content_md5"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id, lang, md5(text) AS content_md5
+        FROM documents ORDER BY doc_id"""),
+      doc = "line-oriented text round-trip, content-checked per doc (S15 source format)"
+    ),
+
     // S14 — Z-order (Morton) clustering key: bit-interleaving two bucket
     // coordinates so that sorting by ONE key keeps BOTH dimensions
     // local. The per-block min/max output IS the proof: each 4096-wide

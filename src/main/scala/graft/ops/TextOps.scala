@@ -758,6 +758,104 @@ object TextOps {
                  / count(*) AS kept_ratio
         FROM f GROUP BY doc_id ORDER BY doc_id"""),
       doc = "first-occurrence sentence dedup with document reassembly (CCNet-style)"
+    ),
+
+    // BPE vocabulary learning — the tokenizer-training op itself, as
+    // distributed aggregation: each merge step is one pair-count shuffle
+    // (vocabulary-sized state, exact int64 weights) + a 1-row argmax
+    // broadcast back into a per-row re-tokenization. Three supersteps
+    // unrolled; the token table persists between steps so step k+1 reads
+    // cached rows instead of replaying the lineage (j11's k-means/PageRank
+    // pattern). Greedy left-to-right pair merging is the same
+    // non-overlapping `replace` scan in both engines, so the learned
+    // merge table is oracle-exact. At 100 TB: word-frequency compression
+    // first (GROUP BY word), so supersteps run over the VOCABULARY, not
+    // the corpus — exactly how production BPE trainers scale.
+    "d36_bpe_merges" -> Q(
+      fn = (s, d) => {
+        val wc = doc(s, d)
+          .select(explode(split(lower(col("text")), " ")).as("word"))
+          .where(col("word").rlike("^[a-z]+$"))
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+        // spaced-symbol encoding: "cat" -> " c a t "
+        val t0 = wc.select(
+          concat(regexp_replace(col("word"), "(.)", " $1"), lit(" ")).as("tok"),
+          col("cnt")).persist()
+        def pairCounts(t: org.apache.spark.sql.DataFrame) =
+          t.select(split(trim(col("tok")), " ").as("ss"), col("cnt"))
+            .where(size(col("ss")) >= 2)
+            .select(explode(expr(
+              "transform(sequence(0, size(ss)-2), i -> struct(ss[i] AS a, ss[i+1] AS b))"))
+              .as("p"), col("cnt"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum(col("cnt")).as("c"))
+        def best(pc: org.apache.spark.sql.DataFrame) =
+          pc.orderBy(col("c").desc, col("a"), col("b")).limit(1)
+        def merge(t: org.apache.spark.sql.DataFrame,
+                  m: org.apache.spark.sql.DataFrame) =
+          t.crossJoin(broadcast(m))
+            .select(expr(
+              "replace(tok, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')")
+              .as("tok"), col("cnt"))
+        val m1 = best(pairCounts(t0))
+        val t1 = merge(t0, m1).persist()
+        val m2 = best(pairCounts(t1))
+        val t2 = merge(t1, m2).persist()
+        val m3 = best(pairCounts(t2))
+        PipelineCache.swap(t0, t1, t2)
+        def out(m: org.apache.spark.sql.DataFrame, step: Long) =
+          m.select(lit(step).as("step"), col("a").as("sym_a"),
+                   col("b").as("sym_b"), concat(col("a"), col("b")).as("merged"),
+                   col("c").as("pair_count"))
+        out(m1, 1L).unionAll(out(m2, 2L)).unionAll(out(m3, 3L)).orderBy("step")
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT lower(x) AS word
+          FROM (SELECT unnest(string_split(text, ' ')) AS x FROM documents)
+          WHERE regexp_full_match(lower(x), '[a-z]+')),
+        wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+        t0 AS (SELECT regexp_replace(word, '(.)', ' \1', 'g') || ' ' AS tok, cnt
+               FROM wc),
+        p1 AS (
+          SELECT ss[i+1] AS a, ss[i+2] AS b, sum(cnt) AS c
+          FROM (SELECT string_split(trim(tok), ' ') AS ss, cnt FROM t0),
+               unnest(range(len(ss)-1)) AS u(i)
+          GROUP BY a, b),
+        m1 AS (SELECT a, b, c FROM p1 ORDER BY c DESC, a, b LIMIT 1),
+        t1 AS (
+          SELECT replace(tok,
+                   ' ' || (SELECT a FROM m1) || ' ' || (SELECT b FROM m1) || ' ',
+                   ' ' || (SELECT a FROM m1) || (SELECT b FROM m1) || ' ') AS tok,
+                 cnt
+          FROM t0),
+        p2 AS (
+          SELECT ss[i+1] AS a, ss[i+2] AS b, sum(cnt) AS c
+          FROM (SELECT string_split(trim(tok), ' ') AS ss, cnt FROM t1),
+               unnest(range(len(ss)-1)) AS u(i)
+          GROUP BY a, b),
+        m2 AS (SELECT a, b, c FROM p2 ORDER BY c DESC, a, b LIMIT 1),
+        t2 AS (
+          SELECT replace(tok,
+                   ' ' || (SELECT a FROM m2) || ' ' || (SELECT b FROM m2) || ' ',
+                   ' ' || (SELECT a FROM m2) || (SELECT b FROM m2) || ' ') AS tok,
+                 cnt
+          FROM t1),
+        p3 AS (
+          SELECT ss[i+1] AS a, ss[i+2] AS b, sum(cnt) AS c
+          FROM (SELECT string_split(trim(tok), ' ') AS ss, cnt FROM t2),
+               unnest(range(len(ss)-1)) AS u(i)
+          GROUP BY a, b),
+        m3 AS (SELECT a, b, c FROM p3 ORDER BY c DESC, a, b LIMIT 1)
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS step, a AS sym_a, b AS sym_b,
+                 a || b AS merged, CAST(c AS BIGINT) AS pair_count FROM m1
+          UNION ALL
+          SELECT CAST(2 AS BIGINT), a, b, a || b, CAST(c AS BIGINT) FROM m2
+          UNION ALL
+          SELECT CAST(3 AS BIGINT), a, b, a || b, CAST(c AS BIGINT) FROM m3)
+        ORDER BY step"""),
+      doc = "BPE merge learning: 3 unrolled pair-count supersteps over the vocabulary"
     )
   )
 }

@@ -205,6 +205,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(scans <= 2, s"corpus+probes means at most 2 scans, saw $scans:\n$plan")
   }
 
+  test("d36 (BPE): supersteps read the cached token table; merges broadcast") {
+    val plan = executedPlan("d36_bpe_merges").split("== Initial Plan ==").head
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"the token table must be persisted across supersteps:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the 1-row merge must ride a broadcast, not a cartesian:\n$plan")
+  }
+
   test("d35 (sentence dedup): the global-first decision shuffles hash+ids, never text") {
     val plan = executedPlan("d35_sentence_dedup").split("== Initial Plan ==").head
     // text legitimately rides the (doc_id, pos) join-back and the per-doc
