@@ -772,6 +772,56 @@ object Similarity {
         FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
       },
       doc = "binary-signature Hamming pre-filter + exact cosine re-rank (ANN variant 4)"
+    ),
+
+    // Hard-negative mining — the contrastive-training data op: for each
+    // anchor, the most-similar vectors with a DIFFERENT label (the
+    // negatives that actually move the loss). Same scan budget and
+    // broadcast shape as v1/v7: anchors broadcast, corpus streams once,
+    // the label-mismatch predicate rides the join condition so same-label
+    // rows never reach the ranking window.
+    "v9_hard_negatives" -> Q(
+      fn = (s, d) => {
+        graft.GraftExtensions.register(s)
+        val e = Tables.embeddings(s, d)
+        val anchors = e.where(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+                  col("label").cast("long").as("anchor_label"))
+        val corpus = e.select(col("vec_id").as("neighbor_id"),
+                              col("embedding").as("cv"),
+                              col("label").cast("long").as("neg_label"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        corpus.join(broadcast(anchors),
+                    col("anchor_label") =!= col("neg_label"))
+          .withColumn("sim", call_function("qcosine", col("qv"), col("cv")))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .where(col("rnk") <= 5)
+          .select("query_id", "anchor_label", "neighbor_id", "neg_label",
+                  "rnk", "sim")
+          .orderBy("query_id", "rnk")
+      },
+      oracle = Some(
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+                              CAST(label AS BIGINT) AS anchor_label
+                       FROM embeddings WHERE vec_id < 20),
+            c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                         CAST(label AS BIGINT) AS neg_label
+                  FROM embeddings),
+            p AS (
+              SELECT query_id, anchor_label, neighbor_id, neg_label,
+                     CAST(${dotSql("qv", "cv")} AS DOUBLE) /
+                       (sqrt(CAST(${norm2Sql("qv")} AS DOUBLE)) *
+                        sqrt(CAST(${norm2Sql("cv")} AS DOUBLE))) AS sim
+              FROM q, c WHERE anchor_label <> neg_label),
+            r AS (
+              SELECT query_id, anchor_label, neighbor_id, neg_label, sim,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+              FROM p)
+            SELECT query_id, anchor_label, neighbor_id, neg_label, rnk, sim
+            FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""),
+      doc = "hard-negative mining: top-k most-similar cross-label vectors per anchor"
     )
   )
 }

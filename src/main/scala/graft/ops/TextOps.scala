@@ -856,6 +856,63 @@ object TextOps {
           SELECT CAST(3 AS BIGINT), a, b, a || b, CAST(c AS BIGINT) FROM m3)
         ORDER BY step"""),
       doc = "BPE merge learning: 3 unrolled pair-count supersteps over the vocabulary"
+    ),
+
+    // LM-coverage quality gate — the exact-arithmetic stand-in for
+    // perplexity filtering: a document is fluent when most of its word
+    // bigrams are frequent in the corpus LM (d26's count table). True
+    // perplexity needs log() (engine-dependent transcendental, not
+    // hashable); the covered-bigram fraction ranks documents the same
+    // way for gate purposes and stays exact-int64 + one IEEE division.
+    // Scale shape: bigram instances persist once (ONE documents scan
+    // feeds both the LM aggregation and the per-doc rollup); the LM side
+    // is vocabulary²-bounded, and the coverage join is hash-keyed on the
+    // pair.
+    "d37_lm_coverage" -> Q(
+      fn = (s, d) => {
+        val pairs = doc(s, d)
+          .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+          .where(size(col("ws")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(ws)-2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))"))
+            .as("p"))
+          .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .where(col("w1").rlike("^[a-z]{2,}$") && col("w2").rlike("^[a-z]{2,}$"))
+          .persist()
+        PipelineCache.swap(pairs)
+        val lm = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+          .where(col("c12") >= 5)
+          .select(col("w1"), col("w2"), lit(1).as("hit"))
+        pairs.join(lm, Seq("w1", "w2"), "left_outer")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+               sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_covered"))
+          .withColumn("coverage",
+            col("n_covered").cast("double") / col("n_bigrams"))
+          .withColumn("fluent", col("coverage") >= 0.5)
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                   FROM documents),
+        pairs AS (
+          SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2
+          FROM w, unnest(range(len(ws)-1)) AS t(i)),
+        fp AS (SELECT doc_id, w1, w2 FROM pairs
+               WHERE regexp_full_match(w1, '[a-z]{2,}')
+                 AND regexp_full_match(w2, '[a-z]{2,}')),
+        lm AS (SELECT w1, w2, 1 AS hit FROM fp
+               GROUP BY w1, w2 HAVING count(*) >= 5)
+        SELECT doc_id, count(*) AS n_bigrams,
+               CAST(sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_covered,
+               CAST(sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) AS coverage,
+               (CAST(sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*)) >= 0.5 AS fluent
+        FROM fp LEFT JOIN lm USING (w1, w2)
+        GROUP BY doc_id ORDER BY doc_id"""),
+      doc = "bigram-LM coverage: the exact-arithmetic perplexity-gate stand-in"
     )
   )
 }

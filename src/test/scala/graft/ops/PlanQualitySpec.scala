@@ -205,6 +205,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(scans <= 2, s"corpus+probes means at most 2 scans, saw $scans:\n$plan")
   }
 
+  test("d37 (LM coverage): one documents scan feeds both the LM and the rollup") {
+    val plan = executedPlan("d37_lm_coverage").split("== Initial Plan ==").head
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"bigram instances must be persisted and reused by both branches:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"the coverage join must stay hash-keyed on the pair:\n$plan")
+  }
+
+  test("v9 (hard negatives): anchors broadcast, corpus streams once") {
+    val plan = executedPlan("v9_hard_negatives").split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the anchor side must ride a broadcast:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 2, s"anchors+corpus means at most 2 scans, saw $scans:\n$plan")
+  }
+
   test("d36 (BPE): supersteps read the cached token table; merges broadcast") {
     val plan = executedPlan("d36_bpe_merges").split("== Initial Plan ==").head
     assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
