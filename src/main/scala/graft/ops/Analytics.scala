@@ -1239,6 +1239,49 @@ object Analytics {
             WHERE l2.l_partkey = l1.l_partkey AND p2.p_name LIKE '%gear%'))
         ORDER BY s_suppkey"""),
       doc = "nested IN + correlated agg threshold, decorrelated (TPC-H Q20 shape)"
+    ),
+
+    // Higher-order array functions as a first-class query surface:
+    // transform / filter / aggregate / zip_with / sort over the embedding
+    // column, in integer-quantized space so every result is bit-exact in
+    // both engines. These are the codegen-friendly builtins (no UDF, no
+    // explode) — per-row array work stays inside the scan stage, so at
+    // 100 TB this whole query is a single pass with zero shuffles.
+    "f4_array_ops" -> Q(
+      fn = (s, d) => {
+        val qv = transform(col("embedding"),
+          x => round(x.cast("double") * lit(10000)).cast("long"))
+        val top = sort_array(col("qv"), asc = false)
+        Tables.embeddings(s, d).where(col("vec_id") < 100)
+          .withColumn("qv", qv)
+          .select(
+            col("vec_id"),
+            size(col("qv")).cast("long").as("dim"),
+            size(filter(col("qv"), _ > 0L)).cast("long").as("n_pos"),
+            aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+            aggregate(zip_with(col("qv"), col("qv"), (a, b) => a * b),
+                      lit(0L), (acc, x) => acc + x).as("q_norm2"),
+            element_at(top, 1).as("top1"),
+            element_at(top, 2).as("top2"),
+            element_at(top, 3).as("top3"))
+          .orderBy("vec_id")
+      },
+      oracle = Some("""
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+          FROM embeddings WHERE vec_id < 100)
+        SELECT vec_id,
+               CAST(len(qv) AS BIGINT) AS dim,
+               CAST(len(list_filter(qv, x -> x > 0)) AS BIGINT) AS n_pos,
+               CAST(list_sum(qv) AS BIGINT) AS q_sum,
+               CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_norm2,
+               list_reverse_sort(qv)[1] AS top1,
+               list_reverse_sort(qv)[2] AS top2,
+               list_reverse_sort(qv)[3] AS top3
+        FROM q ORDER BY vec_id"""),
+      doc = "higher-order array functions (transform/filter/aggregate/zip_with/sort)"
     )
   )
 }

@@ -947,6 +947,66 @@ object Dedup {
                   ORDER BY n_words DESC, doc_id) = 1
         ORDER BY cluster_rep"""),
       doc = "cluster-aware dedup policy: keep the best member of each near-dup component"
+    ),
+
+    // Sorted-neighborhood near-dup — the third classic candidate-generation
+    // family after hash banding (d6/d22) and bit signatures (d7/v8): sort
+    // once on a cheap blocking key (lowercased text prefix) and compare
+    // each doc against only the next W-1 docs in key order. Candidates are
+    // O(n·W) by construction with zero hash-bucket skew; the sort is
+    // range-partitioned per lang stratum, so at 100 TB this is one keyed
+    // sort, no self-join. Edit distance on a fixed 80-char prefix keeps
+    // the verify step O(1) per pair.
+    "d38_snm_neardup" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("lang").orderBy("sortkey", "doc_id")
+        val keyed = Tables.documents(s, d).select(
+          col("doc_id"), col("lang"),
+          substring(lower(col("text")), 1, 40).as("sortkey"),
+          substring(lower(col("text")), 1, 80).as("prefix"))
+        val withNext = keyed
+          .withColumn("n1_id", lead("doc_id", 1).over(w))
+          .withColumn("n1_p", lead("prefix", 1).over(w))
+          .withColumn("n2_id", lead("doc_id", 2).over(w))
+          .withColumn("n2_p", lead("prefix", 2).over(w))
+        val pairs =
+          withNext.select(col("lang"), col("doc_id").as("doc_a"),
+                          col("n1_id").as("doc_b"), col("prefix"),
+                          col("n1_p").as("p_b"), lit(1L).as("offset"))
+            .union(
+          withNext.select(col("lang"), col("doc_id").as("doc_a"),
+                          col("n2_id").as("doc_b"), col("prefix"),
+                          col("n2_p").as("p_b"), lit(2L).as("offset")))
+        pairs.where(col("doc_b").isNotNull)
+          .withColumn("lev", levenshtein(col("prefix"), col("p_b")).cast("long"))
+          .where(col("lev") <= 24)
+          .select("lang", "doc_a", "doc_b", "offset", "lev")
+          .orderBy("lang", "doc_a", "doc_b")
+      },
+      oracle = Some("""
+        WITH keyed AS (
+          SELECT doc_id, lang,
+                 substr(lower(text), 1, 40) AS sortkey,
+                 substr(lower(text), 1, 80) AS prefix
+          FROM documents),
+        nx AS (
+          SELECT doc_id, lang, prefix,
+                 lead(doc_id, 1) OVER w AS n1_id, lead(prefix, 1) OVER w AS n1_p,
+                 lead(doc_id, 2) OVER w AS n2_id, lead(prefix, 2) OVER w AS n2_p
+          FROM keyed
+          WINDOW w AS (PARTITION BY lang ORDER BY sortkey, doc_id)),
+        pairs AS (
+          SELECT lang, doc_id AS doc_a, n1_id AS doc_b, prefix, n1_p AS p_b,
+                 CAST(1 AS BIGINT) AS "offset" FROM nx
+          UNION ALL
+          SELECT lang, doc_id, n2_id, prefix, n2_p, CAST(2 AS BIGINT) FROM nx)
+        SELECT lang, doc_a, doc_b, "offset",
+               CAST(levenshtein(prefix, p_b) AS BIGINT) AS lev
+        FROM pairs
+        WHERE doc_b IS NOT NULL AND levenshtein(prefix, p_b) <= 24
+        ORDER BY lang, doc_a, doc_b"""),
+      doc = "sorted-neighborhood near-dup: window-of-W compare after one keyed sort"
     )
   )
 }

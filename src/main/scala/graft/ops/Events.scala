@@ -281,6 +281,60 @@ object Events {
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY k ORDER BY k"""),
       doc = "JSON field extraction + aggregation"
+    ),
+
+    // Time-series resample + forward fill: per-user daily revenue on a
+    // gap-free day spine (min..max activity day per user), with missing
+    // days carrying the last observed value forward. The spine is a
+    // per-user sequence+explode (bounded by that user's span, never a
+    // global calendar cross join); the fill is one user-keyed window —
+    // each series packs into its own partition, so at 100 TB this is a
+    // single keyed shuffle plus a per-key sort, no global ordering. The
+    // oracle reproduces last-non-null via the cumulative-count-of-non-null
+    // grouping trick (pure ANSI window algebra, value-identical).
+    "e10_gap_fill" -> Q(
+      fn = (s, d) => {
+        val daily = Tables.events(s, d)
+          .where(col("user_id") < 40)
+          .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value"), 2).as("revenue"))
+        val spine = daily.groupBy("user_id")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+          .select(col("user_id"),
+                  explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+        val w = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(daily, Seq("user_id", "day"), "left")
+          .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+          .withColumn("revenue_filled", last(col("revenue"), ignoreNulls = true).over(w))
+          .withColumn("is_gap", col("revenue").isNull)
+          .select("user_id", "day", "n_events", "revenue_filled", "is_gap")
+          .orderBy("user_id", "day")
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT user_id, date_trunc('day', ts) AS day,
+                 count(*) AS n_events,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          FROM events WHERE user_id < 40 GROUP BY 1, 2),
+        bounds AS (
+          SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id),
+        spine AS (
+          SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+          FROM bounds),
+        j AS (
+          SELECT s.user_id, s.day,
+                 coalesce(d.n_events, 0) AS n_events, d.revenue
+          FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day),
+        g AS (
+          SELECT *, count(revenue) OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+          FROM j)
+        SELECT user_id, day, n_events,
+               max(revenue) OVER (PARTITION BY user_id, grp) AS revenue_filled,
+               revenue IS NULL AS is_gap
+        FROM g ORDER BY user_id, day"""),
+      doc = "time-series resample to a daily spine + forward fill per user"
     )
   )
 }

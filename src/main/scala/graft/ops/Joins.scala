@@ -332,6 +332,62 @@ object Joins {
                node // 2 AS key, CAST(rank AS BIGINT) AS rank
         FROM r3 ORDER BY rank DESC, node LIMIT 20"""),
       doc = "fixed-point integer PageRank over the trade graph (Pregel-as-DataFrames)"
+    ),
+
+    // Triangle counting over the nation-level trade graph (edge a—b iff
+    // some order ships from a customer in nation a to a supplier in
+    // nation b). Compact-forward enumeration: edges stored once with
+    // a < b, so each triangle (a,b,c) with a<b<c is produced by exactly
+    // one path join — no per-triangle dedup pass. The edge list is built
+    // once and reused across all three join legs (cached); both joins are
+    // equi-joins on node ids, so at scale the shuffle carries only long
+    // pairs and degree-ordered relabeling bounds the hot-vertex skew.
+    "j12_triangle_count" -> Q(
+      fn = (s, d) => {
+        val trade = Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .select(least(col("c_nationkey"), col("s_nationkey")).as("a"),
+                  greatest(col("c_nationkey"), col("s_nationkey")).as("b"))
+          .where(col("a") < col("b"))
+          .distinct()
+          .persist()
+        PipelineCache.swap(trade)
+        val tri = trade.as("e1")
+          .join(trade.as("e2"), col("e1.b") === col("e2.a"))
+          .join(trade.as("e3"),
+                col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+          .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+        tri.select(explode(array(col("x"), col("y"), col("z"))).as("nk"))
+          .groupBy("nk").agg(count(lit(1)).as("n_triangles"))
+          .join(Tables.nation(s, d), col("nk") === col("n_nationkey"))
+          .select(col("n_name"), col("n_triangles"))
+          .orderBy(col("n_triangles").desc, col("n_name"))
+      },
+      oracle = Some("""
+        WITH trade AS (
+          SELECT DISTINCT least(c_nationkey, s_nationkey) AS a,
+                          greatest(c_nationkey, s_nationkey) AS b
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN lineitem ON o_orderkey = l_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          WHERE c_nationkey <> s_nationkey),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM trade e1
+          JOIN trade e2 ON e1.b = e2.a
+          JOIN trade e3 ON e1.a = e3.a AND e2.b = e3.b),
+        members AS (
+          SELECT x AS nk FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+        SELECT n_name, count(*) AS n_triangles
+        FROM members JOIN nation ON nk = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_triangles DESC, n_name"""),
+      doc = "per-nation triangle participation in the trade graph (compact-forward)"
     )
   )
 }
