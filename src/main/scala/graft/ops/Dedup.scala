@@ -965,19 +965,22 @@ object Dedup {
           col("doc_id"), col("lang"),
           substring(lower(col("text")), 1, 40).as("sortkey"),
           substring(lower(col("text")), 1, 80).as("prefix"))
-        val withNext = keyed
+        // One scan + one window pass: both neighbor slots ride a single
+        // explode instead of a union that would re-run the sort.
+        val pairs = keyed
           .withColumn("n1_id", lead("doc_id", 1).over(w))
           .withColumn("n1_p", lead("prefix", 1).over(w))
           .withColumn("n2_id", lead("doc_id", 2).over(w))
           .withColumn("n2_p", lead("prefix", 2).over(w))
-        val pairs =
-          withNext.select(col("lang"), col("doc_id").as("doc_a"),
-                          col("n1_id").as("doc_b"), col("prefix"),
-                          col("n1_p").as("p_b"), lit(1L).as("offset"))
-            .union(
-          withNext.select(col("lang"), col("doc_id").as("doc_a"),
-                          col("n2_id").as("doc_b"), col("prefix"),
-                          col("n2_p").as("p_b"), lit(2L).as("offset")))
+          .select(col("lang"), col("doc_id").as("doc_a"), col("prefix"),
+                  explode(array(
+                    struct(col("n1_id").as("doc_b"), col("n1_p").as("p_b"),
+                           lit(1L).as("offset")),
+                    struct(col("n2_id").as("doc_b"), col("n2_p").as("p_b"),
+                           lit(2L).as("offset")))).as("nb"))
+          .select(col("lang"), col("doc_a"), col("nb.doc_b").as("doc_b"),
+                  col("prefix"), col("nb.p_b").as("p_b"),
+                  col("nb.offset").as("offset"))
         pairs.where(col("doc_b").isNotNull)
           .withColumn("lev", levenshtein(col("prefix"), col("p_b")).cast("long"))
           .where(col("lev") <= 24)

@@ -294,10 +294,14 @@ object Events {
     // grouping trick (pure ANSI window algebra, value-identical).
     "e10_gap_fill" -> Q(
       fn = (s, d) => {
+        // `daily` feeds both the spine bounds and the fill join; persisting
+        // the (user x day)-sized aggregate keeps the events scan single-pass.
         val daily = Tables.events(s, d)
           .where(col("user_id") < 40)
           .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
           .agg(count(lit(1)).as("n_events"), dsum(col("value"), 2).as("revenue"))
+          .persist()
+        PipelineCache.swap(daily)
         val spine = daily.groupBy("user_id")
           .agg(min("day").as("d0"), max("day").as("d1"))
           .select(col("user_id"),

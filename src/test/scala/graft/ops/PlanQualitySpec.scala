@@ -240,4 +240,40 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(shExchanges.forall(l => !l.contains("sent#")),
       s"sentence text leaked into the dedup shuffle:\n$plan")
   }
+
+  test("e10 (gap fill): one events scan; the daily aggregate is cached and reused") {
+    val plan = executedPlan("e10_gap_fill").split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 1, s"spine and fill must share one events scan, saw $scans:\n$plan")
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"the (user x day) aggregate must be persisted and reused by both branches:\n$plan")
+  }
+
+  test("j12 (triangles): edge list cached across all three legs; no cartesian") {
+    val plan = executedPlan("j12_triangle_count").split("== Initial Plan ==").head
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"the edge list must be built once and reused:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"triangle legs must stay equi-joins on node ids:\n$plan")
+  }
+
+  test("f4 (array HOFs): per-row array work stays in the scan stage — no join, no agg") {
+    val plan = executedPlan("f4_array_ops").split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"one embeddings scan expected, saw $scans:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"higher-order functions must not grow a join or aggregation:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"array work must stay builtin expressions:\n$plan")
+  }
+
+  test("d38 (SNM dedup): one scan, one keyed sort — no self-join") {
+    val plan = executedPlan("d38_snm_neardup").split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"sorted-neighborhood is a single-scan pipeline, saw $scans:\n$plan")
+    assert(!plan.contains("Join"),
+      s"candidates must come from lead windows, not a self-join:\n$plan")
+    val windows = plan.linesIterator.count(_.trim.startsWith("Window"))
+    assert(windows <= 1, s"both neighbor slots must share one window pass, saw $windows:\n$plan")
+  }
 }
