@@ -339,6 +339,49 @@ object Events {
                revenue IS NULL AS is_gap
         FROM g ORDER BY user_id, day"""),
       doc = "time-series resample to a daily spine + forward fill per user"
+    ),
+
+    // Watermark / late-data audit — the batch twin of Structured
+    // Streaming's `withWatermark` accounting: replay events in arrival
+    // order (event_id is the monotonic ingest id) and flag each event
+    // whose event time trails the running max event time by more than
+    // the 10-minute watermark delay; those are the rows a streaming
+    // window would drop. Partitioned per event_type — the per-source-
+    // partition watermark is exactly how Spark tracks it before taking
+    // the global min, and it keeps the window keyed (no global sort).
+    // All comparisons in integer microseconds: bit-stable both engines.
+    "e11_late_data_audit" -> Q(
+      fn = (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+          .withColumn("hwm", max("us").over(w))
+          .withColumn("late_us",
+            when(col("hwm") - lit(600000000L) > col("us"),
+                 col("hwm") - lit(600000000L) - col("us")).otherwise(lit(0L)))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+               sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+               max("late_us").as("max_late_us"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT event_id, event_type, epoch_us(ts) AS us,
+                 max(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+          FROM events),
+        l AS (
+          SELECT event_type,
+                 CASE WHEN hwm - 600000000 > us THEN hwm - 600000000 - us
+                      ELSE 0 END AS late_us
+          FROM a)
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+               CAST(max(late_us) AS BIGINT) AS max_late_us
+        FROM l GROUP BY event_type ORDER BY event_type"""),
+      doc = "watermark late-data audit: arrival-order replay per source partition"
     )
   )
 }

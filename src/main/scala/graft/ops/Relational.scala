@@ -763,6 +763,36 @@ object Relational {
       doc = "line-oriented text round-trip, content-checked per doc (S15 source format)"
     ),
 
+    // S16 — XML as a source format (Spark 4's built-in xml data source;
+    // the interchange format of many enterprise feeds). Same lossless
+    // round-trip contract as s11-s13: write the nation dimension as XML,
+    // read it back schema-explicit, join it against a parquet fact
+    // aggregate; the oracle never sees the XML — if the round trip lost
+    // or mangled a value, the join keys or names would diverge.
+    "s16_xml_roundtrip" -> Q(
+      fn = (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_s16").toString
+        Tables.nation(s, d).write.mode("overwrite")
+          .option("rowTag", "nation").xml(s"$out/nation_xml")
+        val nx = s.read
+          .schema(Tables.nation(s, d).schema)
+          .option("rowTag", "nation").xml(s"$out/nation_xml")
+        Tables.customer(s, d)
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_customers"),
+               dsum(col("c_acctbal"), 2).as("total_acctbal"))
+          .join(nx, col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), col("n_customers"), col("total_acctbal"))
+          .orderBy("n_name")
+      },
+      oracle = Some("""
+        SELECT n_name, count(*) AS n_customers,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name"""),
+      doc = "XML round-trip joined against a parquet aggregate (S16 source format)"
+    ),
+
     // S14 — Z-order (Morton) clustering key: bit-interleaving two bucket
     // coordinates so that sorting by ONE key keeps BOTH dimensions
     // local. The per-block min/max output IS the proof: each 4096-wide
