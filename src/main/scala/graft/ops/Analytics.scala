@@ -1282,6 +1282,70 @@ object Analytics {
                list_reverse_sort(qv)[3] AS top3
         FROM q ORDER BY vec_id"""),
       doc = "higher-order array functions (transform/filter/aggregate/zip_with/sort)"
+    ),
+
+    // Pairwise correlation matrix in ONE pass: every sufficient statistic
+    // for all three variable pairs (quantity, price, discount) rides a
+    // single map-side-combined aggregate over one lineitem scan — the
+    // many-stats-one-scan generalization of a19's single-pair fit. Sums
+    // accumulate in DECIMAL (order-independent ⇒ cross-engine bit-stable);
+    // the 3-row long-form matrix is exploded from the 1-row stats frame,
+    // never re-scanning the fact table.
+    "a21_corr_matrix" -> Q(
+      fn = (s, d) => {
+        val q = col("l_quantity").cast(DecimalType(18, 2))
+        val p = col("l_extendedprice").cast(DecimalType(18, 2))
+        val dc = col("l_discount").cast(DecimalType(18, 2))
+        val st = Tables.lineitem(s, d).agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(q).cast("double").as("sq"), sum(p).cast("double").as("sp"),
+          sum(dc).cast("double").as("sd"),
+          sum(q * q).cast("double").as("sqq"), sum(p * p).cast("double").as("spp"),
+          sum(dc * dc).cast("double").as("sdd"),
+          sum(q * p).cast("double").as("sqp"), sum(q * dc).cast("double").as("sqd"),
+          sum(p * dc).cast("double").as("spd"))
+        def r(sx: Column, sy: Column, sxx: Column, syy: Column, sxy: Column) =
+          (col("n") * sxy - sx * sy) /
+            sqrt((col("n") * sxx - sx * sx) * (col("n") * syy - sy * sy))
+        st.select(col("n"), explode(array(
+            struct(lit("quantity").as("var_a"), lit("price").as("var_b"),
+                   r(col("sq"), col("sp"), col("sqq"), col("spp"), col("sqp")).as("pearson_r")),
+            struct(lit("quantity").as("var_a"), lit("discount").as("var_b"),
+                   r(col("sq"), col("sd"), col("sqq"), col("sdd"), col("sqd")).as("pearson_r")),
+            struct(lit("price").as("var_a"), lit("discount").as("var_b"),
+                   r(col("sp"), col("sd"), col("spp"), col("sdd"), col("spd")).as("pearson_r"))))
+            .as("pair"))
+          .select(col("pair.var_a").as("var_a"), col("pair.var_b").as("var_b"),
+                  col("n").cast("long").as("n_rows"), col("pair.pearson_r").as("pearson_r"))
+          .orderBy("var_a", "var_b")
+      },
+      oracle = Some("""
+        WITH st AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+                 CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp,
+                 CAST(sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sdd,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sqd,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS spd
+          FROM lineitem)
+        SELECT var_a, var_b, CAST(n AS BIGINT) AS n_rows, pearson_r FROM (
+          SELECT 'quantity' AS var_a, 'price' AS var_b, n,
+                 (n * sqp - sq * sp) / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)) AS pearson_r
+          FROM st
+          UNION ALL
+          SELECT 'quantity', 'discount', n,
+                 (n * sqd - sq * sd) / sqrt((n * sqq - sq * sq) * (n * sdd - sd * sd))
+          FROM st
+          UNION ALL
+          SELECT 'price', 'discount', n,
+                 (n * spd - sp * sd) / sqrt((n * spp - sp * sp) * (n * sdd - sd * sd))
+          FROM st)
+        ORDER BY var_a, var_b"""),
+      doc = "pairwise correlation matrix from one sufficient-stats pass"
     )
   )
 }

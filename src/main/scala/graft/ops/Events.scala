@@ -382,6 +382,56 @@ object Events {
                CAST(max(late_us) AS BIGINT) AS max_late_us
         FROM l GROUP BY event_type ORDER BY event_type"""),
       doc = "watermark late-data audit: arrival-order replay per source partition"
+    ),
+
+    // Last-touch attribution: each purchase credits the most recent
+    // click/view by the same user within the 1-hour lookback, else
+    // 'unattributed'. One user-keyed window carries the last touch
+    // forward (the streaming-friendly as-of shape — no purchase×touch
+    // self-join), so at 100 TB this is one keyed shuffle + per-user
+    // sort. The oracle reproduces last-non-null with the cumulative-
+    // count grouping trick; all time math in integer microseconds.
+    "e12_attribution" -> Q(
+      fn = (s, d) => {
+        val isTouch = col("event_type").isin("click", "view")
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+                  unix_micros(col("ts")).as("us"))
+          .withColumn("touch_us",
+            last(when(isTouch, col("us")), ignoreNulls = true).over(w))
+          .withColumn("touch_type",
+            last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+          .where(col("event_type") === "purchase")
+          .withColumn("channel",
+            when(col("touch_us").isNotNull &&
+                 col("us") - col("touch_us") <= 3600000000L, col("touch_type"))
+              .otherwise("unattributed"))
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n_purchases"))
+          .orderBy("channel")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+                 CASE WHEN event_type IN ('click','view') THEN epoch_us(ts) END AS t_us,
+                 CASE WHEN event_type IN ('click','view') THEN event_type END AS t_ty
+          FROM events),
+        g AS (
+          SELECT *, count(t_us) OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+          FROM ev),
+        a AS (
+          SELECT *, max(t_us) OVER (PARTITION BY user_id, grp) AS touch_us,
+                    max(t_ty) OVER (PARTITION BY user_id, grp) AS touch_type
+          FROM g)
+        SELECT CASE WHEN touch_us IS NOT NULL AND us - touch_us <= 3600000000
+                    THEN touch_type ELSE 'unattributed' END AS channel,
+               count(*) AS n_purchases
+        FROM a WHERE event_type = 'purchase'
+        GROUP BY channel ORDER BY channel"""),
+      doc = "last-touch attribution within a 1-hour lookback (as-of window, no self-join)"
     )
   )
 }

@@ -793,6 +793,79 @@ object Relational {
       doc = "XML round-trip joined against a parquet aggregate (S16 source format)"
     ),
 
+    // S17 — declarative data-quality suite (the Deequ-style contract
+    // check a 100 TB ingest runs before promoting a snapshot): key
+    // uniqueness, referential integrity, domain ranges, and null policy,
+    // each as a violation COUNT so the report is one small row per
+    // constraint. All orders-side constraints fold into ONE aggregate
+    // over one scan; the FK orphan check is a broadcast anti join; the
+    // lineitem range check is a second single-scan aggregate. Nothing
+    // row-sized ever reaches the driver — the report is constraint-
+    // cardinality sized.
+    "s17_dq_checks" -> Q(
+      fn = (s, d) => {
+        val o = Tables.orders(s, d)
+        val ordersAgg = o.agg(
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_orderkeys"),
+          sum(when(col("o_totalprice").isNull || col("o_totalprice") <= 0, 1L)
+            .otherwise(0L)).as("bad_totalprice"),
+          sum(when(col("o_orderdate") < lit("1992-01-01").cast("timestamp") ||
+                   col("o_orderdate") >= lit("1999-01-01").cast("timestamp"), 1L)
+            .otherwise(0L)).as("date_out_of_range"))
+        val orphans = o.join(Tables.customer(s, d),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("fk_orphans"))
+        val liAgg = Tables.lineitem(s, d).agg(
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+            .otherwise(0L)).as("qty_out_of_range"),
+          sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+            .otherwise(0L)).as("discount_out_of_range"))
+        val report = ordersAgg.crossJoin(orphans).crossJoin(liAgg)
+          .select(explode(array(
+            struct(lit("orders.o_orderkey unique").as("check"),
+                   col("dup_orderkeys").as("n_violations")),
+            struct(lit("orders.o_custkey fk customer").as("check"),
+                   col("fk_orphans").as("n_violations")),
+            struct(lit("orders.o_totalprice positive").as("check"),
+                   col("bad_totalprice").as("n_violations")),
+            struct(lit("orders.o_orderdate in [1992,1999)").as("check"),
+                   col("date_out_of_range").as("n_violations")),
+            struct(lit("lineitem.l_quantity in [1,50]").as("check"),
+                   col("qty_out_of_range").as("n_violations")),
+            struct(lit("lineitem.l_discount in [0,0.1]").as("check"),
+                   col("discount_out_of_range").as("n_violations")))).as("c"))
+        report
+          .select(col("c.check").as("check"), col("c.n_violations").as("n_violations"),
+                  when(col("c.n_violations") === 0, "PASS").otherwise("FAIL").as("status"))
+          .orderBy("check")
+      },
+      oracle = Some("""
+        WITH oa AS (
+          SELECT count(*) - count(DISTINCT o_orderkey) AS dup_orderkeys,
+                 sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 ELSE 0 END) AS bad_totalprice,
+                 sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                           OR o_orderdate >= TIMESTAMP '1999-01-01' THEN 1 ELSE 0 END) AS date_out_of_range
+          FROM orders),
+        orph AS (
+          SELECT count(*) AS fk_orphans FROM orders
+          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        la AS (
+          SELECT sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS qty_out_of_range,
+                 sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS discount_out_of_range
+          FROM lineitem),
+        r AS (
+          SELECT 'orders.o_orderkey unique' AS "check", CAST(dup_orderkeys AS BIGINT) AS n_violations FROM oa
+          UNION ALL SELECT 'orders.o_custkey fk customer', CAST(fk_orphans AS BIGINT) FROM orph
+          UNION ALL SELECT 'orders.o_totalprice positive', CAST(bad_totalprice AS BIGINT) FROM oa
+          UNION ALL SELECT 'orders.o_orderdate in [1992,1999)', CAST(date_out_of_range AS BIGINT) FROM oa
+          UNION ALL SELECT 'lineitem.l_quantity in [1,50]', CAST(qty_out_of_range AS BIGINT) FROM la
+          UNION ALL SELECT 'lineitem.l_discount in [0,0.1]', CAST(discount_out_of_range AS BIGINT) FROM la)
+        SELECT "check", n_violations,
+               CASE WHEN n_violations = 0 THEN 'PASS' ELSE 'FAIL' END AS status
+        FROM r ORDER BY "check" """),
+      doc = "declarative data-quality suite: uniqueness, FK, ranges, null policy"
+    ),
+
     // S14 — Z-order (Morton) clustering key: bit-interleaving two bucket
     // coordinates so that sorting by ONE key keeps BOTH dimensions
     // local. The per-block min/max output IS the proof: each 4096-wide
