@@ -129,6 +129,21 @@ object EventStreams {
         expr("c_user = i_user AND i_ts BETWEEN c_ts - INTERVAL 1 HOUR AND c_ts"),
         "inner")
 
+  /** Left-outer variant of [[clickAttribution]]: every click is emitted
+    * exactly once — matched clicks as they join, unmatched clicks with a
+    * null impression side once the watermark proves no future impression
+    * can still fall in their interval. This eviction-emits-null behavior
+    * is the semantics that distinguishes a streaming outer join from its
+    * batch twin (which can look at the whole input at once); state stays
+    * O(watermark window) on both sides, as with the inner join.
+    */
+  def clickAttributionOuter(impressions: DataFrame, clicks: DataFrame): DataFrame =
+    clicks.withWatermark("c_ts", "2 hours")
+      .join(
+        impressions.withWatermark("i_ts", "1 hour"),
+        expr("c_user = i_user AND i_ts BETWEEN c_ts - INTERVAL 1 HOUR AND c_ts"),
+        "left_outer")
+
   /** Streaming ingestion into the idempotent JDBC sink: foreachBatch
     * hands every micro-batch to JdbcSink.write, so a batch replayed
     * after a failure (Structured Streaming's at-least-once contract per

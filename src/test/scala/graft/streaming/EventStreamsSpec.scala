@@ -412,6 +412,51 @@ class EventStreamsSpec extends AnyFunSuite {
     stream.zip(batch).foreach { case (s, b) => assert(s.toSeq == b.toSeq) }
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched clicks emit null at watermark eviction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val impMem = MemoryStream[(Long, Long)](spark)
+    val clkMem = MemoryStream[(Long, Long)](spark)
+    def imps(df: org.apache.spark.sql.DataFrame) = df.toDF("i_user", "i_mins")
+      .withColumn("i_ts", timestamp_micros(col("i_mins") * 60L * 1000000L))
+    def clks(df: org.apache.spark.sql.DataFrame) = df.toDF("c_user", "c_mins")
+      .withColumn("c_ts", timestamp_micros(col("c_mins") * 60L * 1000000L))
+    val q = EventStreams.clickAttributionOuter(imps(impMem.toDF()), clks(clkMem.toDF()))
+      .select("c_user", "c_mins", "i_mins")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("attrib_outer").start()
+    // user 1: click 30 matches impression 10; click 120 matches nothing
+    // (10 is outside its 1h lookback); user 2: click with no impression
+    // at all; user 3: one click matching two impressions.
+    impMem.addData((1L, 10L), (3L, 40L), (3L, 50L))
+    clkMem.addData((1L, 30L), (1L, 120L), (2L, 35L), (3L, 60L))
+    q.processAllAvailable()
+    // null-side rows need the watermark to pass: far-future traffic
+    // advances both watermarks, a following batch triggers eviction
+    impMem.addData((9L, 5000L)); clkMem.addData((9L, 5000L))
+    q.processAllAvailable()
+    impMem.addData((9L, 5001L)); clkMem.addData((9L, 5001L))
+    q.processAllAvailable()
+    val got = spark.sql(
+      "SELECT * FROM attrib_outer WHERE c_user < 9 ORDER BY c_user, c_mins, i_mins NULLS FIRST")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    q.stop()
+    // batch twin of the same data, restricted to the settled users
+    val batch = clks(Seq((1L, 30L), (1L, 120L), (2L, 35L), (3L, 60L)).toDF())
+      .join(imps(Seq((1L, 10L), (3L, 40L), (3L, 50L)).toDF()),
+        expr("c_user = i_user AND i_ts BETWEEN c_ts - INTERVAL 1 HOUR AND c_ts"),
+        "left_outer")
+      .select("c_user", "c_mins", "i_mins")
+      .orderBy(col("c_user"), col("c_mins"), col("i_mins").asc_nulls_first)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(got.toSeq == batch.toSeq)
+    // the two null-emitted rows are exactly the matchless clicks
+    assert(got.filter(_._3.isEmpty).map(t => (t._1, t._2)).toSet ==
+      Set((1L, 120L), (2L, 35L)))
+  }
+
   test("stream-stream join restart: join state restores from checkpoint, no dupes or losses") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
