@@ -1010,6 +1010,94 @@ object Dedup {
         WHERE doc_b IS NOT NULL AND levenshtein(prefix, p_b) <= 24
         ORDER BY lang, doc_a, doc_b"""),
       doc = "sorted-neighborhood near-dup: window-of-W compare after one keyed sort"
+    ),
+
+    // Entity resolution (record linkage): multi-pass blocking + weighted
+    // field scoring, the Fellegi-Sunter-lite composition. Two independent
+    // blocking passes (lang+12-char prefix; lang+length-decade+first word)
+    // each generate candidates as equi-joins on slim (key, id) frames —
+    // candidates are the UNION of both passes, so a pair missed by one
+    // key survives via the other (the standard recall trick). Features
+    // join back by id AFTER pair dedup, so text crosses the network only
+    // for surviving candidates. Integer weights keep the score exact:
+    // fingerprint +50, prefix edit distance +30/+15, length +10, first
+    // word +10; match >= 40, possible >= 20.
+    "d39_entity_resolution" -> Q(
+      fn = (s, d) => {
+        val f = Tables.documents(s, d).select(
+            col("doc_id"), col("lang"), col("n_chars"),
+            lower(col("text")).as("lt"))
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            substring(col("lt"), 1, 60).as("prefix"),
+            md5(encode(col("lt"), "UTF-8")).as("fp"),
+            split(col("lt"), " ").getItem(0).as("w1"),
+            substring(col("lt"), 1, 12).as("p12"))
+          .persist()
+        PipelineCache.swap(f)
+        def pass(keyCols: Seq[Column]): org.apache.spark.sql.DataFrame = {
+          val slim = f.select(col("doc_id") +: keyCols: _*)
+          val a = slim.toDF(("doc_a" +: keyCols.indices.map(i => s"k$i")): _*)
+          val b = slim.toDF(("doc_b" +: keyCols.indices.map(i => s"k$i")): _*)
+          a.join(b, keyCols.indices.map(i => s"k$i"))
+            .where(col("doc_a") < col("doc_b"))
+            .select("doc_a", "doc_b")
+        }
+        val cand = pass(Seq(col("lang"), col("p12")))
+          .union(pass(Seq(col("lang"), (col("n_chars") / 10).cast("long"), col("w1"))))
+          .distinct()
+        val fa = f.select(col("doc_id").as("doc_a"), col("prefix").as("pa"),
+                          col("fp").as("fpa"), col("n_chars").as("na"), col("w1").as("wa"))
+        val fb = f.select(col("doc_id").as("doc_b"), col("prefix").as("pb"),
+                          col("fp").as("fpb"), col("n_chars").as("nb"), col("w1").as("wb"))
+        cand.join(fa, "doc_a").join(fb, "doc_b")
+          .withColumn("score",
+            when(col("fpa") === col("fpb"), 50L).otherwise(0L) +
+            when(levenshtein(col("pa"), col("pb")) <= 6, 30L)
+              .when(levenshtein(col("pa"), col("pb")) <= 15, 15L).otherwise(0L) +
+            when(abs(col("na") - col("nb")) <= 10, 10L).otherwise(0L) +
+            when(col("wa") === col("wb"), 10L).otherwise(0L))
+          .where(col("score") >= 20)
+          .withColumn("verdict",
+            when(col("score") >= 40, "match").otherwise("possible"))
+          .select("doc_a", "doc_b", "score", "verdict")
+          .orderBy(col("score").desc, col("doc_a"), col("doc_b"))
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT doc_id, lang, n_chars,
+                 substr(lower(text), 1, 60) AS prefix,
+                 md5(lower(text)) AS fp,
+                 split_part(lower(text), ' ', 1) AS w1,
+                 substr(lower(text), 1, 12) AS p12
+          FROM documents),
+        c1 AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM f a JOIN f b
+            ON a.lang = b.lang AND a.p12 = b.p12 AND a.doc_id < b.doc_id),
+        c2 AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM f a JOIN f b
+            ON a.lang = b.lang AND a.n_chars // 10 = b.n_chars // 10
+               AND a.w1 = b.w1 AND a.doc_id < b.doc_id),
+        cand AS (
+          SELECT DISTINCT doc_a, doc_b
+          FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)),
+        scored AS (
+          SELECT doc_a, doc_b,
+                 (CASE WHEN fa.fp = fb.fp THEN 50 ELSE 0 END
+                  + CASE WHEN levenshtein(fa.prefix, fb.prefix) <= 6 THEN 30
+                         WHEN levenshtein(fa.prefix, fb.prefix) <= 15 THEN 15
+                         ELSE 0 END
+                  + CASE WHEN abs(fa.n_chars - fb.n_chars) <= 10 THEN 10 ELSE 0 END
+                  + CASE WHEN fa.w1 = fb.w1 THEN 10 ELSE 0 END) AS score
+          FROM cand
+          JOIN f fa ON fa.doc_id = doc_a
+          JOIN f fb ON fb.doc_id = doc_b)
+        SELECT doc_a, doc_b, CAST(score AS BIGINT) AS score,
+               CASE WHEN score >= 40 THEN 'match' ELSE 'possible' END AS verdict
+        FROM scored WHERE score >= 20
+        ORDER BY score DESC, doc_a, doc_b"""),
+      doc = "entity resolution: multi-pass blocking union + integer-weighted field scoring"
     )
   )
 }

@@ -276,4 +276,14 @@ class PlanQualitySpec extends AnyFunSuite {
     val windows = plan.linesIterator.count(_.trim.startsWith("Window"))
     assert(windows <= 1, s"both neighbor slots must share one window pass, saw $windows:\n$plan")
   }
+
+  test("d39 (entity resolution): features cached once; all joins equi-keyed") {
+    val plan = executedPlan("d39_entity_resolution").split("== Initial Plan ==").head
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"the feature frame must be scanned once and reused by both blocking passes:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"blocking and join-back must stay equi-joins:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 1, s"one documents scan expected behind the cache, saw $scans:\n$plan")
+  }
 }
