@@ -279,11 +279,14 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("d39 (entity resolution): features cached once; all joins equi-keyed") {
     val plan = executedPlan("d39_entity_resolution").split("== Initial Plan ==").head
-    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
-      s"the feature frame must be scanned once and reused by both blocking passes:\n$plan")
+    // every branch (2 blocking passes x 2 sides + 2 feature join-backs)
+    // must read the cached feature frame, not re-scan parquet. Each
+    // InMemoryTableScan's dump re-prints the FileScan INSIDE the cached
+    // relation, so count cache reads, not "Scan parquet" substrings.
+    val cacheReads = "InMemoryTableScan".r.findAllIn(plan).size
+    assert(cacheReads >= 6,
+      s"all 6 branches must read the cached feature frame, saw $cacheReads:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"blocking and join-back must stay equi-joins:\n$plan")
-    val scans = "Scan parquet".r.findAllIn(plan).size
-    assert(scans <= 1, s"one documents scan expected behind the cache, saw $scans:\n$plan")
   }
 }
