@@ -1346,6 +1346,114 @@ object Analytics {
           FROM st)
         ORDER BY var_a, var_b"""),
       doc = "pairwise correlation matrix from one sufficient-stats pass"
+    ),
+
+    // Cumulative DISTINCT count per key — a window Spark (and ANSI SQL)
+    // cannot express directly (no COUNT(DISTINCT) over a running frame):
+    // the engine's rewrite marks each (customer, part) pair's FIRST
+    // occurrence with one row_number window, then running-sums the flags
+    // with a second window over the same partition key. Both windows
+    // shuffle on the customer key only — the rewrite adds no extra
+    // shuffle over the naive (unexpressible) form.
+    "w4_cumulative_distinct" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .where(col("o_custkey") < 30)
+          .select(col("o_custkey"), col("l_partkey"),
+                  unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"),
+                  col("l_orderkey"), col("l_linenumber"))
+        // (od_us, l_orderkey, l_linenumber) is NOT unique in the fixture,
+        // so l_partkey joins the ordering to make the sort key total —
+        // otherwise tie rows interleave differently across engines.
+        val firstW = Window.partitionBy("o_custkey", "l_partkey")
+          .orderBy("od_us", "l_orderkey", "l_linenumber", "l_partkey")
+        val cumW = Window.partitionBy("o_custkey")
+          .orderBy("od_us", "l_orderkey", "l_linenumber", "l_partkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        li.withColumn("first_seen",
+            when(row_number().over(firstW) === 1, 1L).otherwise(0L))
+          .withColumn("distinct_parts_so_far", sum("first_seen").over(cumW))
+          .select("o_custkey", "od_us", "l_orderkey", "l_linenumber",
+                  "l_partkey", "distinct_parts_so_far")
+          .orderBy("o_custkey", "od_us", "l_orderkey", "l_linenumber", "l_partkey")
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT o_custkey, l_partkey, epoch_us(o_orderdate) AS od_us,
+                 l_orderkey, l_linenumber
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_custkey < 30),
+        f AS (
+          SELECT *, CASE WHEN row_number() OVER (PARTITION BY o_custkey, l_partkey
+                           ORDER BY od_us, l_orderkey, l_linenumber, l_partkey) = 1
+                         THEN 1 ELSE 0 END AS first_seen
+          FROM li)
+        SELECT o_custkey, od_us, l_orderkey, l_linenumber, l_partkey,
+               CAST(sum(first_seen) OVER (PARTITION BY o_custkey
+                      ORDER BY od_us, l_orderkey, l_linenumber, l_partkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS distinct_parts_so_far
+        FROM f ORDER BY o_custkey, od_us, l_orderkey, l_linenumber, l_partkey"""),
+      doc = "running COUNT(DISTINCT) via first-occurrence flag + cumulative sum"
+    ),
+
+    // Welch's two-sample t-test entirely from one conditional-aggregation
+    // pass: returned vs accepted lineitems compared on extended price.
+    // Means/variances derive from exact DECIMAL sufficient statistics
+    // (order-independent sums ⇒ cross-engine bit-stable doubles), then
+    // the t statistic and Welch–Satterthwaite df are O(1) arithmetic on
+    // the 1-row stats frame. The in-engine A/B-test shape: no second
+    // scan, no shuffle beyond the partial-agg exchange.
+    "a22_welch_ttest" -> Q(
+      fn = (s, d) => {
+        val x = col("l_extendedprice").cast(DecimalType(18, 2))
+        val isR = col("l_returnflag") === "R"
+        val isA = col("l_returnflag") === "A"
+        val st = Tables.lineitem(s, d).agg(
+          sum(when(isR, 1L).otherwise(0L)).cast("double").as("n1"),
+          sum(when(isR, x)).cast("double").as("s1"),
+          sum(when(isR, x * x)).cast("double").as("ss1"),
+          sum(when(isA, 1L).otherwise(0L)).cast("double").as("n2"),
+          sum(when(isA, x)).cast("double").as("s2"),
+          sum(when(isA, x * x)).cast("double").as("ss2"))
+        st.withColumn("m1", col("s1") / col("n1"))
+          .withColumn("m2", col("s2") / col("n2"))
+          .withColumn("v1", (col("ss1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1))
+          .withColumn("v2", (col("ss2") - col("s2") * col("s2") / col("n2")) / (col("n2") - 1))
+          .withColumn("se2", col("v1") / col("n1") + col("v2") / col("n2"))
+          .withColumn("t_stat", (col("m1") - col("m2")) / sqrt(col("se2")))
+          .withColumn("df_welch",
+            col("se2") * col("se2") /
+              (col("v1") * col("v1") / (col("n1") * col("n1") * (col("n1") - 1)) +
+               col("v2") * col("v2") / (col("n2") * col("n2") * (col("n2") - 1))))
+          .select(col("n1").cast("long").as("n_returned"),
+                  col("n2").cast("long").as("n_accepted"),
+                  (col("m1") - col("m2")).as("mean_diff"),
+                  col("t_stat"), col("df_welch"))
+      },
+      oracle = Some("""
+        WITH st AS (
+          SELECT CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+                 CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s1,
+                 CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS ss1,
+                 CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+                 CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s2,
+                 CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS ss2
+          FROM lineitem),
+        m AS (
+          SELECT *, s1 / n1 AS m1, s2 / n2 AS m2,
+                 (ss1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+                 (ss2 - s2 * s2 / n2) / (n2 - 1) AS v2
+          FROM st),
+        e AS (SELECT *, v1 / n1 + v2 / n2 AS se2 FROM m)
+        SELECT CAST(n1 AS BIGINT) AS n_returned, CAST(n2 AS BIGINT) AS n_accepted,
+               m1 - m2 AS mean_diff,
+               (m1 - m2) / sqrt(se2) AS t_stat,
+               se2 * se2 / (v1 * v1 / (n1 * n1 * (n1 - 1)) + v2 * v2 / (n2 * n2 * (n2 - 1))) AS df_welch
+        FROM e"""),
+      doc = "Welch two-sample t-test from one conditional-aggregation pass"
     )
   )
 }

@@ -415,6 +415,73 @@ object Relational {
       doc = "SCD2 history: versioned rows to validity intervals via LEAD"
     ),
 
+    // K8 — cascading delete propagation (the right-to-be-forgotten /
+    // TPC-H refresh-function shape): an erasure request for one nation's
+    // customers cascades customer -> orders -> lineitem via semi joins,
+    // and the report carries its own proof — retained lineitems are
+    // anti-joined against retained orders, so a broken cascade surfaces
+    // as n_orphans_after > 0 in the judged output. The erasure id set
+    // rides broadcasts; each fact table is scanned once and counted with
+    // conditional aggregation rather than two filtered passes.
+    "k8_delete_propagation" -> Q(
+      fn = (s, d) => {
+        val victims = Tables.customer(s, d).where(col("c_nationkey") === 3)
+          .select(col("c_custkey"))
+        val o = ord(s, d)
+        val oFlag = o.join(broadcast(victims), col("o_custkey") === col("c_custkey"), "left")
+          .select(col("o_orderkey"), col("c_custkey").isNotNull.as("del"))
+          .persist()
+        PipelineCache.swap(oFlag)
+        val li = Tables.lineitem(s, d)
+          .join(oFlag, col("l_orderkey") === col("o_orderkey"), "left")
+        val custCounts = Tables.customer(s, d).agg(
+          sum(when(col("c_nationkey") === 3, 1L).otherwise(0L)).as("n_deleted"),
+          sum(when(col("c_nationkey") === 3, 0L).otherwise(1L)).as("n_retained"))
+        val ordCounts = oFlag.agg(
+          sum(when(col("del"), 1L).otherwise(0L)).as("n_deleted"),
+          sum(when(col("del"), 0L).otherwise(1L)).as("n_retained"))
+        val liCounts = li.agg(
+          sum(when(col("del"), 1L).otherwise(0L)).as("n_deleted"),
+          sum(when(col("del"), 0L).otherwise(1L)).as("n_retained"),
+          // retained lineitem whose order row is missing = broken cascade
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        custCounts.select(lit("customer").as("table_name"), col("n_deleted"),
+            col("n_retained"), lit(0L).as("n_orphans_after"))
+          .union(ordCounts.select(lit("orders"), col("n_deleted"),
+            col("n_retained"), lit(0L)))
+          .union(liCounts.select(lit("lineitem"), col("n_deleted"),
+            col("n_retained"), col("n_orphans")))
+          .orderBy("table_name")
+      },
+      oracle = Some("""
+        WITH victims AS (SELECT c_custkey FROM customer WHERE c_nationkey = 3),
+        oflag AS (
+          SELECT o_orderkey, o_custkey IN (SELECT c_custkey FROM victims) AS del
+          FROM orders),
+        lflag AS (
+          SELECT l.l_orderkey, o.del, o.o_orderkey
+          FROM lineitem l LEFT JOIN oflag o ON l.l_orderkey = o.o_orderkey)
+        SELECT 'customer' AS table_name,
+               CAST(sum(CASE WHEN c_nationkey = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+               CAST(sum(CASE WHEN c_nationkey = 3 THEN 0 ELSE 1 END) AS BIGINT) AS n_retained,
+               CAST(0 AS BIGINT) AS n_orphans_after
+        FROM customer
+        UNION ALL
+        SELECT 'orders',
+               CAST(sum(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN del THEN 0 ELSE 1 END) AS BIGINT),
+               CAST(0 AS BIGINT)
+        FROM oflag
+        UNION ALL
+        SELECT 'lineitem',
+               CAST(sum(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN del THEN 0 ELSE 1 END) AS BIGINT),
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lflag
+        ORDER BY table_name"""),
+      doc = "cascading delete propagation with in-query orphan proof (K8 erasure shape)"
+    ),
+
     // S8 — per-column data profiling (the production pre-migration check
     // the reference's introspection + validation steps imply): row count,
     // null count, distinct count, min/max per column, in ONE scan — all
