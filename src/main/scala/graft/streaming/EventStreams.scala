@@ -245,6 +245,43 @@ object EventStreams {
     }
   }
 
+  final case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** Per-user per-event-type counters on MapState — the keyed sub-map
+    * shape (user -> {type -> count}) a personalization/feature pipeline
+    * maintains per entity. Completes the v2 state-variable surface the
+    * engine exercises: ValueState (UserTotalsProcessor), ListState
+    * (DedupStreams.BucketPairProcessor), timers (SessionTimeoutProcessor),
+    * and MapState here. Only the types touched in a batch are re-emitted,
+    * so output is O(activity), not O(state).
+    */
+  class UserTypeCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, String), TypeCount] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, TimerValues, MapState}
+
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "type_counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[(Long, String)],
+        timerValues: TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { case (_, ty) =>
+        val cur = if (counts.containsKey(ty)) counts.getValue(ty) else 0L
+        counts.updateValue(ty, cur + 1)
+        touched += ty
+      }
+      touched.iterator.map(ty => TypeCount(key, ty, counts.getValue(ty)))
+    }
+  }
+
   final case class MomentsOut(event_type: String, n: Long, mean: Double, m2: Double)
 
   /** Streaming running moments (Welford) — the streaming twin of the

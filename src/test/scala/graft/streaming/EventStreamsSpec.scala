@@ -203,6 +203,49 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("MapState keeps per-user per-type counters across micro-batches (RocksDB)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, String)](spark)
+      val out = mem.toDS().groupByKey(_._1)
+        .transformWithState(
+          new EventStreams.UserTypeCountsProcessor,
+          TimeMode.None(),
+          OutputMode.Update(),
+          implicitly[org.apache.spark.sql.Encoder[EventStreams.TypeCount]])
+      val q = out.writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("type_counts").start()
+
+      mem.addData((1L, "click"), (1L, "view"), (1L, "click"), (2L, "view"))
+      q.processAllAvailable()
+      mem.addData((1L, "click"), (2L, "purchase")) // map entries must carry over
+      q.processAllAvailable()
+      q.stop()
+
+      val last = spark.sql("SELECT * FROM type_counts").collect()
+        .groupBy(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+        .map { case (k, rows) => k -> rows.map(_.getAs[Long]("n")).max }
+      assert(last((1L, "click")) == 3L)  // 2 in batch 1 + 1 in batch 2
+      assert(last((1L, "view")) == 1L)
+      assert(last((2L, "view")) == 1L)
+      assert(last((2L, "purchase")) == 1L)
+      // only touched types are re-emitted: user 1's view emitted once
+      val viewEmits = spark.sql(
+        "SELECT count(*) FROM type_counts WHERE user_id = 1 AND event_type = 'view'")
+        .collect()(0).getLong(0)
+      assert(viewEmits == 1L)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("v2-API event-time timers close sessions when the watermark passes end+gap") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
