@@ -822,6 +822,118 @@ object Similarity {
             SELECT query_id, anchor_label, neighbor_id, neg_label, rnk, sim
             FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""),
       doc = "hard-negative mining: top-k most-similar cross-label vectors per anchor"
+    ),
+
+    // Product quantization ANN — the fifth ANN family (after brute v1,
+    // hyperplane-LSH v3, IVF v4, Hamming v8) and the one production
+    // vector stores actually run at 100 TB: each 64-d vector collapses
+    // to 8 one-byte codes (one per 8-d subspace), and query-to-corpus
+    // distance becomes 8 table lookups into a per-query ADC table — no
+    // float math per candidate at all. Codebook here is the sampled
+    // variant (the first 16 corpus vectors' subvectors, integer-
+    // quantized), which keeps every encode/ADC distance an exact int64
+    // and the whole pipeline oracle-checkable. Scale shape: codebook and
+    // ADC tables are tiny broadcasts; encoding is one corpus scan with a
+    // (vec, subspace)-keyed min; scoring shuffles only (ids, codes).
+    "v10_pq_ann" -> Q(
+      fn = (s, d) => {
+        val NSub = 8; val SubDim = 8; val NCode = 16; val NProbes = 10; val K = 5
+        val q = Tables.embeddings(s, d)
+          .select(col("vec_id"), transform(col("embedding"), x => qElem(x)).as("qv"))
+        // one row per (vector, subspace): the 8-d integer subvector
+        val subs = q.select(col("vec_id"),
+            posexplode(array((0 until NSub).map(i =>
+              slice(col("qv"), i * SubDim + 1, SubDim)): _*)).as(Seq("sub", "svec")))
+          .persist()
+        PipelineCache.swap(subs)
+        def l2(a: Column, b: Column): Column =
+          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+        // nearest codeword per (vector, subspace), ties to the low code
+        def encode(df: DataFrame, cb: DataFrame): DataFrame =
+          df.join(broadcast(cb), "sub")
+            .withColumn("dist", l2(col("svec"), col("cvec")))
+            .groupBy("vec_id", "sub")
+            .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
+        // codebook: seeded from the first 16 vectors' subvectors, then ONE
+        // Lloyd refinement per subspace (assign -> per-dim integer mean).
+        // On the uniform synthetic corpus (PQ's worst case) the refinement
+        // lifts recall@5 vs exact L2 from 0.16 to 0.32 — asserted in
+        // SimilaritySpec. Means use round(avg) — exact int64 sums make the
+        // division bit-identical across engines, v4's proven discipline.
+        val cb0 = subs.where(col("vec_id") < NCode)
+          .select(col("vec_id").as("code"), col("sub"), col("svec").as("cvec"))
+        val cb1 = encode(subs, cb0).join(subs, Seq("vec_id", "sub"))
+          .groupBy("sub", "code")
+          .agg(array((1 to SubDim).map(i =>
+            round(avg(element_at(col("svec"), i))).cast("long")): _*).as("cvec"))
+        val enc = encode(subs, cb1)
+        // ADC tables: query-subvector -> codeword distances (tiny)
+        val adc = subs.where(col("vec_id") < NProbes)
+          .select(col("vec_id").as("query_id"), col("sub"), col("svec"))
+          .join(broadcast(cb1), "sub")
+          .withColumn("pdist", l2(col("svec"), col("cvec")))
+          .select("query_id", "sub", "code", "pdist")
+        val w = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("neighbor_id"))
+        enc.join(broadcast(adc), Seq("sub", "code"))
+          .where(col("query_id") =!= col("vec_id"))
+          .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+          .agg(sum("pdist").as("adc_dist"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .where(col("rnk") <= K)
+          .select("query_id", "neighbor_id", "rnk", "adc_dist")
+          .orderBy("query_id", "rnk")
+      },
+      oracle = Some(s"""
+        WITH q AS (
+          SELECT vec_id, list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+          FROM embeddings),
+        subs AS (
+          SELECT vec_id, sub, qv[sub*8+1 : sub*8+8] AS svec
+          FROM q, (SELECT unnest(range(0, 8)) AS sub)),
+        cb0 AS (
+          SELECT vec_id AS code, sub, svec AS cvec FROM subs WHERE vec_id < 16),
+        enc0 AS (
+          SELECT s.vec_id, s.sub, k.code,
+                 list_sum(list_transform(range(1, 9),
+                   i -> (s.svec[i] - k.cvec[i]) * (s.svec[i] - k.cvec[i]))) AS dist
+          FROM subs s JOIN cb0 k USING (sub)
+          QUALIFY row_number() OVER (PARTITION BY s.vec_id, s.sub
+                                     ORDER BY dist, k.code) = 1),
+        cb1 AS (
+          SELECT e0.sub, e0.code,
+                 list_value(
+                   CAST(round(avg(s.svec[1])) AS BIGINT), CAST(round(avg(s.svec[2])) AS BIGINT),
+                   CAST(round(avg(s.svec[3])) AS BIGINT), CAST(round(avg(s.svec[4])) AS BIGINT),
+                   CAST(round(avg(s.svec[5])) AS BIGINT), CAST(round(avg(s.svec[6])) AS BIGINT),
+                   CAST(round(avg(s.svec[7])) AS BIGINT), CAST(round(avg(s.svec[8])) AS BIGINT)) AS cvec
+          FROM enc0 e0 JOIN subs s ON s.vec_id = e0.vec_id AND s.sub = e0.sub
+          GROUP BY e0.sub, e0.code),
+        enc AS (
+          SELECT s.vec_id, s.sub, k.code,
+                 list_sum(list_transform(range(1, 9),
+                   i -> (s.svec[i] - k.cvec[i]) * (s.svec[i] - k.cvec[i]))) AS dist
+          FROM subs s JOIN cb1 k USING (sub)
+          QUALIFY row_number() OVER (PARTITION BY s.vec_id, s.sub
+                                     ORDER BY dist, k.code) = 1),
+        adc AS (
+          SELECT s.vec_id AS query_id, s.sub, k.code,
+                 list_sum(list_transform(range(1, 9),
+                   i -> (s.svec[i] - k.cvec[i]) * (s.svec[i] - k.cvec[i]))) AS pdist
+          FROM subs s JOIN cb1 k USING (sub)
+          WHERE s.vec_id < 10),
+        score AS (
+          SELECT a.query_id, e.vec_id AS neighbor_id,
+                 CAST(sum(a.pdist) AS BIGINT) AS adc_dist
+          FROM enc e JOIN adc a ON a.sub = e.sub AND a.code = e.code
+          WHERE e.vec_id <> a.query_id
+          GROUP BY 1, 2)
+        SELECT query_id, neighbor_id, rnk, adc_dist FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                           ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rnk
+          FROM score)
+        WHERE rnk <= 5 ORDER BY query_id, rnk"""),
+      doc = "product-quantization ANN: 8x1-byte codes, ADC lookup distance (ANN variant 5)"
     )
   )
 }

@@ -289,4 +289,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"blocking and join-back must stay equi-joins:\n$plan")
   }
+
+  test("v10 (PQ ANN): codebook and ADC tables broadcast; subvectors cached; no cartesian") {
+    val plan = executedPlan("v10_pq_ann").split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"codebook/ADC sides must ride broadcasts:\n$plan")
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"the (vector, subspace) frame must be cached across encode/ADC/codebook:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"every PQ stage joins on (sub) or (sub, code) keys:\n$plan")
+  }
 }

@@ -82,6 +82,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rIvf > 0.0)
   }
 
+  test("PQ ANN: ADC top-5 recovers a usable fraction of the exact-L2 top-5") {
+    val pq = graft.SparkEntry.queries("v10_pq_ann")(spark, SparkTestBase.Sf0001)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    // exact L2 top-5 over the same quantized integer space, Scala-side
+    def q(x: Float): Long = {
+      val v = x.toDouble * 10000
+      if (v >= 0) (v + 0.5).toLong else (v - 0.5).toLong
+    }
+    val qvecs = vecs.map { case (id, v) => id -> v.map(q) }
+    val exact = (0L until 10L).map { probe =>
+      val pv = qvecs(probe)
+      probe -> qvecs.toSeq.filter(_._1 != probe)
+        .map { case (id, v) =>
+          (id, v.zip(pv).map { case (a, b) => (a - b) * (a - b) }.sum) }
+        .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSet
+    }.toMap
+    val scores = exact.toSeq.map { case (probe, ex) =>
+      pq.getOrElse(probe, Set.empty).intersect(ex).size.toDouble / ex.size
+    }
+    val recall = scores.sum / scores.size
+    info(f"PQ recall@5 vs exact L2: $recall%.2f")
+    // uniform random vectors are PQ's worst case; the Lloyd-refined
+    // 16-codeword book still must beat noise decisively
+    assert(recall >= 0.2, f"PQ recall@5 $recall%.2f below floor")
+  }
+
   test("qdot_long/qnorm2 codegen expressions equal the HOF formulation on every fixture vector") {
     import org.apache.spark.sql.functions._
     graft.GraftExtensions.register(spark)
