@@ -1098,6 +1098,66 @@ object Dedup {
         FROM scored WHERE score >= 20
         ORDER BY score DESC, doc_a, doc_b"""),
       doc = "entity resolution: multi-pass blocking union + integer-weighted field scoring"
+    ),
+
+    // Incremental cross-corpus dedup — the production ingestion shape: a
+    // NEW batch (sources src0/src1, ~10% of the corpus) is deduped ONLY
+    // against the EXISTING corpus, never within itself. The band join is
+    // new-side × existing-side, so its cost scales with |new| × bucket
+    // density, not |corpus|² — at 100 TB the existing side's banded keys
+    // are a precomputed index table and each nightly batch joins against
+    // it. Same portable-hash signatures, spam-bucket cap, and exact-
+    // Jaccard verify as the full-corpus d6b.
+    "d40_cross_corpus_dedup" -> Q(
+      fn = (s, d) => {
+        val base = portableSigTable(s, d)
+        val banded = bandedKeys(base)
+        val capped = banded
+          .withColumn("bsz", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+          .where(col("bsz") <= MaxBucket)
+          .drop("bsz")
+        val tags = Tables.documents(s, d)
+          .select(col("doc_id"), col("source").isin("src0", "src1").as("is_new"))
+        val ck = capped.join(tags, "doc_id")
+        val newK = ck.where(col("is_new"))
+          .select(col("band"), col("bh"), col("doc_id").as("doc_new"))
+        val oldK = ck.where(!col("is_new"))
+          .select(col("band"), col("bh"), col("doc_id").as("doc_existing"))
+        val cand = newK.join(oldK, Seq("band", "bh"))
+          .select("doc_new", "doc_existing").distinct()
+        val hs = base.select(col("doc_id"), col("hpos"))
+        cand
+          .join(hs.select(col("doc_id").as("doc_new"), col("hpos").as("h_n")), Seq("doc_new"))
+          .join(hs.select(col("doc_id").as("doc_existing"), col("hpos").as("h_e")), Seq("doc_existing"))
+          .withColumn("jaccard",
+            size(array_intersect(col("h_n"), col("h_e"))).cast("double") /
+              size(array_union(col("h_n"), col("h_e"))))
+          .where(col("jaccard") >= 0.5)
+          .select("doc_new", "doc_existing", "jaccard")
+          .orderBy("doc_new", "doc_existing")
+      },
+      oracle = Some(s"""
+        WITH $minhashPairsCtes,
+        tag AS (
+          SELECT doc_id, source IN ('src0', 'src1') AS is_new FROM documents),
+        cp AS (
+          SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_existing
+          FROM banded a
+          JOIN tag ta ON ta.doc_id = a.doc_id AND ta.is_new
+          JOIN banded b ON a.band = b.band AND a.bh = b.bh
+          JOIN tag tb ON tb.doc_id = b.doc_id AND NOT tb.is_new),
+        ver AS (
+          SELECT c.doc_new, c.doc_existing,
+                 len(list_intersect(x.hpos, y.hpos))::DOUBLE /
+                   len(list_distinct(list_concat(x.hpos, y.hpos))) AS jaccard
+          FROM cp c
+          JOIN sh x ON x.doc_id = c.doc_new
+          JOIN sh y ON y.doc_id = c.doc_existing)
+        SELECT doc_new, doc_existing, jaccard
+        FROM ver WHERE jaccard >= 0.5
+        ORDER BY doc_new, doc_existing"""),
+      doc = "incremental cross-corpus dedup: new batch vs existing index, never within itself"
     )
   )
 }
