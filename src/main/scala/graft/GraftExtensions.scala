@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CassandraToken, HyperplaneBucket, HyperplaneSig32, MinHashSig, PortableWordHashes, QCosine, QDotLong, QNorm2, RollingFingerprint, ShingleHashes}
+import graft.functions.{CassandraToken, HyperplaneBucket, HyperplaneSig32, L2Long, MinHashSig, PortableWordHashes, QCosine, QDotLong, QNorm2, RollingFingerprint, ShingleHashes}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions for SQL use. Attach with
@@ -54,6 +54,7 @@ object GraftExtensions {
     unary("hyperplane_sig32", classOf[HyperplaneSig32], HyperplaneSig32(_)),
     unary("qnorm2", classOf[QNorm2], QNorm2(_)),
     binary("qdot_long", classOf[QDotLong], QDotLong(_, _)),
+    binary("l2_long", classOf[L2Long], L2Long(_, _)),
     binary("qcosine", classOf[QCosine], QCosine(_, _)))
 
   /** Register directly on an existing session (tests / REPL); idempotent. */

@@ -38,6 +38,18 @@ object QDotLongImpl {
     }
     s
   }
+
+  def l2(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
 }
 
 case class QDotLong(left: Expression, right: Expression) extends BinaryExpression {
@@ -83,4 +95,30 @@ case class QNorm2(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): QNorm2 =
     copy(child = newChild)
   override def prettyName: String = "qnorm2"
+}
+
+/** Exact int64 squared L2 distance between two already-integer vectors
+  * (PQ subvectors / codewords): sum of (a_i - b_i)^2, one static call in
+  * codegen — replaces the aggregate(zip_with(..)) HOF pair in the PQ
+  * encode/ADC hot path, same discipline as qdot_long.
+  */
+case class L2Long(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"l2_long expects (array<bigint>, array<bigint>), got $other")
+    }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    QDotLongImpl.l2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = classOf[QDotLongImpl.type].getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, (a, b) => s"$m.l2($a, $b)")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): L2Long =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "l2_long"
 }

@@ -838,6 +838,7 @@ object Similarity {
     "v10_pq_ann" -> Q(
       fn = (s, d) => {
         val NSub = 8; val SubDim = 8; val NCode = 16; val NProbes = 10; val K = 5
+        graft.GraftExtensions.register(s)
         val q = Tables.embeddings(s, d)
           .select(col("vec_id"), transform(col("embedding"), x => qElem(x)).as("qv"))
         // one row per (vector, subspace): the 8-d integer subvector
@@ -846,8 +847,10 @@ object Similarity {
               slice(col("qv"), i * SubDim + 1, SubDim)): _*)).as(Seq("sub", "svec")))
           .persist()
         PipelineCache.swap(subs)
+        // one codegen'd static call per (subvector, codeword) pair — the
+        // HOF zip_with formulation paid lambda machinery in the hot path
         def l2(a: Column, b: Column): Column =
-          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+          call_function("l2_long", a, b)
         // nearest codeword per (vector, subspace), ties to the low code
         def encode(df: DataFrame, cb: DataFrame): DataFrame =
           df.join(broadcast(cb), "sub")

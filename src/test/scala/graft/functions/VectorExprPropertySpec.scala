@@ -31,6 +31,17 @@ class VectorExprPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("l2_long matches the BigInt reference on random integer vectors") {
+    val rnd = new scala.util.Random(13)
+    for (i <- 0 until 2000) {
+      val dim = 1 + rnd.nextInt(64)
+      val a = Array.fill(dim)(rnd.nextLong() % 20001L)
+      val b = Array.fill(dim)(rnd.nextLong() % 20001L)
+      val ref = (0 until dim).map(j => (BigInt(a(j)) - BigInt(b(j))).pow(2)).sum
+      assert(BigInt(QDotLongImpl.l2(arrL(a), arrL(b))) == ref, s"l2 diverged at trial $i")
+    }
+  }
+
   test("hyperplane_bucket and sig32 match a BigInt sign computation on random vectors") {
     val rnd = new scala.util.Random(7)
     val planes = HyperplaneBucketImpl.planes
