@@ -48,4 +48,65 @@ class PartitionPruningSpec extends AnyFunSuite {
       s"scan read ${scan.metrics("numFiles").value} files, " +
         s"expected only the $purchaseFiles in event_type=purchase (of $totalFiles total)")
   }
+
+  test("DYNAMIC partition pruning: a runtime dim-side filter prunes fact partitions") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    graft.core.Tables.events(spark, SparkTestBase.Sf0001)
+      .write.mode("overwrite").partitionBy("event_type").parquet(s"$out/ev")
+    val root = new java.io.File(s"$out/ev")
+    def parquetFiles(dir: java.io.File): Int =
+      Option(dir.listFiles()).getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    val partDirs = root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("event_type="))
+    val totalFiles = partDirs.map(parquetFiles).sum
+    val wantedFiles = partDirs
+      .filter(d => d.getName == "event_type=purchase" || d.getName == "event_type=click")
+      .map(parquetFiles).sum
+
+    // the partition filter is NOT in the query text — it only exists in
+    // the dim table's rows, so pruning must happen at RUNTIME from the
+    // broadcast side (fixture stats are tiny, so disable the stats-based
+    // benefit estimate for the duration of the test)
+    val prevStats = spark.conf.getOption("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      // DPP inserts the runtime filter only when the dim side carries a
+      // SELECTIVE predicate (a Filter node). A local relation won't do —
+      // ConvertToLocalRelation folds the filter into the rows before the
+      // PartitionPruning rule runs — so the dim is a parquet table whose
+      // filter survives to optimization. The wanted types never appear
+      // in the fact query text.
+      Seq(("purchase", 1), ("click", 1), ("view", 0), ("signup", 0), ("error", 0))
+        .toDF("wanted_type", "flag")
+        .write.mode("overwrite").parquet(s"$out/dim")
+      val dim = spark.read.parquet(s"$out/dim").where(col("flag") === 1)
+      val fact = spark.read.parquet(s"$out/ev")
+      val j = fact.join(dim, fact("event_type") === dim("wanted_type"))
+        .groupBy("event_type").count()
+      j.collect()
+      val finalPlan = j.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // AQE leaves are materialized QueryStageExec trees — descend into them
+      def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+        p.collect {
+          case f: FileSourceScanExec => Seq(f)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(q.plan)
+        }.flatten
+      val scan = allScans(finalPlan)
+        .find(_.toString.contains("event_type"))
+        .getOrElse(fail(s"no fact FileSourceScanExec in:\n$finalPlan"))
+      assert(scan.toString.contains("dynamicpruning"),
+        s"expected a dynamicpruning expression in the fact scan's PartitionFilters:\n$scan")
+      assert(scan.metrics("numFiles").value == wantedFiles,
+        s"DPP read ${scan.metrics("numFiles").value} files, expected only the " +
+          s"$wantedFiles in the two wanted partitions (of $totalFiles total)")
+    } finally {
+      prevStats match {
+        case Some(v) => spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", v)
+        case None => spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+      }
+    }
+  }
 }
