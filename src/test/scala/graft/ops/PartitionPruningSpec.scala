@@ -109,4 +109,40 @@ class PartitionPruningSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("runtime bloom-filter join: the build-side filter reaches the fact scan as might_contain") {
+    // the row-level counterpart of DPP: for a SHUFFLE join with a
+    // filtered build side, Spark injects a bloom filter of the build
+    // keys into the probe side's scan stage, so most non-matching fact
+    // rows die before the exchange. The fixture is far below the 10 GB
+    // application-side default, so that threshold is lowered for the
+    // test — at 100 TB the defaults fire on their own.
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val out = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+      graft.core.Tables.lineitem(spark, SparkTestBase.Sf0001).write.parquet(s"$out/li")
+      graft.core.Tables.orders(spark, SparkTestBase.Sf0001).write.parquet(s"$out/o")
+      val li = spark.read.parquet(s"$out/li")
+      val o = spark.read.parquet(s"$out/o").where(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey")).groupBy().count()
+      val withBloom = j.collect()(0).getLong(0)
+      assert(j.queryExecution.executedPlan.toString.contains("might_contain"),
+        s"expected a runtime bloom probe in the fact side:\n${j.queryExecution.executedPlan}")
+      // the bloom is a pure pre-filter: result identical with it disabled
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      try {
+        val plain = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy().count().collect()(0).getLong(0)
+        assert(withBloom == plain && withBloom > 0)
+      } finally spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
