@@ -176,6 +176,45 @@ object Multimodal {
                CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
         FROM documents GROUP BY shape_bucket ORDER BY shape_bucket"""),
       doc = "shape-bucketed media statistics"
+    ),
+
+    // Modality-balanced batch assembly — the training-batch step after
+    // decode: records of each media type round-robin into NB batches in
+    // deterministic id order, so every batch carries an equal (±1) share
+    // of every modality. One window per modality stratum (keyed, no
+    // global sort); the judged output is the (batch, modality) histogram
+    // plus each batch's byte budget — the balance proof itself.
+    "m6_modality_balance" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val NB = 8
+        val typed = Tables.documents(s, d).select(
+          col("doc_id"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+                     (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+          length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+        val w = Window.partitionBy("media_type").orderBy("doc_id")
+        typed
+          .withColumn("batch_id", ((row_number().over(w) - 1) % NB).cast("long"))
+          .groupBy("batch_id", "media_type")
+          .agg(count(lit(1)).as("n_items"), sum("n_bytes").as("total_bytes"))
+          .orderBy("batch_id", "media_type")
+      },
+      oracle = Some("""
+        WITH typed AS (
+          SELECT doc_id,
+                 (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+          FROM documents),
+        b AS (
+          SELECT *, CAST((row_number() OVER (PARTITION BY media_type ORDER BY doc_id) - 1) % 8
+                     AS BIGINT) AS batch_id
+          FROM typed)
+        SELECT batch_id, media_type, count(*) AS n_items,
+               CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+        FROM b GROUP BY batch_id, media_type
+        ORDER BY batch_id, media_type"""),
+      doc = "modality-balanced batch assembly: round-robin per media type into fixed batches"
     )
   )
 }

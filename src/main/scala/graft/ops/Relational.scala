@@ -482,6 +482,43 @@ object Relational {
       doc = "cascading delete propagation with in-query orphan proof (K8 erasure shape)"
     ),
 
+    // S18 — corrupt-record handling on ingest: every 7th JSON line is
+    // written truncated, and the PERMISSIVE reader must (a) not fail,
+    // (b) route exactly those lines to _corrupt_record, (c) parse every
+    // field of the good lines. The oracle knows which records were
+    // broken by construction, so the corrupt-routing itself is judged —
+    // the dirty-data path a 100 TB scrape ingest lives on. Bad rows stay
+    // data (quarantinable), never exceptions.
+    "s18_corrupt_records" -> Q(
+      fn = (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_s18").toString
+        Tables.documents(s, d)
+          .select(
+            when(col("doc_id") % 7 === 0,
+                 concat(lit("{\"doc_id\":"), col("doc_id"), lit(",\"lang\":")))
+              .otherwise(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))))
+              .as("value"))
+          .write.mode("overwrite").text(s"$out/docs_json")
+        s.read
+          .schema("doc_id LONG, lang STRING, n_chars LONG, _corrupt_record STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(s"$out/docs_json")
+          .agg(
+            count(lit(1)).as("n_total"),
+            sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+            sum(when(col("_corrupt_record").isNull, col("n_chars"))).as("good_n_chars"),
+            countDistinct(when(col("_corrupt_record").isNull, col("lang"))).as("good_langs"))
+      },
+      oracle = Some("""
+        SELECT count(*) AS n_total,
+               sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS n_corrupt,
+               CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN n_chars END) AS BIGINT) AS good_n_chars,
+               count(DISTINCT CASE WHEN doc_id % 7 <> 0 THEN lang END) AS good_langs
+        FROM documents"""),
+      doc = "PERMISSIVE corrupt-record routing on JSON ingest (S18 dirty-data path)"
+    ),
+
     // S8 — per-column data profiling (the production pre-migration check
     // the reference's introspection + validation steps imply): row count,
     // null count, distinct count, min/max per column, in ONE scan — all
