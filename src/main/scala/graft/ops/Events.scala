@@ -432,6 +432,52 @@ object Events {
         FROM a WHERE event_type = 'purchase'
         GROUP BY channel ORDER BY channel"""),
       doc = "last-touch attribution within a 1-hour lookback (as-of window, no self-join)"
+    ),
+
+    // Ordered-sequence pattern matching (MATCH_RECOGNIZE-lite): find
+    // every view -> click -> purchase run that is CONSECUTIVE within a
+    // user's funnel-event subsequence and completes inside 24 hours
+    // (the fixture averages one funnel event per user every ~14 h, so a
+    // 1-hour window matches nothing — the day window yields real runs).
+    // The engine's rewrite: filter to the pattern alphabet, then two
+    // lead windows over one user-keyed sort expose each 3-row run —
+    // no self-joins, so cost is one keyed shuffle regardless of pattern
+    // length. e5 counts stage reach; this emits each full match
+    // instance, which is what session-quality and abuse analyses need.
+    "w5_pattern_match" -> Q(
+      fn = (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        Tables.events(s, d)
+          .where(col("event_type").isin("view", "click", "purchase"))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+                  unix_micros(col("ts")).as("us"))
+          .withColumn("t1", lead("event_type", 1).over(w))
+          .withColumn("t2", lead("event_type", 2).over(w))
+          .withColumn("us2", lead("us", 2).over(w))
+          .where(col("event_type") === "view" && col("t1") === "click" &&
+                 col("t2") === "purchase" &&
+                 col("us2") - col("us") <= 86400000000L)
+          .select(col("user_id"), col("us").as("view_us"),
+                  col("us2").as("purchase_us"),
+                  (col("us2") - col("us")).as("funnel_us"))
+          .orderBy("user_id", "view_us")
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+          FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        l AS (
+          SELECT *, lead(event_type, 1) OVER w AS t1,
+                    lead(event_type, 2) OVER w AS t2,
+                    lead(us, 2) OVER w AS us2
+          FROM f WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        SELECT user_id, us AS view_us, us2 AS purchase_us,
+               us2 - us AS funnel_us
+        FROM l
+        WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+          AND us2 - us <= 86400000000
+        ORDER BY user_id, view_us"""),
+      doc = "ordered-sequence pattern matching: consecutive view->click->purchase within 24h"
     )
   )
 }
