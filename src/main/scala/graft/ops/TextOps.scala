@@ -858,6 +858,112 @@ object TextOps {
       doc = "BPE merge learning: 3 unrolled pair-count supersteps over the vocabulary"
     ),
 
+    // BPE ENCODE — the apply side of d36, closing the tokenizer loop
+    // (learn merges -> encode corpus -> count tokens): the vocabulary is
+    // encoded ONCE through the same 3 merge steps (production tokenizers
+    // encode unique words, never raw text), then documents join the
+    // encoded vocab by word and roll up per-doc token statistics. The
+    // per-word token count is the only thing that crosses from the
+    // vocabulary pipeline to the corpus — at 100 TB the encoded vocab is
+    // a dictionary table, and this query is one word-keyed join + one
+    // doc-keyed aggregation.
+    "d41_bpe_encode" -> Q(
+      fn = (s, d) => {
+        val words = doc(s, d)
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+          .where(col("word").rlike("^[a-z]+$"))
+        val wc = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+        val t0 = wc.select(col("word"),
+          concat(regexp_replace(col("word"), "(.)", " $1"), lit(" ")).as("tok"),
+          col("cnt")).persist()
+        def pairCounts(t: org.apache.spark.sql.DataFrame) =
+          t.select(split(trim(col("tok")), " ").as("ss"), col("cnt"))
+            .where(size(col("ss")) >= 2)
+            .select(explode(expr(
+              "transform(sequence(0, size(ss)-2), i -> struct(ss[i] AS a, ss[i+1] AS b))"))
+              .as("p"), col("cnt"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum(col("cnt")).as("c"))
+        def best(pc: org.apache.spark.sql.DataFrame) =
+          pc.orderBy(col("c").desc, col("a"), col("b")).limit(1)
+        def merge(t: org.apache.spark.sql.DataFrame,
+                  m: org.apache.spark.sql.DataFrame) =
+          t.crossJoin(broadcast(m))
+            .select(col("word"), expr(
+              "replace(tok, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')")
+              .as("tok"), col("cnt"))
+        val t1 = merge(t0, best(pairCounts(t0))).persist()
+        val t2 = merge(t1, best(pairCounts(t1))).persist()
+        val t3 = merge(t2, best(pairCounts(t2)))
+        PipelineCache.swap(t0, t1, t2)
+        val enc = t3.select(col("word"),
+          size(split(trim(col("tok")), " ")).cast("long").as("n_tok"))
+        words.where(col("doc_id") < 100)
+          .join(enc, "word")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+               sum("n_tok").as("n_tokens"),
+               sum(length(col("word"))).cast("long").as("n_alpha_chars"))
+          .withColumn("chars_per_token",
+            col("n_alpha_chars").cast("double") / col("n_tokens"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT doc_id, lower(x) AS word
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS x FROM documents)
+          WHERE regexp_full_match(lower(x), '[a-z]+')),
+        wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+        t0 AS (SELECT word, regexp_replace(word, '(.)', ' \1', 'g') || ' ' AS tok, cnt
+               FROM wc),
+        p1 AS (
+          SELECT ss[i+1] AS a, ss[i+2] AS b, sum(cnt) AS c
+          FROM (SELECT string_split(trim(tok), ' ') AS ss, cnt FROM t0),
+               unnest(range(len(ss)-1)) AS u(i)
+          GROUP BY a, b),
+        m1 AS (SELECT a, b FROM p1 ORDER BY c DESC, a, b LIMIT 1),
+        t1 AS (
+          SELECT word, replace(tok,
+                   ' ' || (SELECT a FROM m1) || ' ' || (SELECT b FROM m1) || ' ',
+                   ' ' || (SELECT a FROM m1) || (SELECT b FROM m1) || ' ') AS tok,
+                 cnt
+          FROM t0),
+        p2 AS (
+          SELECT ss[i+1] AS a, ss[i+2] AS b, sum(cnt) AS c
+          FROM (SELECT string_split(trim(tok), ' ') AS ss, cnt FROM t1),
+               unnest(range(len(ss)-1)) AS u(i)
+          GROUP BY a, b),
+        m2 AS (SELECT a, b FROM p2 ORDER BY c DESC, a, b LIMIT 1),
+        t2 AS (
+          SELECT word, replace(tok,
+                   ' ' || (SELECT a FROM m2) || ' ' || (SELECT b FROM m2) || ' ',
+                   ' ' || (SELECT a FROM m2) || (SELECT b FROM m2) || ' ') AS tok,
+                 cnt
+          FROM t1),
+        p3 AS (
+          SELECT ss[i+1] AS a, ss[i+2] AS b, sum(cnt) AS c
+          FROM (SELECT string_split(trim(tok), ' ') AS ss, cnt FROM t2),
+               unnest(range(len(ss)-1)) AS u(i)
+          GROUP BY a, b),
+        m3 AS (SELECT a, b FROM p3 ORDER BY c DESC, a, b LIMIT 1),
+        t3 AS (
+          SELECT word, replace(tok,
+                   ' ' || (SELECT a FROM m3) || ' ' || (SELECT b FROM m3) || ' ',
+                   ' ' || (SELECT a FROM m3) || (SELECT b FROM m3) || ' ') AS tok
+          FROM t2),
+        enc AS (
+          SELECT word, CAST(len(string_split(trim(tok), ' ')) AS BIGINT) AS n_tok
+          FROM t3)
+        SELECT doc_id, count(*) AS n_words,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               CAST(sum(length(word)) AS BIGINT) AS n_alpha_chars,
+               CAST(sum(length(word)) AS DOUBLE) / CAST(sum(n_tok) AS BIGINT) AS chars_per_token
+        FROM w JOIN enc USING (word)
+        WHERE doc_id < 100
+        GROUP BY doc_id ORDER BY doc_id"""),
+      doc = "BPE encode: apply the learned merges to the corpus via the encoded vocabulary"
+    ),
+
     // LM-coverage quality gate — the exact-arithmetic stand-in for
     // perplexity filtering: a document is fluent when most of its word
     // bigrams are frequent in the corpus LM (d26's count table). True
