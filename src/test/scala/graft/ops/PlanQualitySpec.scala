@@ -290,6 +290,31 @@ class PlanQualitySpec extends AnyFunSuite {
       s"blocking and join-back must stay equi-joins:\n$plan")
   }
 
+  test("w5 (pattern match): one scan, one keyed window, no self-join") {
+    val plan = executedPlan("w5_pattern_match").split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"pattern matching is a single-scan pipeline, saw $scans:\n$plan")
+    assert(!plan.contains("Join"),
+      s"the pattern must come from lead windows, not self-joins:\n$plan")
+    val windows = plan.linesIterator.count(_.trim.startsWith("Window"))
+    assert(windows <= 1, s"all three lead slots share one window pass, saw $windows:\n$plan")
+  }
+
+  test("m6 (modality balance): one scan, one per-stratum window") {
+    val plan = executedPlan("m6_modality_balance").split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"batch assembly is a single-scan pipeline, saw $scans:\n$plan")
+    assert(!plan.contains("Join"), s"no join belongs in round-robin assembly:\n$plan")
+  }
+
+  test("d41 (BPE encode): vocabulary stages cached; corpus joins the encoded vocab by word") {
+    val plan = executedPlan("d41_bpe_encode").split("== Initial Plan ==").head
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"the token table must be persisted across merge steps:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the 1-row merges must ride broadcasts, not a cartesian:\n$plan")
+  }
+
   test("v10 (PQ ANN): codebook and ADC tables broadcast; subvectors cached; no cartesian") {
     val plan = executedPlan("v10_pq_ann").split("== Initial Plan ==").head
     assert(plan.contains("BroadcastHashJoin"),
