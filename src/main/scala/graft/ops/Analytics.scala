@@ -1454,6 +1454,51 @@ object Analytics {
                se2 * se2 / (v1 * v1 / (n1 * n1 * (n1 - 1)) + v2 * v2 / (n2 * n2 * (n2 - 1))) AS df_welch
         FROM e"""),
       doc = "Welch two-sample t-test from one conditional-aggregation pass"
+    ),
+
+    // Chi-square test of independence (lang × source): observed cell
+    // counts vs the margin-product expectation. Exactness discipline for
+    // a SUM of per-cell doubles (which would be order-dependent): each
+    // cell's contribution is rounded to integer micro-units FIRST —
+    // inputs are exact ints so the per-cell double math is bit-identical
+    // on both engines — and the final sum is then an order-independent
+    // BIGINT sum. One scan for the cells; margins derive from the cells
+    // (no second pass); everything after is contingency-table sized.
+    "a23_chi_square" -> Q(
+      fn = (s, d) => {
+        val cells = Tables.documents(s, d).groupBy("lang", "source")
+          .agg(count(lit(1)).as("o")).persist()
+        PipelineCache.swap(cells)
+        val rowM = cells.groupBy("lang").agg(sum("o").as("rt"))
+        val colM = cells.groupBy("source").agg(sum("o").as("ct"))
+        val n = cells.agg(sum("o").as("n"))
+        val term = cells.join(broadcast(rowM), "lang").join(broadcast(colM), "source")
+          .crossJoin(broadcast(n))
+          .withColumn("dev", col("o") * col("n") - col("rt") * col("ct"))
+          .withColumn("term_micro",
+            round(col("dev").cast("double") * col("dev").cast("double") * 1000000d /
+              (col("rt").cast("double") * col("ct").cast("double") * col("n").cast("double")))
+              .cast("long"))
+        term.agg(
+            count(lit(1)).as("n_cells"),
+            max(col("n")).as("n_docs"),
+            sum("term_micro").as("chi2_micro"))
+      },
+      oracle = Some("""
+        WITH cells AS (
+          SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source),
+        rm AS (SELECT lang, sum(o) AS rt FROM cells GROUP BY lang),
+        cm AS (SELECT source, sum(o) AS ct FROM cells GROUP BY source),
+        nn AS (SELECT sum(o) AS n FROM cells),
+        t AS (
+          SELECT CAST(round(
+                   CAST(o * n - rt * ct AS DOUBLE) * CAST(o * n - rt * ct AS DOUBLE)
+                     * 1000000 / (CAST(rt AS DOUBLE) * ct * n)) AS BIGINT) AS term_micro, n
+          FROM cells JOIN rm USING (lang) JOIN cm USING (source), nn)
+        SELECT count(*) AS n_cells, CAST(max(n) AS BIGINT) AS n_docs,
+               CAST(sum(term_micro) AS BIGINT) AS chi2_micro
+        FROM t"""),
+      doc = "chi-square independence test with an order-independent integer statistic"
     )
   )
 }

@@ -374,6 +374,63 @@ object Relational {
       doc = "incremental snapshot merge: latest-wins-by-version CDC compaction"
     ),
 
+    // K9 — CDC apply WITH TOMBSTONES, completing the merge family (k6
+    // latest-wins, k7 history): a change stream of I/U/D operations
+    // folds into final table state — latest op per key wins, and a
+    // winning 'D' removes the row entirely. Exactly MERGE ... WHEN
+    // MATCHED [AND op='D'] THEN DELETE semantics, as one window over the
+    // pk shuffle. The judged row carries the I/U/D breakdown plus the
+    // surviving-row aggregate, so a tombstone that leaks back in (or
+    // drops the wrong generation) diverges the output.
+    "k9_cdc_tombstones" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = ord(s, d).select(
+          col("o_orderkey").as("pk"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"),
+          lit("I").as("op"), lit(1L).as("version"))
+        // generation 2: every 5th key re-priced, every 7th key deleted
+        // (keys divisible by 35 get both — the delete must win by version)
+        val updates = ord(s, d).where(col("o_orderkey") % 5 === 0).select(
+          col("o_orderkey").as("pk"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 3).as("price"),
+          lit("U").as("op"), lit(2L).as("version"))
+        val deletes = ord(s, d).where(col("o_orderkey") % 7 === 0).select(
+          col("o_orderkey").as("pk"),
+          lit(null).cast(DecimalType(18, 2)).as("price"),
+          lit("D").as("op"), lit(3L).as("version"))
+        val latest = base.union(updates).union(deletes)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("pk").orderBy(col("version").desc)))
+          .where(col("rn") === 1)
+        latest.agg(
+            sum(when(col("op") === "I", 1L).otherwise(0L)).as("n_inserted"),
+            sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_updated"),
+            sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_tombstoned"),
+            sum(when(col("op") =!= "D", 1L).otherwise(0L)).as("n_live"),
+            sum(when(col("op") =!= "D", col("price"))).cast("double").as("live_price"))
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT o_orderkey AS pk, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                 'I' AS op, 1 AS version FROM orders),
+        ups AS (
+          SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) * 3, 'U', 2
+          FROM orders WHERE o_orderkey % 5 = 0),
+        dels AS (
+          SELECT o_orderkey, CAST(NULL AS DECIMAL(18,2)), 'D', 3
+          FROM orders WHERE o_orderkey % 7 = 0),
+        u AS (SELECT * FROM base UNION ALL SELECT * FROM ups UNION ALL SELECT * FROM dels),
+        m AS (SELECT *, row_number() OVER (PARTITION BY pk ORDER BY version DESC) AS rn FROM u)
+        SELECT CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+               CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+               CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstoned,
+               CAST(sum(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+               CAST(sum(CASE WHEN op <> 'D' THEN price END) AS DOUBLE) AS live_price
+        FROM m WHERE rn = 1"""),
+      doc = "CDC apply with tombstones: latest op per key wins, deletes drop rows (K9)"
+    ),
+
     // K7 — SCD2 history assembly from versioned CDC rows: each key's
     // versions become validity intervals (valid_to = next version via
     // LEAD, open interval = current row). Same one-shuffle window shape
@@ -517,6 +574,42 @@ object Relational {
                count(DISTINCT CASE WHEN doc_id % 7 <> 0 THEN lang END) AS good_langs
         FROM documents"""),
       doc = "PERMISSIVE corrupt-record routing on JSON ingest (S18 dirty-data path)"
+    ),
+
+    // S19 — schema evolution across snapshot generations: generation 1
+    // was written before the o_orderpriority column existed; generation 2
+    // carries it. mergeSchema unions the schemas at read time, old rows
+    // surface NULL for the new column, and the judged rollup proves both
+    // that no rows were lost and that the column is populated exactly on
+    // the new generation. This is the lakehouse reality of any long-lived
+    // 100 TB table — schemas drift, readers must span generations.
+    "s19_schema_evolution" -> Q(
+      fn = (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_s19").toString
+        val o = ord(s, d)
+        o.where(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$out/snap/gen=1")
+        o.where(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+          .write.mode("overwrite").parquet(s"$out/snap/gen=2")
+        s.read.option("mergeSchema", "true").parquet(s"$out/snap")
+          .groupBy(col("gen").cast("long").as("gen"))
+          .agg(count(lit(1)).as("n_rows"),
+               sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("n_null_priority"),
+               countDistinct(col("o_orderpriority")).as("n_priorities"),
+               sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total_price"))
+          .orderBy("gen")
+      },
+      oracle = Some("""
+        SELECT CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS gen,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_priority,
+               count(DISTINCT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END) AS n_priorities,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY gen ORDER BY gen"""),
+      doc = "schema evolution: mergeSchema read across snapshot generations (S19)"
     ),
 
     // S8 — per-column data profiling (the production pre-migration check
