@@ -1499,6 +1499,43 @@ object Analytics {
                CAST(sum(term_micro) AS BIGINT) AS chi2_micro
         FROM t"""),
       doc = "chi-square independence test with an order-independent integer statistic"
+    ),
+
+    // Month-over-month revenue growth — the period-comparison staple:
+    // one fact aggregation to month grain, then a lag window over the
+    // ~80-row monthly series (aggregate-sized input, so the global
+    // window is free — same discipline as e9). Revenue stays DECIMAL
+    // through the aggregation; the growth ratio is one deterministic
+    // double division per month.
+    "q23_mom_growth" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy("month")
+        Tables.orders(s, d)
+          .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+          .withColumn("prev_rev", lag("rev", 1).over(w))
+          .select(col("month"),
+                  col("rev").cast("double").as("revenue"),
+                  col("prev_rev").cast("double").as("prev_revenue"),
+                  ((col("rev") - col("prev_rev")).cast("double") /
+                     col("prev_rev").cast("double")).as("growth"))
+          .orderBy("month")
+      },
+      oracle = Some("""
+        WITH m AS (
+          -- DuckDB date_trunc('month', ts) yields DATE; Spark yields
+          -- TIMESTAMP — align explicitly
+          SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          FROM orders GROUP BY month),
+        l AS (
+          SELECT month, rev, lag(rev, 1) OVER (ORDER BY month) AS prev_rev FROM m)
+        SELECT month, CAST(rev AS DOUBLE) AS revenue,
+               CAST(prev_rev AS DOUBLE) AS prev_revenue,
+               CAST(rev - prev_rev AS DOUBLE) / CAST(prev_rev AS DOUBLE) AS growth
+        FROM l ORDER BY month"""),
+      doc = "month-over-month revenue growth via lag over the aggregate-sized series"
     )
   )
 }
