@@ -600,6 +600,50 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(queryLong("SELECT COUNT(*) FROM \"curated_docs\"") == expectedKept)
   }
 
+  test("Trigger.AvailableNow drains the backlog, stops, and a rerun takes only the delta") {
+    import spark.implicits._
+    // the incremental-batch pattern: a cron job runs the STREAMING query
+    // with AvailableNow — it processes everything currently available
+    // (respecting per-trigger bounds), terminates on its own, and the
+    // next run resumes from the checkpoint so it reads only new files.
+    val dir = java.nio.file.Files.createTempDirectory("anow").toString
+    val landing = s"$dir/landing"; new java.io.File(landing).mkdirs()
+    val cp = s"$dir/cp"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
+    def land(name: String, r: Seq[Long]): Unit = {
+      val tmp = s"$dir/$name"
+      r.toDF("id").coalesce(1).write.parquet(tmp)
+      val src = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(src.toPath, java.nio.file.Paths.get(landing, s"$name.parquet"))
+      ()
+    }
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def runOnce(): Long = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(landing)
+        .writeStream
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.collect().foreach(r => seen.add(r.getLong(0))); ()
+        }
+        .start()
+      q.awaitTermination(120000) // AvailableNow terminates by itself
+      assert(!q.isActive, "AvailableNow query must stop after draining")
+      seen.size().toLong
+    }
+    land("a", 1L to 50L); land("b", 51L to 100L)
+    val afterFirst = runOnce()
+    assert(afterFirst == 100L, s"first run must drain both backlog files, saw $afterFirst")
+    land("c", 101L to 130L)
+    val afterSecond = runOnce()
+    assert(afterSecond == 130L, s"second run must add only the delta, saw $afterSecond")
+    import scala.jdk.CollectionConverters._
+    assert(seen.iterator().asScala.toSeq.sorted == (1L to 130L),
+      "no loss, no dupes across the two incremental runs")
+  }
+
   test("file stream honors maxFilesPerTrigger: bounded micro-batches, no loss") {
     import spark.implicits._
     // 3 landing files -> with maxFilesPerTrigger=1 the source must take
