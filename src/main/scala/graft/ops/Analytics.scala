@@ -1249,8 +1249,7 @@ object Analytics {
     // 100 TB this whole query is a single pass with zero shuffles.
     "f4_array_ops" -> Q(
       fn = (s, d) => {
-        val qv = transform(col("embedding"),
-          x => round(x.cast("double") * lit(10000)).cast("long"))
+        val qv = transform(col("embedding"), x => Similarity.qElem(x))
         val top = sort_array(col("qv"), asc = false)
         Tables.embeddings(s, d).where(col("vec_id") < 100)
           .withColumn("qv", qv)

@@ -24,8 +24,12 @@ object Similarity {
   private val Dim = 64
   private val Scale = 10000.0
 
-  /** Integer-quantized component: round(x * 10^4) as long. */
-  private def qElem(x: Column): Column =
+  /** Integer-quantized component: round(x * 10^4) as long — the ONE
+    * quantization rule every integer-exact consumer shares (f4's array
+    * surface included); keep it single-sourced so the quantized spaces
+    * can never diverge.
+    */
+  private[ops] def qElem(x: Column): Column =
     round(x.cast("double") * lit(Scale)).cast("long")
 
   // The former HOF dot/norm helpers are gone: every consumer now uses the

@@ -791,11 +791,17 @@ object TextOps {
             .agg(sum(col("cnt")).as("c"))
         def best(pc: org.apache.spark.sql.DataFrame) =
           pc.orderBy(col("c").desc, col("a"), col("b")).limit(1)
+        // merge application runs TWO greedy left-to-right passes: a single
+        // replace() consumes the shared delimiter space, skipping the
+        // second of two ADJACENT occurrences (' a b a b '); the second
+        // pass catches it. Runs longer than 4 repeats would need more
+        // passes — [a-z]+ fixture words never get there, and both engines
+        // apply the identical rule either way.
         def merge(t: org.apache.spark.sql.DataFrame,
                   m: org.apache.spark.sql.DataFrame) =
           t.crossJoin(broadcast(m))
             .select(expr(
-              "replace(tok, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')")
+              "replace(replace(tok, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '), ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')")
               .as("tok"), col("cnt"))
         val m1 = best(pairCounts(t0))
         val t1 = merge(t0, m1).persist()
@@ -824,7 +830,9 @@ object TextOps {
           GROUP BY a, b),
         m1 AS (SELECT a, b, c FROM p1 ORDER BY c DESC, a, b LIMIT 1),
         t1 AS (
-          SELECT replace(tok,
+          SELECT replace(replace(tok,
+                   ' ' || (SELECT a FROM m1) || ' ' || (SELECT b FROM m1) || ' ',
+                   ' ' || (SELECT a FROM m1) || (SELECT b FROM m1) || ' '),
                    ' ' || (SELECT a FROM m1) || ' ' || (SELECT b FROM m1) || ' ',
                    ' ' || (SELECT a FROM m1) || (SELECT b FROM m1) || ' ') AS tok,
                  cnt
@@ -836,7 +844,9 @@ object TextOps {
           GROUP BY a, b),
         m2 AS (SELECT a, b, c FROM p2 ORDER BY c DESC, a, b LIMIT 1),
         t2 AS (
-          SELECT replace(tok,
+          SELECT replace(replace(tok,
+                   ' ' || (SELECT a FROM m2) || ' ' || (SELECT b FROM m2) || ' ',
+                   ' ' || (SELECT a FROM m2) || (SELECT b FROM m2) || ' '),
                    ' ' || (SELECT a FROM m2) || ' ' || (SELECT b FROM m2) || ' ',
                    ' ' || (SELECT a FROM m2) || (SELECT b FROM m2) || ' ') AS tok,
                  cnt
@@ -886,11 +896,12 @@ object TextOps {
             .agg(sum(col("cnt")).as("c"))
         def best(pc: org.apache.spark.sql.DataFrame) =
           pc.orderBy(col("c").desc, col("a"), col("b")).limit(1)
+        // two greedy passes per merge, same rule as d36 (see comment there)
         def merge(t: org.apache.spark.sql.DataFrame,
                   m: org.apache.spark.sql.DataFrame) =
           t.crossJoin(broadcast(m))
             .select(col("word"), expr(
-              "replace(tok, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')")
+              "replace(replace(tok, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '), ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')")
               .as("tok"), col("cnt"))
         val t1 = merge(t0, best(pairCounts(t0))).persist()
         val t2 = merge(t1, best(pairCounts(t1))).persist()
@@ -923,7 +934,9 @@ object TextOps {
           GROUP BY a, b),
         m1 AS (SELECT a, b FROM p1 ORDER BY c DESC, a, b LIMIT 1),
         t1 AS (
-          SELECT word, replace(tok,
+          SELECT word, replace(replace(tok,
+                   ' ' || (SELECT a FROM m1) || ' ' || (SELECT b FROM m1) || ' ',
+                   ' ' || (SELECT a FROM m1) || (SELECT b FROM m1) || ' '),
                    ' ' || (SELECT a FROM m1) || ' ' || (SELECT b FROM m1) || ' ',
                    ' ' || (SELECT a FROM m1) || (SELECT b FROM m1) || ' ') AS tok,
                  cnt
@@ -935,7 +948,9 @@ object TextOps {
           GROUP BY a, b),
         m2 AS (SELECT a, b FROM p2 ORDER BY c DESC, a, b LIMIT 1),
         t2 AS (
-          SELECT word, replace(tok,
+          SELECT word, replace(replace(tok,
+                   ' ' || (SELECT a FROM m2) || ' ' || (SELECT b FROM m2) || ' ',
+                   ' ' || (SELECT a FROM m2) || (SELECT b FROM m2) || ' '),
                    ' ' || (SELECT a FROM m2) || ' ' || (SELECT b FROM m2) || ' ',
                    ' ' || (SELECT a FROM m2) || (SELECT b FROM m2) || ' ') AS tok,
                  cnt
@@ -947,7 +962,9 @@ object TextOps {
           GROUP BY a, b),
         m3 AS (SELECT a, b FROM p3 ORDER BY c DESC, a, b LIMIT 1),
         t3 AS (
-          SELECT word, replace(tok,
+          SELECT word, replace(replace(tok,
+                   ' ' || (SELECT a FROM m3) || ' ' || (SELECT b FROM m3) || ' ',
+                   ' ' || (SELECT a FROM m3) || (SELECT b FROM m3) || ' '),
                    ' ' || (SELECT a FROM m3) || ' ' || (SELECT b FROM m3) || ' ',
                    ' ' || (SELECT a FROM m3) || (SELECT b FROM m3) || ' ') AS tok
           FROM t2),

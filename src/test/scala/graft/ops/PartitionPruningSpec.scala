@@ -119,7 +119,8 @@ class PartitionPruningSpec extends AnyFunSuite {
     // test — at 100 TB the defaults fire on their own.
     val prev = Seq(
       "spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled")
       .map(k => k -> spark.conf.getOption(k)).toMap
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
@@ -135,11 +136,9 @@ class PartitionPruningSpec extends AnyFunSuite {
         s"expected a runtime bloom probe in the fact side:\n${j.queryExecution.executedPlan}")
       // the bloom is a pure pre-filter: result identical with it disabled
       spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
-      try {
-        val plain = li.join(o, col("l_orderkey") === col("o_orderkey"))
-          .groupBy().count().collect()(0).getLong(0)
-        assert(withBloom == plain && withBloom > 0)
-      } finally spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      val plain = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy().count().collect()(0).getLong(0)
+      assert(withBloom == plain && withBloom > 0)
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
