@@ -1535,6 +1535,53 @@ object Analytics {
                CAST(rev - prev_rev AS DOUBLE) / CAST(prev_rev AS DOUBLE) AS growth
         FROM l ORDER BY month"""),
       doc = "month-over-month revenue growth via lag over the aggregate-sized series"
+    ),
+
+    // Benford first-digit audit — the classic synthetic-data / fraud
+    // screen: the leading digit of o_totalprice vs Benford's expected
+    // share. Exactness: observed counts are ints; the expected share
+    // log10(1+1/d) is replaced by its integer-micro literal table (no
+    // engine transcendentals), and the deviation is integer-micro too.
+    // One scan, 9-row output. (TPC-H prices are uniform-ish, so the
+    // audit FLAGS them — which is the point of the screen.)
+    "a24_benford" -> Q(
+      fn = (s, d) => {
+        // round(log10(1 + 1/d) * 1e6) for d = 1..9, precomputed
+        val benfordMicro = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+                               66947L, 57992L, 51153L, 45757L)
+        import s.implicits._
+        val expected = benfordMicro.zipWithIndex
+          .map { case (m, i) => ((i + 1).toLong, m) }
+          .toDF("digit", "benford_micro")
+        val digits = Tables.orders(s, d)
+          .select(substring(col("o_totalprice").cast(DecimalType(18, 2)).cast("string"), 1, 1)
+            .cast("long").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+        val tot = digits.agg(sum("n").as("total"))
+        digits.crossJoin(broadcast(tot))
+          .join(broadcast(expected), "digit")
+          .withColumn("observed_micro",
+            expr("n * 1000000 div total"))
+          .withColumn("deviation_micro", col("observed_micro") - col("benford_micro"))
+          .select("digit", "n", "observed_micro", "benford_micro", "deviation_micro")
+          .orderBy("digit")
+      },
+      oracle = Some("""
+        WITH e(digit, benford_micro) AS (VALUES
+          (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+          (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+        d AS (
+          SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                 count(*) AS n
+          FROM orders GROUP BY digit),
+        t AS (SELECT sum(n) AS total FROM d)
+        SELECT d.digit, d.n,
+               CAST(d.n * 1000000 // t.total AS BIGINT) AS observed_micro,
+               CAST(e.benford_micro AS BIGINT) AS benford_micro,
+               CAST(d.n * 1000000 // t.total - e.benford_micro AS BIGINT) AS deviation_micro
+        FROM d, t JOIN e ON e.digit = d.digit
+        ORDER BY d.digit"""),
+      doc = "Benford first-digit audit with integer-micro expected shares"
     )
   )
 }
