@@ -80,7 +80,15 @@ object Bench {
       QResult((System.nanoTime() - t0) / 1e9, err)
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional subset filter (comma-separated exact names) for targeted
+    // scale probes; unset = the full judged surface, as the driver runs it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val first = once(fn)
       // min-of-2; skip the re-run for a failed query (same failure twice)
       val best = if (first.error.isEmpty) {
