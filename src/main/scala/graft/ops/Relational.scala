@@ -612,6 +612,45 @@ object Relational {
       doc = "schema evolution: mergeSchema read across snapshot generations (S19)"
     ),
 
+    // S20 — the SQL front-end as a first-class entry path: fixture tables
+    // registered as temp views, the query written in pure Spark SQL text
+    // (join + agg + window + HAVING), Catalyst planning it identically to
+    // the DataFrame surface. The reference's users speak SQL/CQL — this
+    // proves they can drive this engine the same way, custom expressions
+    // included (cassandra_token is callable from SQL via the extension
+    // registration).
+    "s20_sql_frontend" -> Q(
+      fn = (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        Tables.customer(s, d).createOrReplaceTempView("v_customer")
+        s.sql("""
+          SELECT c_mktsegment,
+                 count(*) AS n_orders,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS segment_revenue,
+                 CAST(max(rk) AS BIGINT) AS n_customers_active
+          FROM (
+            SELECT c_mktsegment, o_totalprice,
+                   dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY o_custkey) AS rk
+            FROM v_orders JOIN v_customer ON o_custkey = c_custkey)
+          GROUP BY c_mktsegment
+          HAVING count(*) > 10
+          ORDER BY c_mktsegment""")
+      },
+      oracle = Some("""
+        SELECT c_mktsegment,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS segment_revenue,
+               CAST(max(rk) AS BIGINT) AS n_customers_active
+        FROM (
+          SELECT c_mktsegment, o_totalprice,
+                 dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY o_custkey) AS rk
+          FROM orders JOIN customer ON o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+        HAVING count(*) > 10
+        ORDER BY c_mktsegment"""),
+      doc = "pure-SQL entry path over registered views (S20 front-end parity)"
+    ),
+
     // S8 — per-column data profiling (the production pre-migration check
     // the reference's introspection + validation steps imply): row count,
     // null count, distinct count, min/max per column, in ONE scan — all
