@@ -1582,6 +1582,48 @@ object Analytics {
         FROM d, t JOIN e ON e.digit = d.digit
         ORDER BY d.digit"""),
       doc = "Benford first-digit audit with integer-micro expected shares"
+    ),
+
+    // Gini coefficient of revenue concentration — the inequality measure
+    // behind "top-N% of customers drive M% of revenue": computed from
+    // the rank-weighted sum formula over per-customer revenue. Revenue
+    // and the rank-weighted products stay DECIMAL (exact) until the one
+    // final division. The rank window runs over the customer-cardinality
+    // AGGREGATE (1.5k rows at sf0.01), not the fact table; at true scale
+    // the exact global sort gives way to a quantile-bucketed Lorenz
+    // approximation — same two-aggregate shape, bucket ranks instead of
+    // row ranks.
+    "a25_gini" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cr = Tables.orders(s, d)
+          .groupBy("o_custkey")
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+        val w = Window.orderBy(col("rev"), col("o_custkey"))
+        val r = cr.withColumn("i", row_number().over(w).cast("long"))
+        r.agg(count(lit(1)).as("n"),
+              sum(col("i") * col("rev")).as("s1"),
+              sum(col("rev")).as("s2"))
+          .select(
+            ((lit(2) * col("s1") - (col("n") + 1) * col("s2")).cast("double") /
+               (col("n") * col("s2").cast("double"))).as("gini"),
+            col("n").as("n_customers"),
+            col("s2").cast("double").as("total_revenue"))
+      },
+      oracle = Some("""
+        WITH cr AS (
+          SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          FROM orders GROUP BY o_custkey),
+        r AS (
+          SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS i,
+                 count(*) OVER () AS n
+          FROM cr)
+        SELECT CAST(2 * sum(i * rev) - (n + 1) * sum(rev) AS DOUBLE) /
+                 (n * CAST(sum(rev) AS DOUBLE)) AS gini,
+               CAST(max(n) AS BIGINT) AS n_customers,
+               CAST(sum(rev) AS DOUBLE) AS total_revenue
+        FROM r GROUP BY n"""),
+      doc = "Gini revenue concentration from rank-weighted exact sums"
     )
   )
 }
