@@ -600,6 +600,49 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(queryLong("SELECT COUNT(*) FROM \"curated_docs\"") == expectedKept)
   }
 
+  test("StreamingQueryListener observability: progress rows account for every input row") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    // the monitoring surface a production pipeline alarms on: progress
+    // events must (a) fire per micro-batch, (b) sum numInputRows to the
+    // exact input volume, (c) report the terminated event on stop
+    val inputRows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val progressEvents = new java.util.concurrent.atomic.AtomicInteger(0)
+    val terminated = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        if (e.progress.numInputRows > 0) progressEvents.incrementAndGet()
+        inputRows.addAndGet(e.progress.numInputRows); ()
+      }
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
+        terminated.set(true)
+      }
+    }
+    spark.streams.addListener(listener)
+    try {
+      val mem = MemoryStream[(Long, Double)](spark)
+      val q = mem.toDF().toDF("user_id", "value")
+        .groupBy("user_id").count()
+        .writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("obs_counts").start()
+      mem.addData((1L, 1.0), (2L, 2.0), (1L, 3.0))
+      q.processAllAvailable()
+      mem.addData((3L, 4.0), (2L, 5.0))
+      q.processAllAvailable()
+      q.stop()
+      q.awaitTermination(60000)
+      // listener delivery is async off the query lifecycle; poll briefly
+      val deadline = System.nanoTime() + 30e9.toLong
+      while ((inputRows.get() < 5L || !terminated.get()) && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(inputRows.get() == 5L,
+        s"progress events must account for all 5 input rows, saw ${inputRows.get()}")
+      assert(progressEvents.get() >= 2, "at least one progress event per data batch")
+      assert(terminated.get(), "terminated event must fire on stop")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("Trigger.AvailableNow drains the backlog, stops, and a rerun takes only the delta") {
     import spark.implicits._
     // the incremental-batch pattern: a cron job runs the STREAMING query
