@@ -18,6 +18,7 @@ class SpillSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
 
   private val AggFallback = "spark.sql.TungstenAggregate.testFallbackStartsAt"
+  private val NoBroadcast = "spark.sql.autoBroadcastJoinThreshold"
 
   private val SpillConfs = Seq(
     "spark.sql.shuffle.spill.numElementsForceSpillThreshold",
@@ -33,7 +34,7 @@ class SpillSpec extends AnyFunSuite {
     def run(name: String): Array[org.apache.spark.sql.Row] =
       graft.SparkEntry.queries(name)(spark, SparkTestBase.Sf0001).collect()
 
-    val queries = Seq("w1_running_max_token", "q1_pricing_summary", "q3_shipping_priority")
+    val queries = Seq("w1_running_max_token", "q1_pricing_summary", "q10_returned_revenue")
     val baseline = queries.map(q => q -> run(q)).toMap
 
     val spilled = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -43,10 +44,16 @@ class SpillSpec extends AnyFunSuite {
         if (m != null) { spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled); () }
       }
     }
-    val prev = (SpillConfs :+ AggFallback).map(k => k -> spark.conf.getOption(k)).toMap
+    val prev = (SpillConfs ++ Seq(AggFallback, NoBroadcast)).map(k => k -> spark.conf.getOption(k)).toMap
     SpillConfs.foreach(k => spark.conf.set(k, "16"))
     // force HashAggregate onto its sort-based spill fallback immediately
-    spark.conf.set("spark.sql.TungstenAggregate.testFallbackStartsAt", "1,1")
+    spark.conf.set(AggFallback, "1,1")
+    // disable auto-broadcast so q10's hint-free fact joins plan as
+    // sort-merge joins — a broadcast hash join never touches the SMJ
+    // spill buffers, which would leave the join leg of this contract
+    // vacuous (q10's one explicit broadcast() hint still wins, which is
+    // fine: the two fact-fact joins are the ones that must spill)
+    spark.conf.set(NoBroadcast, "-1")
     spark.sparkContext.addSparkListener(listener)
     try {
       val under = queries.map(q => q -> run(q)).toMap
@@ -59,6 +66,11 @@ class SpillSpec extends AnyFunSuite {
         assert(under(q).map(_.toString).toSeq == baseline(q).map(_.toString).toSeq,
           s"$q diverged under forced spill")
       }
+      // prove the join leg is not vacuous: q10 must have planned an SMJ
+      val q10 = graft.SparkEntry.queries("q10_returned_revenue")(spark, SparkTestBase.Sf0001)
+      q10.collect()
+      assert(q10.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+        "the fact joins must plan as sort-merge joins under the spill confs")
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       prev.foreach {
