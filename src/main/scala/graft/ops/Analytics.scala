@@ -1624,6 +1624,57 @@ object Analytics {
                CAST(sum(rev) AS DOUBLE) AS total_revenue
         FROM r GROUP BY n"""),
       doc = "Gini revenue concentration from rank-weighted exact sums"
+    ),
+
+    // Market-basket association mining — support and lift for parts
+    // bought together in one order. The pair generation is a self-join
+    // keyed on the ORDER (shuffle on o_orderkey; candidates bounded by
+    // basket size², never catalog²) and the lift is exact integer-micro:
+    // lift = P(ab) / (P(a)·P(b)) = both·n_orders·10⁶ div (ca·cb). At
+    // 100 TB the standard min-support prune broadcasts the frequent-item
+    // list in front of the join; here the ≥3-co-occurrence filter plays
+    // that role on the output side.
+    "a26_market_basket" -> Q(
+      fn = (s, d) => {
+        val op = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+          .persist()
+        PipelineCache.swap(op)
+        val nOrders = op.select(countDistinct(col("o")).as("n_orders"))
+        val pc = op.groupBy("p").agg(count(lit(1)).as("c"))
+        val pairs = op.toDF("o", "pa")
+          .join(op.toDF("o", "pb"), "o")
+          .where(col("pa") < col("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("both_c"))
+          .where(col("both_c") >= 3)
+        pairs
+          .join(pc.toDF("pa", "ca"), "pa")
+          .join(pc.toDF("pb", "cb"), "pb")
+          .crossJoin(broadcast(nOrders))
+          .withColumn("lift_micro",
+            expr("both_c * n_orders * 1000000 div (ca * cb)"))
+          .select("pa", "pb", "both_c", "ca", "cb", "lift_micro")
+          .orderBy(col("both_c").desc, col("lift_micro").desc, col("pa"), col("pb"))
+          .limit(50)
+      },
+      oracle = Some("""
+        WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        n AS (SELECT count(DISTINCT o) AS n_orders FROM op),
+        pc AS (SELECT p, count(*) AS c FROM op GROUP BY p),
+        pairs AS (
+          SELECT a.p AS pa, b.p AS pb, count(*) AS both_c
+          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+          GROUP BY a.p, b.p
+          HAVING count(*) >= 3)
+        SELECT pa, pb, both_c,
+               CAST(ca.c AS BIGINT) AS ca, CAST(cb.c AS BIGINT) AS cb,
+               CAST(both_c * n.n_orders * 1000000 // (ca.c * cb.c) AS BIGINT) AS lift_micro
+        FROM pairs
+        JOIN pc ca ON ca.p = pa
+        JOIN pc cb ON cb.p = pb, n
+        ORDER BY both_c DESC, lift_micro DESC, pa, pb
+        LIMIT 50"""),
+      doc = "market-basket support/lift: order-keyed pair join, integer-micro lift"
     )
   )
 }
