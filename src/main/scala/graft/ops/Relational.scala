@@ -737,6 +737,28 @@ object Relational {
       doc = "EXCEPT set difference (U1)"
     ),
 
+    // U3 — EXCEPT ALL: bag semantics, where MULTIPLICITY survives — each
+    // duplicate on the left is cancelled by at most one duplicate on the
+    // right (orders' repeated custkeys minus one occurrence per customer
+    // row). The judged rollup counts surviving multiplicities, which a
+    // set-semantics EXCEPT would collapse — exactly the distinction this
+    // operator exists for.
+    "u3_except_all" -> Q(
+      fn = (s, d) =>
+        ord(s, d).select(col("o_custkey").as("k"))
+          .exceptAll(Tables.customer(s, d).select(col("c_custkey").as("k")))
+          .groupBy("k").agg(count(lit(1)).as("surviving_multiplicity"))
+          .orderBy("k"),
+      oracle = Some("""
+        WITH ea AS (
+          SELECT o_custkey AS k FROM orders
+          EXCEPT ALL
+          SELECT c_custkey FROM customer)
+        SELECT k, count(*) AS surviving_multiplicity
+        FROM ea GROUP BY k ORDER BY k"""),
+      doc = "EXCEPT ALL bag-semantics difference (U3): multiplicities survive"
+    ),
+
     // T2 — the WHOLE migration pipeline as a judged query: token-split,
     // checkpoint seed, range scan, sanitize, rename, idempotent
     // partition-overwrite sink, per-range verify, resume loop, global
