@@ -478,6 +478,44 @@ object Events {
           AND us2 - us <= 86400000000
         ORDER BY user_id, view_us"""),
       doc = "ordered-sequence pattern matching: consecutive view->click->purchase within 24h"
+    ),
+
+    // Inter-arrival dwell-time percentiles per event type — the
+    // pipeline-health metric behind "is this source stalling": one
+    // user-keyed lag window produces exact integer-microsecond gaps,
+    // then a per-type ordered-set aggregate (exact percentiles over
+    // integers — cross-engine exact, same discipline as a10). At scale
+    // this is one keyed sort + one type-keyed aggregation; the
+    // percentile side swaps to the GK sketch (a18's pinned contract)
+    // when exact ordering stops being affordable.
+    "e13_dwell_percentiles" -> Q(
+      fn = (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+                  unix_micros(col("ts")).as("us"))
+          .withColumn("gap_us", col("us") - lag("us", 1).over(w))
+          .where(col("gap_us").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_gaps"),
+               expr("percentile(gap_us, 0.5)").as("p50_us"),
+               expr("percentile(gap_us, 0.9)").as("p90_us"),
+               max("gap_us").as("max_us"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT event_type,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS gap_us
+          FROM events)
+        SELECT event_type, count(*) AS n_gaps,
+               quantile_cont(gap_us, 0.5) AS p50_us,
+               quantile_cont(gap_us, 0.9) AS p90_us,
+               CAST(max(gap_us) AS BIGINT) AS max_us
+        FROM g WHERE gap_us IS NOT NULL
+        GROUP BY event_type ORDER BY event_type"""),
+      doc = "inter-arrival dwell percentiles per event type (pipeline-health metric)"
     )
   )
 }
