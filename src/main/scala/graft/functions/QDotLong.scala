@@ -17,7 +17,9 @@ object QDotLongImpl {
     if (v >= 0) (v + 0.5).toLong else (v - 0.5).toLong
 
   def dot(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    require(n == b.numElements(),
+      s"qdot_long: mismatched vector lengths $n vs ${b.numElements()}")
     var s = 0L
     var i = 0
     while (i < n) {
@@ -39,8 +41,13 @@ object QDotLongImpl {
     s
   }
 
+  // Registered for arbitrary SQL use, so the equal-length contract is
+  // enforced here (loud failure), not assumed by callers: a silent
+  // min-length truncation returns a plausible but wrong distance.
   def l2(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    require(n == b.numElements(),
+      s"l2_long: mismatched vector lengths $n vs ${b.numElements()}")
     var s = 0L
     var i = 0
     while (i < n) {

@@ -407,22 +407,24 @@ object Analytics {
 
     // TPC-H Q17 shape: the correlated scalar subquery (per-part average
     // quantity threshold) DECORRELATED into an aggregate-then-join — the
-    // rewrite every optimizer wants: one pass computes per-part avg, the
-    // (small) per-part threshold table broadcasts back against the fact.
-    // avg is derived exactly (integer-valued quantity sum / count) so the
-    // 0.2x threshold comparison is deterministic cross-engine.
+    // rewrite every optimizer wants. The Brand#13 semi-join prunes
+    // lineitem BEFORE the threshold aggregate: a brand selects ~1/25 of
+    // parts, so the groupBy input shrinks ~25x, and the per-part avg is
+    // unchanged for every surviving part (the semi-join keeps ALL
+    // lineitem rows of a selected part). avg is derived exactly
+    // (integer-valued quantity sum / count) so the 0.2x threshold
+    // comparison is deterministic cross-engine.
     "q17_small_quantity" -> Q(
       fn = (s, d) => {
         val p = Tables.part(s, d).where(col("p_brand") === "Brand#13")
           .select("p_partkey")
         val li = Tables.lineitem(s, d)
           .select("l_partkey", "l_quantity", "l_extendedprice")
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
         val thresholds = li.groupBy("l_partkey")
           .agg((sum(col("l_quantity")) / count(lit(1)) * 0.2).as("qty_threshold"))
-        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-          .join(broadcast(thresholds.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-                  .select(col("l_partkey").as("t_partkey"), col("qty_threshold"))),
-                col("l_partkey") === col("t_partkey"))
+          .select(col("l_partkey").as("t_partkey"), col("qty_threshold"))
+        li.join(broadcast(thresholds), col("l_partkey") === col("t_partkey"))
           .where(col("l_quantity") < col("qty_threshold"))
           .agg((dsum(col("l_extendedprice"), 2) / 7.0).as("avg_yearly"),
                count(lit(1)).as("n_small"))
@@ -1651,8 +1653,12 @@ object Analytics {
           .join(pc.toDF("pa", "ca"), "pa")
           .join(pc.toDF("pb", "cb"), "pb")
           .crossJoin(broadcast(nOrders))
+          // numerator in DECIMAL(38,0): both_c * n_orders * 10^6 at web
+          // scale (n_orders ~ 10^10) overflows int64, and non-ANSI Spark
+          // would wrap silently while the oracle widens — decimal `div`
+          // keeps the math exact on both engines at any corpus size
           .withColumn("lift_micro",
-            expr("both_c * n_orders * 1000000 div (ca * cb)"))
+            expr("cast(both_c as decimal(38,0)) * n_orders * 1000000 div (cast(ca as decimal(38,0)) * cb)"))
           .select("pa", "pb", "both_c", "ca", "cb", "lift_micro")
           .orderBy(col("both_c").desc, col("lift_micro").desc, col("pa"), col("pb"))
           .limit(50)
@@ -1668,7 +1674,7 @@ object Analytics {
           HAVING count(*) >= 3)
         SELECT pa, pb, both_c,
                CAST(ca.c AS BIGINT) AS ca, CAST(cb.c AS BIGINT) AS cb,
-               CAST(both_c * n.n_orders * 1000000 // (ca.c * cb.c) AS BIGINT) AS lift_micro
+               CAST(CAST(both_c AS HUGEINT) * n.n_orders * 1000000 // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS lift_micro
         FROM pairs
         JOIN pc ca ON ca.p = pa
         JOIN pc cb ON cb.p = pb, n

@@ -540,27 +540,29 @@ object Relational {
     ),
 
     // S18 — corrupt-record handling on ingest: every 7th JSON line is
-    // written truncated, and the PERMISSIVE reader must (a) not fail,
-    // (b) route exactly those lines to _corrupt_record, (c) parse every
-    // field of the good lines. The oracle knows which records were
-    // broken by construction, so the corrupt-routing itself is judged —
-    // the dirty-data path a 100 TB scrape ingest lives on. Bad rows stay
-    // data (quarantinable), never exceptions.
+    // truncated, and the PERMISSIVE reader must (a) not fail, (b) route
+    // exactly those lines to _corrupt_record, (c) parse every field of
+    // the good lines. The oracle knows which records were broken by
+    // construction, so the corrupt-routing itself is judged — the
+    // dirty-data path a 100 TB scrape ingest lives on. Bad rows stay
+    // data (quarantinable), never exceptions. The dirty lines are parsed
+    // from an in-session Dataset[String] — the same JacksonParser /
+    // PERMISSIVE routing as file ingest, with no temp-dir write/reread
+    // cycle (the round-4 nondeterminism source).
     "s18_corrupt_records" -> Q(
       fn = (s, d) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_s18").toString
-        Tables.documents(s, d)
+        val lines = Tables.documents(s, d)
           .select(
             when(col("doc_id") % 7 === 0,
                  concat(lit("{\"doc_id\":"), col("doc_id"), lit(",\"lang\":")))
               .otherwise(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))))
               .as("value"))
-          .write.mode("overwrite").text(s"$out/docs_json")
+          .as(org.apache.spark.sql.Encoders.STRING)
         s.read
           .schema("doc_id LONG, lang STRING, n_chars LONG, _corrupt_record STRING")
           .option("mode", "PERMISSIVE")
           .option("columnNameOfCorruptRecord", "_corrupt_record")
-          .json(s"$out/docs_json")
+          .json(lines)
           .agg(
             count(lit(1)).as("n_total"),
             sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),

@@ -437,14 +437,22 @@ object Similarity {
         val emb = e.select(col("vec_id"), col("embedding"))
         // the fixture corpus has no >= 0.9 pairs, so the judged output is
         // the top-20 banded candidates by exact similarity — proving the
-        // banding surfaces the closest pairs without an all-pairs join
-        pairs
+        // banding surfaces the closest pairs without an all-pairs join.
+        // Top-k via orderBy().limit() (TakeOrderedAndProject: per-
+        // partition heaps, k rows to the driver-side merge) — NOT a
+        // row_number over a global window, which would funnel every
+        // surviving candidate pair into one task's sort at corpus scale.
+        // Only the 20 survivors see a window, for the rank column.
+        val top = pairs
           .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("va")), Seq("id_a"))
           .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("vb")), Seq("id_b"))
           .withColumn("sim", call_function("qcosine", col("va"), col("vb")))
+          .select("id_a", "id_b", "sim")
+          .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+          .limit(20)
+        top
           .withColumn("rnk", row_number().over(
             Window.orderBy(col("sim").desc, col("id_a"), col("id_b"))).cast("long"))
-          .where(col("rnk") <= 20)
           .select("rnk", "id_a", "id_b", "sim")
           .orderBy("rnk")
       },

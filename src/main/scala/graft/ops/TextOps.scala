@@ -461,14 +461,16 @@ object TextOps {
     // standard "similarity to clean distribution" gate shape.
     "d24_oov_ratio" -> Q(
       fn = (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val words = doc(s, d)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
           .where(col("word") =!= "")
+        // top-500 by orderBy().limit() (TakeOrderedAndProject), not a
+        // global rank window — a web-scale corpus has 10^8 distinct
+        // words and a single-partition sort of the whole vocabulary is
+        // exactly the bottleneck the broadcast below exists to avoid
         val vocab = words.groupBy("word").agg(count(lit(1)).as("freq"))
-          .withColumn("rnk", row_number().over(
-            Window.orderBy(col("freq").desc, col("word"))))
-          .where(col("rnk") <= 500)
+          .orderBy(col("freq").desc, col("word"))
+          .limit(500)
           .select("word").withColumn("in_vocab", lit(true))
         words.join(broadcast(vocab), Seq("word"), "left")
           .groupBy("doc_id")

@@ -62,7 +62,7 @@ class VectorExprPropertySpec extends AnyFunSuite {
     }
   }
 
-  test("edge shapes: zeros, extremes, dim mismatch truncates") {
+  test("edge shapes: zeros, extremes, dim mismatch fails loudly") {
     val zeros = Array.fill(64)(0.0f)
     assert(QDotLongImpl.norm2(arr(zeros)) == 0L)
     assert(HyperplaneBucketImpl.bucket(arr(zeros)) == 0L)
@@ -70,9 +70,12 @@ class VectorExprPropertySpec extends AnyFunSuite {
     val big = Array.fill(64)(2.0f)
     val n2 = QDotLongImpl.norm2(arr(big))
     assert(n2 == 64L * 20000L * 20000L)
-    // dot truncates to the shorter side (mirrors zip_with semantics)
+    // mismatched dims fail loudly: qdot_long/l2_long are registered for
+    // arbitrary SQL use, and a silent min-length truncation would return
+    // a plausible but wrong distance
     val c3 = Array(1L, 2L, 3L)
-    assert(QDotLongImpl.dot(arr(big), arrL(c3)) == 20000L * (1 + 2 + 3))
+    intercept[IllegalArgumentException](QDotLongImpl.dot(arr(big), arrL(c3)))
+    intercept[IllegalArgumentException](QDotLongImpl.l2(arrL(c3), arrL(Array(1L, 2L))))
     // negative half-away rounding: float(-0.00015) * 10^4 ~= -1.50000007
     // rounds AWAY to -2 (math.round would give -1); norm2 = 4
     val neg = Array(-0.00015f)

@@ -315,6 +315,36 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the 1-row merges must ride broadcasts, not a cartesian:\n$plan")
   }
 
+  test("d22 (embedding LSH near-dup): candidate top-k is TakeOrderedAndProject, not a global window sort") {
+    val plan = executedPlan("d22_embedding_lsh_neardup").split("== Initial Plan ==").head
+    val topIdx = plan.indexOf("TakeOrderedAndProject")
+    assert(topIdx >= 0,
+      s"top-20 must be per-partition heaps + k-row merge (TakeOrderedAndProject):\n$plan")
+    // below the top-k (i.e. over the full candidate set) nothing may
+    // funnel into one partition — the only single-partition stage allowed
+    // is the rank window over the 20 survivors ABOVE it
+    assert(!plan.substring(topIdx).contains("Exchange SinglePartition"),
+      s"the candidate set must never collapse to one partition:\n$plan")
+  }
+
+  test("d24 (OOV ratio): vocab selection is TakeOrderedAndProject; no single-partition stage") {
+    val plan = executedPlan("d24_oov_ratio").split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-500 vocab must be per-partition heaps, not a global rank window:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"no stage may collapse the vocabulary into one partition:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 500-word vocab must broadcast into the scoring join:\n$plan")
+  }
+
+  test("q17: the Brand#13 semi-join prunes lineitem BELOW the threshold aggregate") {
+    val plan = executedPlan("q17_small_quantity").split("== Initial Plan ==").head
+    val aggIdx = plan.indexOf("keys=[l_partkey")
+    assert(aggIdx >= 0, s"expected the per-part threshold aggregate:\n$plan")
+    assert(plan.indexOf("LeftSemi", aggIdx) > aggIdx,
+      s"the semi-join must sit below the groupBy so the agg input is pruned ~25x:\n$plan")
+  }
+
   test("v10 (PQ ANN): codebook and ADC tables broadcast; subvectors cached; no cartesian") {
     val plan = executedPlan("v10_pq_ann").split("== Initial Plan ==").head
     assert(plan.contains("BroadcastHashJoin"),
