@@ -1628,6 +1628,65 @@ object Analytics {
       doc = "Gini revenue concentration from rank-weighted exact sums"
     ),
 
+    // a25's documented scale path, wired as its own judged query: Gini
+    // from a 100-bucket equal-width Lorenz curve. Shape: one keyed
+    // aggregate (per-customer revenue), a 1-row min/max broadcast, one
+    // bucket aggregate (<= 100 rows), and a cumulative window over
+    // BUCKETS — never a global rank over customers, so the sort that
+    // makes exact Gini single-partition at 10^9 customers disappears.
+    // Integer cents end-to-end (exact on both engines, DECIMAL/HUGEINT
+    // guards against wrap); the one double division happens last.
+    "a25b_gini_bucketed" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cr = Tables.orders(s, d)
+          .groupBy("o_custkey")
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("rev_c"))
+        val stats = cr.agg(min(col("rev_c")).as("mn"), max(col("rev_c")).as("mx"))
+        val bucketed = cr.crossJoin(broadcast(stats))
+          .withColumn("k", expr("(rev_c - mn) * 100 div (mx - mn + 1)"))
+          .groupBy("k")
+          .agg(count(lit(1)).as("n"), sum(col("rev_c")).as("s"))
+        val w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        bucketed
+          .withColumn("cum_s", sum(col("s")).over(w))
+          .agg(
+            sum(col("n").cast(DecimalType(38, 0)) *
+                (col("cum_s").cast(DecimalType(38, 0)) * 2 - col("s"))).as("num"),
+            sum(col("n")).as("nn"),
+            sum(col("s")).as("ss"),
+            count(lit(1)).as("n_buckets"))
+          .select(
+            (lit(1.0) - col("num").cast("double") /
+               (col("nn").cast("double") * col("ss").cast("double"))).as("gini_bucketed"),
+            col("n_buckets"),
+            col("nn").as("n_customers"),
+            (col("ss").cast("double") / 100.0).as("total_revenue"))
+      },
+      oracle = Some("""
+        WITH cr AS (
+          SELECT o_custkey,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS rev_c
+          FROM orders GROUP BY o_custkey),
+        st AS (SELECT min(rev_c) AS mn, max(rev_c) AS mx FROM cr),
+        b AS (
+          SELECT (rev_c - mn) * 100 // (mx - mn + 1) AS k,
+                 count(*) AS n, sum(rev_c) AS s
+          FROM cr, st GROUP BY 1),
+        c AS (
+          SELECT k, n, s,
+                 sum(s) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s
+          FROM b)
+        SELECT 1.0 - CAST(sum(CAST(n AS HUGEINT) * (2 * CAST(cum_s AS HUGEINT) - s)) AS DOUBLE) /
+                 (CAST(sum(n) AS DOUBLE) * CAST(sum(s) AS DOUBLE)) AS gini_bucketed,
+               count(*) AS n_buckets,
+               CAST(sum(n) AS BIGINT) AS n_customers,
+               CAST(sum(s) AS DOUBLE) / 100.0 AS total_revenue
+        FROM c"""),
+      doc = "Gini via 100-bucket equal-width Lorenz (a25's documented scale path: no global rank)"
+    ),
+
     // Market-basket association mining — support and lift for parts
     // bought together in one order. The pair generation is a self-join
     // keyed on the ORDER (shuffle on o_orderkey; candidates bounded by

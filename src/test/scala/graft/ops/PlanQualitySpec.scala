@@ -337,6 +337,17 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the 500-word vocab must broadcast into the scoring join:\n$plan")
   }
 
+  test("a25b (bucketed Gini): the cumulative window consumes the <=100-row bucket aggregate") {
+    val plan = executedPlan("a25b_gini_bucketed").split("== Initial Plan ==").head
+    val w = plan.indexOf("Window")
+    val agg = plan.indexOf("keys=[k#")
+    assert(w >= 0 && agg >= 0 && w < agg,
+      s"the Lorenz window must sit ABOVE the bucket aggregation, never over customers:\n$plan")
+    // the window input really is bucket-sized
+    val df = graft.SparkEntry.queries("a25b_gini_bucketed")(spark, SparkTestBase.Sf0001)
+    assert(df.collect().head.getAs[Long]("n_buckets") <= 100L)
+  }
+
   test("q17: the Brand#13 semi-join prunes lineitem BELOW the threshold aggregate") {
     val plan = executedPlan("q17_small_quantity").split("== Initial Plan ==").head
     val aggIdx = plan.indexOf("keys=[l_partkey")
