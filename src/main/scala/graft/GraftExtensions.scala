@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CassandraToken, HyperplaneBucket, HyperplaneSig32, L2Long, MinHashSig, PortableWordHashes, QCosine, QDotLong, QNorm2, RollingFingerprint, ShingleHashes}
+import graft.functions.{CassandraToken, HyperplaneBucket, HyperplaneSig32, HyperplaneSig64, L2Long, MinHashSig, PortableWordHashes, QCosine, QDotLong, QNorm2, RollingFingerprint, ShingleHashes}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions for SQL use. Attach with
@@ -52,6 +52,7 @@ object GraftExtensions {
     unary("portable_word_hashes", classOf[PortableWordHashes], PortableWordHashes(_)),
     unary("hyperplane_bucket", classOf[HyperplaneBucket], HyperplaneBucket(_)),
     unary("hyperplane_sig32", classOf[HyperplaneSig32], HyperplaneSig32(_)),
+    unary("hyperplane_sig64", classOf[HyperplaneSig64], HyperplaneSig64(_)),
     unary("qnorm2", classOf[QNorm2], QNorm2(_)),
     binary("qdot_long", classOf[QDotLong], QDotLong(_, _)),
     binary("l2_long", classOf[L2Long], L2Long(_, _)),

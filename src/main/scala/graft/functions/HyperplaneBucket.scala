@@ -42,6 +42,22 @@ object HyperplaneBucketImpl {
     Array.fill(NPlanesWide)(Array.fill(Dim)(rnd.nextInt(1001) - 500))
   }
 
+  /** Full-width table for CORPUS-SIZED banding: 64 planes = 4 independent
+    * 16-bit band signatures (65,536 buckets per band). Band width is a
+    * function of corpus size — with B buckets per band the candidate
+    * join costs ~ n²/B pairs on non-dup data, so B must track n to keep
+    * per-bucket populations (and therefore candidates per vector)
+    * constant: 8-bit bands are right up to ~10^5 vectors, 16-bit bands
+    * carry ~10^7; beyond that, widen again. The DedupScaleProbe tool
+    * measures exactly this knee. Separate seed keeps the 8/32-plane
+    * tables (v3/d22 oracles) stable.
+    */
+  val NPlanes64 = 64
+  val planes64: Array[Array[Int]] = {
+    val rnd = new scala.util.Random(13)
+    Array.fill(NPlanes64)(Array.fill(Dim)(rnd.nextInt(1001) - 500))
+  }
+
   /** round-half-AWAY-FROM-ZERO, matching Spark round() / DuckDB round(). */
   @inline private def q(v: Double): Long =
     if (v >= 0) (v + 0.5).toLong else (v - 0.5).toLong
@@ -77,6 +93,30 @@ object HyperplaneBucketImpl {
     var j = 0
     while (j < NPlanesWide) {
       val p = planesWide(j)
+      var dot = 0L
+      i = 0
+      while (i < n) { dot += qv(i) * p(i); i += 1 }
+      if (dot > 0) b |= 1L << j
+      j += 1
+    }
+    b
+  }
+
+  /** 64-bit signature over the full-width plane table (bit j = sign
+    * against planes64(j)); band b of a 16-bit banding reads bits
+    * [16b, 16b+16). Bit 63 uses the sign bit — band extraction must
+    * mask after the shift (`shiftright(sig, 48) & 65535`), which both
+    * Spark and DuckDB arithmetic shifts satisfy.
+    */
+  def sig64(a: ArrayData): Long = {
+    val n = math.min(a.numElements(), Dim)
+    val qv = new Array[Long](n)
+    var i = 0
+    while (i < n) { qv(i) = q(a.getFloat(i).toDouble * 10000); i += 1 }
+    var b = 0L
+    var j = 0
+    while (j < NPlanes64) {
+      val p = planes64(j)
       var dot = 0L
       i = 0
       while (i < n) { dot += qv(i) * p(i); i += 1 }
@@ -140,4 +180,32 @@ case class HyperplaneSig32(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "hyperplane_sig32"
+}
+
+/** 64-bit full-width signature (see HyperplaneBucketImpl.sig64). */
+case class HyperplaneSig64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_sig64 expects array<float>, got $other")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any =
+    HyperplaneBucketImpl.sig64(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = classOf[HyperplaneBucketImpl.type].getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, a => s"$m.sig64($a)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "hyperplane_sig64"
 }

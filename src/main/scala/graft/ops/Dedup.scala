@@ -264,7 +264,7 @@ object Dedup {
       .select(col("doc_id"), col("bk.band"), col("bk.bh"))
   }
 
-  private[ops] def portableSigTable(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def portableSigTable(spark: SparkSession, sfDir: String): DataFrame =
     portableSignatures(Tables.documents(spark, sfDir))
 
   /** Banded candidate pairs (doc_a < doc_b) from a signature table, with

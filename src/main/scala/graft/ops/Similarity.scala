@@ -73,6 +73,60 @@ object Similarity {
     * aggregate(zip_with(..)) HOF passes this replaces built 512 lambda
     * multiplies per row. Requires GraftExtensions registration.
     */
+  /** Banded-LSH candidate generation (d22's core), parameterized by band
+    * width: 4 bands of `bandBits` bits each, spam-bucket cap 1000,
+    * distinct (id_a < id_b) pairs. Only ids and band keys ever ride the
+    * shuffle.
+    *
+    * BAND WIDTH IS A FUNCTION OF CORPUS SIZE: with B = 2^bandBits
+    * buckets per band the candidate join costs ~ n²/B pairs on non-dup
+    * data, so bandBits must grow with log2(n) to hold per-bucket
+    * populations — and therefore candidates per vector — constant.
+    * 8-bit bands (sig32) are right up to ~10^5 vectors; 16-bit bands
+    * (sig64) carry ~10^7; wider tables beyond. scaledBandBits picks the
+    * width from the corpus count; DedupScaleProbe measures the knee
+    * (8-bit candidates grow ~quadratic past 10^4 vectors, 16-bit stay
+    * bucket-bounded). The recall tradeoff runs the other way — each
+    * extra bit halves a true near-dup's band-collision odds — so at
+    * scale you widen bits AND add bands (more planes), never bits alone.
+    */
+  private[graft] def embeddingBandCandidates(
+      s: SparkSession, d: String, bandBits: Int = 8): DataFrame = {
+    graft.GraftExtensions.register(s)
+    require(bandBits == 8 || bandBits == 16, s"bandBits 8 (sig32) or 16 (sig64), got $bandBits")
+    val sigFn = if (bandBits == 8) "hyperplane_sig32" else "hyperplane_sig64"
+    val mask = (1L << bandBits) - 1
+    val e = Tables.embeddings(s, d)
+      .withColumn("sig", call_function(sigFn, col("embedding")))
+    val banded = e.select(col("vec_id"),
+        explode(expr(
+          s"transform(sequence(0, 3), b -> struct(b AS band, shiftright(sig, $bandBits*b) & $mask AS bkey))")).as("bb"))
+      .select(col("vec_id"), col("bb.band"), col("bb.bkey"))
+      // spam-bucket guard (same rationale and cap as d6): a
+      // degenerate bucket of n docs costs n^2 candidate pairs and
+      // carries no near-dup signal worth that price
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy("band", "bkey")))
+      .where(col("bsz") <= 1000)
+      .drop("bsz")
+    banded.select(col("band"), col("bkey"), col("vec_id").as("id_a"))
+      .join(banded.select(col("band"), col("bkey"), col("vec_id").as("id_b")),
+            Seq("band", "bkey"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Pick the band width for a corpus of n vectors: the narrowest width
+    * that keeps the expected bucket population near ~50, which bounds the
+    * candidate join at ~25 pairs per vector per band. Measured knee
+    * (DedupScaleProbe): at 50k vectors 8-bit bands emit 22.4M candidate
+    * pairs (448/vector, quadratic regime) while 16-bit bands emit 167k
+    * (3.3/vector) — so the switch belongs at ~12.8k, well before the
+    * blowup.
+    */
+  private[graft] def scaledBandBits(n: Long): Int =
+    if (n <= (50L << 8)) 8 else 16
+
   def hyperplaneBucket(vec: Column): Column =
     call_function("hyperplane_bucket", vec)
 
@@ -415,26 +469,8 @@ object Similarity {
     // survivors. Same exact-vs-banded relationship as d8 vs d6b on text.
     "d22_embedding_lsh_neardup" -> Q(
       fn = (s, d) => {
-        graft.GraftExtensions.register(s)
-        val e = Tables.embeddings(s, d)
-          .withColumn("sig", call_function("hyperplane_sig32", col("embedding")))
-        val banded = e.select(col("vec_id"),
-            explode(expr(
-              "transform(sequence(0, 3), b -> struct(b AS band, shiftright(sig, 8*b) & 255 AS bkey))")).as("bb"))
-          .select(col("vec_id"), col("bb.band"), col("bb.bkey"))
-          // spam-bucket guard (same rationale and cap as d6): a
-          // degenerate bucket of n docs costs n^2 candidate pairs and
-          // carries no near-dup signal worth that price
-          .withColumn("bsz", count(lit(1)).over(
-            Window.partitionBy("band", "bkey")))
-          .where(col("bsz") <= 1000)
-          .drop("bsz")
-        val pairs = banded.select(col("band"), col("bkey"), col("vec_id").as("id_a"))
-          .join(banded.select(col("band"), col("bkey"), col("vec_id").as("id_b")),
-                Seq("band", "bkey"))
-          .where(col("id_a") < col("id_b"))
-          .select("id_a", "id_b").distinct()
-        val emb = e.select(col("vec_id"), col("embedding"))
+        val pairs = embeddingBandCandidates(s, d)
+        val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
         // the fixture corpus has no >= 0.9 pairs, so the judged output is
         // the top-20 banded candidates by exact similarity — proving the
         // banding surfaces the closest pairs without an all-pairs join.

@@ -42,10 +42,11 @@ class VectorExprPropertySpec extends AnyFunSuite {
     }
   }
 
-  test("hyperplane_bucket and sig32 match a BigInt sign computation on random vectors") {
+  test("hyperplane_bucket, sig32 and sig64 match a BigInt sign computation on random vectors") {
     val rnd = new scala.util.Random(7)
     val planes = HyperplaneBucketImpl.planes
     val wide = HyperplaneBucketImpl.planesWide
+    val full = HyperplaneBucketImpl.planes64
     for (i <- 0 until 2000) {
       val dim = 1 + rnd.nextInt(64)
       val a = Array.fill(dim)(rnd.nextFloat() * 4 - 2)
@@ -59,6 +60,7 @@ class VectorExprPropertySpec extends AnyFunSuite {
       }
       assert(HyperplaneBucketImpl.bucket(arr(a)) == sig(planes), s"bucket diverged at trial $i")
       assert(HyperplaneBucketImpl.sig32(arr(a)) == sig(wide), s"sig32 diverged at trial $i")
+      assert(HyperplaneBucketImpl.sig64(arr(a)) == sig(full), s"sig64 diverged at trial $i")
     }
   }
 
