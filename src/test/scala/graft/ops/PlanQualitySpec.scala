@@ -315,17 +315,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the 1-row merges must ride broadcasts, not a cartesian:\n$plan")
   }
 
-  test("d22 (embedding LSH near-dup): candidate top-k is TakeOrderedAndProject, not a global window sort") {
-    val plan = executedPlan("d22_embedding_lsh_neardup").split("== Initial Plan ==").head
-    val topIdx = plan.indexOf("TakeOrderedAndProject")
-    assert(topIdx >= 0,
-      s"top-20 must be per-partition heaps + k-row merge (TakeOrderedAndProject):\n$plan")
-    // below the top-k (i.e. over the full candidate set) nothing may
-    // funnel into one partition — the only single-partition stage allowed
-    // is the rank window over the 20 survivors ABOVE it
-    assert(!plan.substring(topIdx).contains("Exchange SinglePartition"),
-      s"the candidate set must never collapse to one partition:\n$plan")
-  }
+  for (q <- Seq("d22_embedding_lsh_neardup", "d22b_embedding_lsh_wide"))
+    test(s"$q: candidate top-k is TakeOrderedAndProject, not a global window sort") {
+      val plan = executedPlan(q).split("== Initial Plan ==").head
+      val topIdx = plan.indexOf("TakeOrderedAndProject")
+      assert(topIdx >= 0,
+        s"top-20 must be per-partition heaps + k-row merge (TakeOrderedAndProject):\n$plan")
+      // below the top-k (i.e. over the full candidate set) nothing may
+      // funnel into one partition — the only single-partition stage allowed
+      // is the rank window over the 20 survivors ABOVE it
+      assert(!plan.substring(topIdx).contains("Exchange SinglePartition"),
+        s"the candidate set must never collapse to one partition:\n$plan")
+    }
 
   test("d24 (OOV ratio): vocab selection is TakeOrderedAndProject; no single-partition stage") {
     val plan = executedPlan("d24_oov_ratio").split("== Initial Plan ==").head
