@@ -781,6 +781,67 @@ object Dedup {
       doc = "transitive near-dup clusters: connected components by min-label propagation"
     ),
 
+    // Leakage-safe train/val split — the eval-integrity twin of
+    // decontamination: a plain per-document hash split leaks whenever a
+    // near-dup pair straddles the boundary (the val doc is "seen" in
+    // training). Splitting by the CLUSTER REPRESENTATIVE instead puts
+    // every member of a dup cluster on the same side by construction.
+    // The judged output carries the proof: cross_split_dup_pairs — the
+    // count of >= 0.5-Jaccard pairs with members on both sides — must
+    // be 0, and the oracle recomputes it independently. Deterministic
+    // multiplicative hash on the representative = resumable, auditable
+    // splits at any scale (no sampling state to persist).
+    "d44_leakage_safe_split" -> Q(
+      fn = (s, d) => {
+        val labels = dupClusters(s, d, minJaccard = 0.5)
+          .select("doc_id", "cluster_rep")
+        val rep = Tables.documents(s, d).select("doc_id")
+          .join(labels, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("cluster_rep"), col("doc_id")).as("rep"))
+          .withColumn("split",
+            when((col("rep") * 2654435761L) % 10 < 8, "train").otherwise("val"))
+        val pairs = minhashPortable(s, d, 0.5).select("doc_a", "doc_b")
+        val cross = pairs
+          .join(rep.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
+          .join(rep.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
+          .agg(coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)), lit(0L))
+            .as("cross_split_dup_pairs"))
+        rep.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+               countDistinct(col("rep")).as("n_clusters"))
+          .crossJoin(broadcast(cross))
+          .orderBy("split")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $minhashPairsCtes,
+        p2 AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= 0.5),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM p2
+          UNION ALL
+          SELECT doc_b, doc_a FROM p2),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach(node, label) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+        lab AS (SELECT node AS doc_id, min(label) AS cluster_rep FROM reach GROUP BY node),
+        rep AS (
+          SELECT d.doc_id, coalesce(l.cluster_rep, d.doc_id) AS rep,
+                 CASE WHEN (coalesce(l.cluster_rep, d.doc_id) * 2654435761) % 10 < 8
+                      THEN 'train' ELSE 'val' END AS split
+          FROM documents d LEFT JOIN lab l USING (doc_id)),
+        cc AS (
+          SELECT CAST(coalesce(sum(CASE WHEN ra.split <> rb.split THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS cross_split_dup_pairs
+          FROM p2 JOIN rep ra ON ra.doc_id = p2.doc_a
+                  JOIN rep rb ON rb.doc_id = p2.doc_b)
+        SELECT split, count(*) AS n_docs,
+               CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters,
+               cross_split_dup_pairs
+        FROM rep, cc GROUP BY split, cross_split_dup_pairs ORDER BY split"""),
+      doc = "cluster-aware train/val split with an in-query zero-leakage proof"
+    ),
+
     // Count-min-sketch heavy hitters. The sketch is built distributed:
     // each word occurrence increments depth×1 buckets, and the groupBy
     // (row, bucket) aggregation map-side-combines, so the shuffled state

@@ -215,6 +215,61 @@ object Multimodal {
         FROM b GROUP BY batch_id, media_type
         ORDER BY batch_id, media_type"""),
       doc = "modality-balanced batch assembly: round-robin per media type into fixed batches"
+    ),
+
+    // Exact media dedup by content checksum — the first-pass dedup every
+    // 100 TB media crawl runs (the same logo/thumbnail appears across
+    // thousands of pages). The fixture has no real media, so the payload
+    // is a synthesized shared-asset plane (each doc references one of 40
+    // assets per language); the judged machinery is the real one: hash
+    // the opaque binary, ONE checksum-keyed hash aggregation (map-side
+    // combined — the sketch-sized shuffle, never the payload bytes),
+    // keep-first accounting per media type with bytes-saved.
+    "m7_media_dedup" -> Q(
+      fn = (s, d) => {
+        val assets = Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            element_at(array(lit("image"), lit("audio"), lit("video")),
+                       (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+            encode(concat(col("lang"), lit(":asset:"),
+                          lpad((col("doc_id") % 40).cast("string"), 4, "0")), "UTF-8")
+              .as("payload"))
+          .select(col("doc_id"), col("media_type"),
+                  md5(col("payload")).as("checksum"),
+                  length(col("payload")).cast("long").as("n_bytes"))
+        assets
+          .groupBy("media_type", "checksum")
+          .agg(count(lit(1)).as("cnt"), min(col("n_bytes")).as("n_bytes"),
+               min(col("doc_id")).as("keeper"))
+          .groupBy("media_type")
+          .agg(sum(col("cnt")).as("n_assets"),
+               count(lit(1)).as("n_unique"),
+               (sum(col("cnt")) - count(lit(1))).as("n_dup_removed"),
+               sum(col("cnt") * col("n_bytes")).as("bytes_total"),
+               sum((col("cnt") - 1) * col("n_bytes")).as("bytes_saved"))
+          .orderBy("media_type")
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT doc_id,
+                 (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+                 md5(lang || ':asset:' || lpad(CAST(doc_id % 40 AS VARCHAR), 4, '0')) AS checksum,
+                 CAST(octet_length(encode(lang || ':asset:' ||
+                      lpad(CAST(doc_id % 40 AS VARCHAR), 4, '0'))) AS BIGINT) AS n_bytes
+          FROM documents),
+        u AS (
+          SELECT media_type, checksum, count(*) AS cnt, min(n_bytes) AS n_bytes,
+                 min(doc_id) AS keeper
+          FROM a GROUP BY media_type, checksum)
+        SELECT media_type,
+               CAST(sum(cnt) AS BIGINT) AS n_assets,
+               count(*) AS n_unique,
+               CAST(sum(cnt) - count(*) AS BIGINT) AS n_dup_removed,
+               CAST(sum(cnt * n_bytes) AS BIGINT) AS bytes_total,
+               CAST(sum((cnt - 1) * n_bytes) AS BIGINT) AS bytes_saved
+        FROM u GROUP BY media_type ORDER BY media_type"""),
+      doc = "exact media dedup by content checksum: keep-first accounting per modality"
     )
   )
 }

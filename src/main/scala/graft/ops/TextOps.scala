@@ -1038,6 +1038,125 @@ object TextOps {
         FROM fp LEFT JOIN lm USING (w1, w2)
         GROUP BY doc_id ORDER BY doc_id"""),
       doc = "bigram-LM coverage: the exact-arithmetic perplexity-gate stand-in"
+    ),
+
+    // Per-domain frequency cap — the C4/RefinedWeb-style guard against a
+    // handful of template-heavy domains dominating the corpus: keep each
+    // source's top-15 documents by quality key (length, id tie-break),
+    // drop the rest. One window PARTITIONED BY SOURCE — every domain
+    // ranks independently, which is exactly how 1000 executors split the
+    // work; no global sort anywhere.
+    "d42_domain_cap" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+        doc(s, d)
+          .withColumn("rnk", row_number().over(w))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+               sum(when(col("rnk") <= 15, 1L).otherwise(0L)).as("n_kept"),
+               sum(when(col("rnk") > 15, 1L).otherwise(0L)).as("n_dropped"),
+               sum(when(col("rnk") <= 15, col("n_chars"))).cast("long").as("chars_kept"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT source, n_chars,
+                 row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rnk
+          FROM documents)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN rnk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN rnk > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+               CAST(sum(CASE WHEN rnk <= 15 THEN n_chars END) AS BIGINT) AS chars_kept
+        FROM r GROUP BY source ORDER BY source"""),
+      doc = "per-domain frequency cap: top-15 per source by quality key (C4-style domain guard)"
+    ),
+
+    // Target-mixture sampling — the data-mixing step of every pretrain
+    // pipeline: given target language shares (en 40%, others 15% each),
+    // derive each stratum's keep probability from its observed count and
+    // sample DETERMINISTICALLY by a multiplicative hash of doc_id, so
+    // the same corpus always yields the same mix (resumable, auditable).
+    // Integer-mille arithmetic end-to-end; the only data pass is one
+    // scan + one broadcast join of the 5-row stratum table.
+    "d43_quality_mix" -> Q(
+      fn = (s, d) => {
+        val docs = doc(s, d)
+        val strata = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+          .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_total"))))
+          .withColumn("target_mille",
+            when(col("lang") === "en", 400L).otherwise(150L))
+          .withColumn("p_mille",
+            least(lit(1000L),
+              expr("1000 * (target_mille * n_total div 1000) div n_docs")))
+        val kept = docs.join(broadcast(strata.select("lang", "p_mille")), "lang")
+          .where((col("doc_id") * 2654435761L) % 1000 < col("p_mille"))
+          .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        strata.join(kept, Seq("lang"), "left")
+          .select(col("lang"), col("n_docs"), col("target_mille"), col("p_mille"),
+                  coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH st AS (
+          SELECT lang, count(*) AS n_docs,
+                 (SELECT count(*) FROM documents) AS n_total,
+                 CASE WHEN lang = 'en' THEN 400 ELSE 150 END AS target_mille
+          FROM documents GROUP BY lang),
+        p AS (
+          SELECT *, least(1000, 1000 * (target_mille * n_total // 1000) // n_docs) AS p_mille
+          FROM st),
+        k AS (
+          SELECT lang, count(*) AS n_kept
+          FROM documents d JOIN p USING (lang)
+          WHERE (d.doc_id * 2654435761) % 1000 < p.p_mille
+          GROUP BY lang)
+        SELECT lang, n_docs, CAST(target_mille AS BIGINT) AS target_mille,
+               CAST(p_mille AS BIGINT) AS p_mille,
+               CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
+        FROM p LEFT JOIN k USING (lang) ORDER BY lang"""),
+      doc = "target-mixture sampling: deterministic hash-sampled language rebalancing"
+    ),
+
+    // Context-window chunking — long documents split into fixed word
+    // windows (64 words, stride 48 = 16-word overlap) for training
+    // sequence assembly. The chunk rows materialize via explode (the
+    // real distributed shape: chunks inherit the document's partition,
+    // nothing shuffles), then roll back up to judged per-doc counts.
+    "d45_chunking" -> Q(
+      fn = (s, d) => {
+        val W = 64; val S = 48
+        doc(s, d)
+          .select(col("doc_id"),
+                  size(split(col("text"), " ")).cast("long").as("n_words"))
+          .withColumn("chunk",
+            explode(expr(
+              s"sequence(0, greatest(0, cast(ceil((n_words - $W) / $S.0) as bigint)))")))
+          .withColumn("chunk_len",
+            least(lit(W.toLong), col("n_words") - col("chunk") * S))
+          .where(col("chunk_len") > 0)
+          .groupBy("doc_id", "n_words")
+          .agg(count(lit(1)).as("n_chunks"),
+               max(col("chunk_len")).as("max_chunk_len"),
+               min(col("chunk_len")).as("last_chunk_len"),
+               sum(col("chunk_len")).as("total_chunk_words"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+          FROM documents),
+        c AS (
+          SELECT doc_id, n_words, i AS chunk,
+                 least(64, n_words - i * 48) AS chunk_len
+          FROM w, unnest(range(0, greatest(0, CAST(ceil((n_words - 64) / 48.0) AS BIGINT)) + 1)) t(i)
+          WHERE least(64, n_words - i * 48) > 0)
+        SELECT doc_id, n_words, count(*) AS n_chunks,
+               CAST(max(chunk_len) AS BIGINT) AS max_chunk_len,
+               CAST(min(chunk_len) AS BIGINT) AS last_chunk_len,
+               CAST(sum(chunk_len) AS BIGINT) AS total_chunk_words
+        FROM c GROUP BY doc_id, n_words ORDER BY doc_id"""),
+      doc = "context-window chunking: 64-word windows, stride 48, explode-then-rollup"
     )
   )
 }
