@@ -432,6 +432,19 @@ object Dedup {
   def dupClusters(spark: SparkSession, sfDir: String, minJaccard: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = minhashPortable(spark, sfDir, minJaccard).select("doc_a", "doc_b")
+    clusterLabels(pairs)
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster_rep")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** The connected-components core of [[dupClusters]], reusable against an
+    * already-computed (and ideally persisted) pair graph so callers that
+    * need both the labels AND the raw pairs (d44) pay for the MinHash
+    * pipeline once. Returns (doc_id, cluster_rep) for every doc that
+    * appears in at least one pair.
+    */
+  private[graft] def clusterLabels(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
@@ -463,9 +476,6 @@ object Dedup {
       s"dupClusters: min-label propagation did not converge in $maxIters iterations " +
         "(a dup-cluster chain longer than the cap); raise the cap for this corpus")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
-      .withColumn("n_members",
-        count(lit(1)).over(Window.partitionBy("cluster_rep")).cast("long"))
-      .orderBy("doc_id")
   }
 
   val queries: Map[String, Q] = Map(
@@ -793,14 +803,16 @@ object Dedup {
     // splits at any scale (no sampling state to persist).
     "d44_leakage_safe_split" -> Q(
       fn = (s, d) => {
-        val labels = dupClusters(s, d, minJaccard = 0.5)
-          .select("doc_id", "cluster_rep")
+        // ONE MinHash pass: the persisted pair graph feeds both the CC
+        // labels and the cross-split leakage check (at scale this is a
+        // disk-backed persist of the pair list, tiny next to the corpus).
+        val pairs = minhashPortable(s, d, 0.5).select("doc_a", "doc_b").persist()
+        val labels = clusterLabels(pairs)
         val rep = Tables.documents(s, d).select("doc_id")
           .join(labels, Seq("doc_id"), "left")
           .select(col("doc_id"), coalesce(col("cluster_rep"), col("doc_id")).as("rep"))
           .withColumn("split",
             when((col("rep") * 2654435761L) % 10 < 8, "train").otherwise("val"))
-        val pairs = minhashPortable(s, d, 0.5).select("doc_a", "doc_b")
         val cross = pairs
           .join(rep.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
           .join(rep.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
