@@ -854,6 +854,81 @@ object Dedup {
       doc = "cluster-aware train/val split with an in-query zero-leakage proof"
     ),
 
+    // Exact substring dedup (Lee et al. 2022, "Deduplicating Training
+    // Data Makes Language Models Better", public): any k-word window
+    // whose content appears in MORE THAN ONE document is a duplicated
+    // span occurrence; overlapping/adjacent dup windows merge into
+    // contiguous spans (gaps-and-islands over window positions). k=8
+    // words is the fixture-scaled analog of the paper's 50-BPE-token
+    // cutoff. Scale shape: only (md5 window key, doc, pos) triples ride
+    // the duplicated-content shuffle — never window text — and the span
+    // merge is a per-doc window function, embarrassingly parallel across
+    // documents. Judged output: per affected doc, dup window count,
+    // merged span count, covered words, and coverage ratio in mille.
+    "d47_substring_dedup" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 8
+        val wins = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .where(size(col("ws")) >= k)
+          .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+                  posexplode(expr(
+                    s"transform(sequence(0, size(ws)-$k), i -> concat_ws(' ', slice(ws, i+1, $k)))"))
+                    .as(Seq("pos", "win")))
+          .select(col("doc_id"), col("n_words"), col("pos").cast("long").as("pos"),
+                  md5(col("win").cast("binary")).as("wh"))
+        val dupContent = wins.groupBy("wh")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .where(col("nd") > 1).select("wh")
+        val dupOcc = wins.join(dupContent, "wh")
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        dupOcc
+          .withColumn("prev", lag(col("pos"), 1).over(w))
+          .withColumn("brk",
+            when(col("prev").isNull || col("pos") - col("prev") > k, 1L).otherwise(0L))
+          .withColumn("island", sum(col("brk")).over(w))
+          .groupBy(col("doc_id"), col("n_words"), col("island"))
+          .agg(count(lit(1)).as("n_win"),
+               (max(col("pos")) - min(col("pos")) + k).as("span_words"))
+          .groupBy("doc_id", "n_words")
+          .agg(sum(col("n_win")).as("n_dup_windows"),
+               count(lit(1)).as("n_spans"),
+               sum(col("span_words")).as("dup_words"))
+          .withColumn("dup_mille", expr("dup_words * 1000 div n_words"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+          WHERE len(string_split(text, ' ')) >= 8),
+        g AS (
+          SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, CAST(i AS BIGINT) AS pos,
+                 md5(array_to_string(ws[i+1:i+8], ' ')) AS wh
+          FROM w, unnest(range(0, len(ws) - 8 + 1)) t(i)),
+        dc AS (SELECT wh FROM g GROUP BY wh HAVING count(DISTINCT doc_id) > 1),
+        o AS (
+          SELECT g.doc_id, g.n_words, g.pos,
+                 lag(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS prev
+          FROM g JOIN dc USING (wh)),
+        isl AS (
+          SELECT doc_id, n_words, pos,
+                 sum(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM o),
+        sp AS (
+          SELECT doc_id, n_words, island, count(*) AS n_win,
+                 max(pos) - min(pos) + 8 AS span_words
+          FROM isl GROUP BY doc_id, n_words, island)
+        SELECT doc_id, n_words,
+               CAST(sum(n_win) AS BIGINT) AS n_dup_windows,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(span_words) AS BIGINT) AS dup_words,
+               CAST(sum(span_words) * 1000 // n_words AS BIGINT) AS dup_mille
+        FROM sp GROUP BY doc_id, n_words ORDER BY doc_id"""),
+      doc = "exact substring dedup: cross-doc duplicated k-word windows merged to spans (Lee et al. shape)"
+    ),
+
     // Count-min-sketch heavy hitters. The sketch is built distributed:
     // each word occurrence increments depth×1 buckets, and the groupBy
     // (row, bucket) aggregation map-side-combines, so the shuffled state

@@ -404,6 +404,120 @@ object Similarity {
       doc = "LSH-bucketed approximate nearest neighbors (full oracle)"
     ),
 
+    // SemDeDup-style semantic dedup (Abbas et al. 2023, public): k-means
+    // cells partition the corpus, then the pairwise cosine check runs
+    // only WITHIN each cell — the IVF-flavored third embedding-dedup
+    // scale path (vs d10's brute force and d22's LSH banding). The
+    // quadratic step is bounded by the largest cell, never the corpus:
+    // here 500 vectors brute-force to 124,750 pairs but the cells check
+    // ~7-8k — and at 100 TB you raise nCells so cell sizes stay flat.
+    // Every comparison is exact integer math: the >= 0.5 threshold is
+    // the cross-multiplied rational 4*dot^2 >= n2a*n2b evaluated in
+    // DECIMAL(38) (dot^2 overflows int64), so no float boundary can
+    // flake the judged drop set. Judged output is the per-cell
+    // accounting: members, pairs actually checked, keep-lowest-id drops,
+    // and the cell's max exact cosine.
+    "d46_semdedup" -> Q(
+      fn = (s, d) => {
+        graft.GraftExtensions.register(s)
+        val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+        val cents = ivfCentroids(e, nCells = 16, iters = 2)
+        val assigned = assignCells(e, cents)
+          .withColumn("n2", call_function("qnorm2", col("embedding")))
+          .persist()
+        val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+                                col("embedding").as("va"), col("n2").as("n2a"))
+        val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+                                transform(col("embedding"), x => qElem(x)).as("vbq"),
+                                col("n2").as("n2b"))
+        val pairs = a.join(b, Seq("cell")).where(col("id_a") < col("id_b"))
+          .withColumn("dot", call_function("qdot_long", col("va"), col("vbq")))
+          .withColumn("sim", col("dot").cast("double") /
+            (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))))
+          .withColumn("is_dup",
+            (col("dot") > 0) &&
+            (col("dot").cast("decimal(38,0)") * col("dot") * lit(4) >=
+             col("n2a").cast("decimal(38,0)") * col("n2b")))
+        val perCell = pairs.groupBy("cell")
+          .agg(count(lit(1)).as("n_pairs"), max(col("sim")).as("max_sim"))
+        val dropped = pairs.where(col("is_dup"))
+          .select(col("cell"), col("id_b")).distinct()
+          .groupBy("cell").agg(count(lit(1)).as("n_dropped"))
+        assigned.groupBy("cell").agg(count(lit(1)).as("n_members"))
+          .join(perCell, Seq("cell"), "left")
+          .join(dropped, Seq("cell"), "left")
+          .select(col("cell"), col("n_members"),
+                  coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+                  coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+                  coalesce(col("max_sim"), lit(-2.0d)).as("max_sim"))
+          .orderBy("cell")
+      },
+      oracle = Some {
+        def assign(cellsCte: String): String =
+          s"""SELECT vec_id, cell FROM (
+                SELECT nn.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY nn.vec_id ORDER BY
+                         (list_sum(list_transform(range(1, ${Dim + 1}), i -> nn.q[i] * c.cq[i]))::DOUBLE
+                          / (sqrt(nn.n2::DOUBLE) * sqrt(c.cn2::DOUBLE))) DESC,
+                         c.cell) AS rn
+                FROM n nn JOIN $cellsCte c ON true)
+              WHERE rn = 1"""
+        def recompute(assignCte: String): String =
+          s"""SELECT cell,
+                     list(CAST(round(s::DOUBLE / cnt) AS BIGINT) ORDER BY i) AS cq
+              FROM (
+                SELECT a.cell, t.i, CAST(sum(nn.q[t.i]) AS BIGINT) AS s, count(*) AS cnt
+                FROM $assignCte a JOIN n nn USING (vec_id), range(1, ${Dim + 1}) t(i)
+                GROUP BY a.cell, t.i)
+              GROUP BY cell"""
+        def withNorms(cte: String): String =
+          s"SELECT cell, cq, CAST(list_sum(list_transform(cq, x -> x*x)) AS BIGINT) AS cn2 FROM $cte"
+        s"""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(range(1, ${Dim + 1}),
+                   i -> ${qElemSql("embedding[i]")}) AS q
+          FROM embeddings),
+        n AS (
+          SELECT vec_id, q,
+                 CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2
+          FROM e),
+        c0 AS (SELECT vec_id AS cell, q AS cq FROM e WHERE vec_id < 16),
+        c0n AS (${withNorms("c0")}),
+        a1 AS (${assign("c0n")}),
+        c1 AS (${recompute("a1")}),
+        c1n AS (${withNorms("c1")}),
+        a2 AS (${assign("c1n")}),
+        c2 AS (${recompute("a2")}),
+        c2n AS (${withNorms("c2")}),
+        inv AS (${assign("c2n")}),
+        p AS (
+          SELECT a.cell, b2.vec_id AS id_b,
+                 CAST(list_sum(list_transform(range(1, ${Dim + 1}), i -> na.q[i] * nb.q[i])) AS BIGINT) AS dot,
+                 na.n2 AS n2a, nb.n2 AS n2b
+          FROM inv a JOIN inv b2 ON a.cell = b2.cell AND a.vec_id < b2.vec_id
+          JOIN n na ON na.vec_id = a.vec_id
+          JOIN n nb ON nb.vec_id = b2.vec_id),
+        pc AS (
+          SELECT cell, count(*) AS n_pairs,
+                 max(dot::DOUBLE / (sqrt(n2a::DOUBLE) * sqrt(n2b::DOUBLE))) AS max_sim
+          FROM p GROUP BY cell),
+        dr AS (
+          SELECT cell, count(*) AS n_dropped FROM (
+            SELECT DISTINCT cell, id_b FROM p
+            WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 4 >= CAST(n2a AS HUGEINT) * n2b)
+          GROUP BY cell),
+        m AS (SELECT cell, count(*) AS n_members FROM inv GROUP BY cell)
+        SELECT m.cell, m.n_members,
+               CAST(coalesce(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(coalesce(dr.n_dropped, 0) AS BIGINT) AS n_dropped,
+               coalesce(pc.max_sim, -2.0) AS max_sim
+        FROM m LEFT JOIN pc USING (cell) LEFT JOIN dr USING (cell)
+        ORDER BY m.cell"""
+      },
+      doc = "SemDeDup: k-means cells bound the pairwise semantic-dup check (cluster-partitioned quadratic)"
+    ),
+
     // IVF-style ANN: coarse deterministic centroids -> probe nearest
     // cells -> exact re-rank. Rows-only (iterative centroids are not
     // reasonably SQL-expressible); recall vs the exact baseline is
