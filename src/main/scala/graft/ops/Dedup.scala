@@ -287,7 +287,14 @@ object Dedup {
   }
 
   def minhashPortable(spark: SparkSession, sfDir: String, minJaccard: Double): DataFrame = {
-    val base = portableSigTable(spark, sfDir)
+    // The signature table feeds three consumers below (band keys + both
+    // sides of the shingle-set join); persist so the shingle+minhash scan
+    // runs once, not three times. Spark's cache manager dedupes the
+    // identical plan across the six queries built on this helper, and at
+    // corpus scale this is the standard "materialize signatures once"
+    // step of every LSH pipeline (signatures are ~100 longs/doc — tiny
+    // next to the text they summarize).
+    val base = portableSigTable(spark, sfDir).persist()
     val pairs = portableCandidatePairs(base)
     val hs = base.select(col("doc_id"), col("hpos"))
     pairs

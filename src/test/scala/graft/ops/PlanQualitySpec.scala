@@ -338,6 +338,42 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the 500-word vocab must broadcast into the scoring join:\n$plan")
   }
 
+  test("d42 (domain cap): ranking is partitioned by source — no global sort, no single partition") {
+    val plan = executedPlan("d42_domain_cap").split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"per-domain ranks must never funnel into one partition:\n$plan")
+    assert(plan.contains("hashpartitioning(source"),
+      s"the rank window must hash-partition on source so domains rank independently:\n$plan")
+  }
+
+  test("d44 (leakage-safe split): the pair graph is cached and reused, not recomputed") {
+    val plan = executedPlan("d44_leakage_safe_split").split("== Initial Plan ==").head
+    assert(plan.contains("InMemoryTableScan"),
+      s"the MinHash pair graph must feed the leakage check from cache, not a second pipeline run:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesianproduct"),
+      s"all pair/label joins must be equi-keyed:\n$plan")
+  }
+
+  test("d46 (SemDeDup): centroids broadcast; the pairwise check is cell-keyed, never cartesian") {
+    val plan = executedPlan("d46_semdedup").split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"the 16-row centroid table must broadcast into assignment:\n$plan")
+    assert(plan.contains("hashpartitioning(cell"),
+      s"the pairwise similarity join must shuffle on cell (cluster-bounded quadratic):\n$plan")
+    assert(!plan.toLowerCase.contains("cartesianproduct"),
+      s"no corpus-level cartesian may appear — cells bound the pair space:\n$plan")
+  }
+
+  test("d47 (substring dedup): span merge is per-doc; dup-content join is hash-keyed") {
+    val plan = executedPlan("d47_substring_dedup").split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"window positions must merge per document, never in one partition:\n$plan")
+    assert(plan.contains("hashpartitioning(doc_id"),
+      s"the gaps-and-islands window must partition by doc_id:\n$plan")
+    assert(plan.contains("hashpartitioning(wh"),
+      s"duplicated-content detection must shuffle md5 window keys:\n$plan")
+  }
+
   test("a25b (bucketed Gini): the cumulative window consumes the <=100-row bucket aggregate") {
     val plan = executedPlan("a25b_gini_bucketed").split("== Initial Plan ==").head
     val w = plan.indexOf("Window")
