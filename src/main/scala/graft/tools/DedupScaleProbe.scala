@@ -81,12 +81,33 @@ object DedupScaleProbe {
       val (_, t22) = time(
         graft.SparkEntry.queries("d22_embedding_lsh_neardup")(spark, dir).count())
       val autoBits = graft.ops.Similarity.scaledBandBits(nVecs)
+      // d47 exact substring dedup: dup-window occurrences are expected to
+      // grow LINEARLY (the per-copy word salt means windows never match
+      // across copies; the wh groupBy is hash-keyed, nothing quadratic)
+      val (dup47, t47) = time(
+        graft.SparkEntry.queries("d47_substring_dedup")(spark, dir)
+          .agg(coalesce(sum("n_dup_windows"), lit(0L))).head.getLong(0))
+      // d46 SemDeDup: the judged query fixes nCells=16 (fixture-sized);
+      // the SCALE discipline is nCells ∝ n so cell sizes — and therefore
+      // within-cell pairs per vector — stay flat. Probe with 16·k cells
+      // and report total within-cell pairs: flat per-vector pair load is
+      // the pass criterion.
+      val (pairs46, t46) = time {
+        val e = graft.core.Tables.embeddings(spark, dir).select("vec_id", "embedding")
+        val cents = graft.ops.Similarity.ivfCentroids(e, nCells = 16 * k, iters = 1)
+        graft.ops.Similarity.assignCells(e, cents)
+          .groupBy("cell").count()
+          .agg(coalesce(sum(expr("count * (count - 1) / 2")), lit(0L)).cast("long"))
+          .head.getLong(0)
+      }
       println(
         s"""{"probe":"dedup_scale","k":$k,"n_docs":$nDocs,"n_vecs":$nVecs,""" +
         s""""d6b_candidates":$cand6,"d6b_cand_sec":$tc6,"d6b_query_sec":$t6,""" +
         s""""d22_candidates_8bit":$cand22,"d22_cand8_sec":$tc22,""" +
         s""""d22_candidates_16bit":$cand22w,"d22_cand16_sec":$tc22w,""" +
-        s""""d22_auto_band_bits":$autoBits,"d22_query_sec":$t22}""")
+        s""""d22_auto_band_bits":$autoBits,"d22_query_sec":$t22,""" +
+        s""""d47_dup_windows":$dup47,"d47_sec":$t47,""" +
+        s""""d46_cells":${16 * k},"d46_within_cell_pairs":$pairs46,"d46_sec":$t46}""")
     }
     spark.stop()
   }
