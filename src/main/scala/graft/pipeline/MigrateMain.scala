@@ -3,6 +3,8 @@ package graft.pipeline
 import org.apache.spark.sql.SparkSession
 
 import graft.GraftExtensions
+import graft.core.Tokens
+import graft.functions.CassandraToken
 
 /** CLI driver for the migration pipeline — the reference's
   * SnapshotConfig + main() surface (snapshot_use_pyspark.py:26-46,
@@ -18,6 +20,14 @@ import graft.GraftExtensions
   * With --jdbc-url the sink and checkpoint store bind to the database
   * (JdbcTableSink + JdbcCheckpoints + K5 bootstrap); otherwise the
   * parquet bindings are used. Exit code 0 iff validation says OK.
+  *
+  * With --cassandra-keyspace/--cassandra-table (and optionally
+  *  --cassandra-host, default 127.0.0.1) the SOURCE binds to the
+  * jar-gated Spark Cassandra connector instead of --src, and the token
+  * function switches to the exact Murmur3 `cassandra_token` over the
+  * full signed-64 ring, so checkpoint ranges align with the server's
+  * Murmur3Partitioner — the reference's Cassandra->MySQL shape end to
+  * end (tools/cassandra_conformance.sh is the deploy gate).
   */
 object MigrateMain {
 
@@ -44,6 +54,15 @@ object MigrateMain {
         val Array(f, t) = kv.split('='); f -> t
       }.toMap).getOrElse(Map.empty)
 
+      val cassandra = a.get("cassandra-keyspace").map { ks =>
+        CassandraSource(ks, req("cassandra-table"),
+          Map("spark.cassandra.connection.host" ->
+            a.getOrElse("cassandra-host", "127.0.0.1")))
+      }
+      // schema for sink bootstrap comes from whichever source is bound
+      def srcDf = cassandra.map(_.read(spark))
+        .getOrElse(spark.read.parquet(req("src")))
+
       val jdbc = a.get("jdbc-url").map { url =>
         val cfg = JdbcSink.JdbcConfig(
           url = url,
@@ -58,15 +77,20 @@ object MigrateMain {
       }
 
       val cfg = MigrateConfig(
-        srcPath = req("src"),
+        srcPath = if (cassandra.isDefined) a.getOrElse("src", "") else req("src"),
         keyCol = req("key"),
         numRanges = a.getOrElse("ranges", "64").toInt,
         sinkPath = a.getOrElse("sink", ""),
         checkpointPath = a.getOrElse("checkpoints", ""),
         renames = renames,
+        tokenFn = if (cassandra.isDefined) CassandraToken.cassandra_token
+                  else Tokens.tokenOracle,
+        ringMin = if (cassandra.isDefined) Tokens.RingMin else Tokens.OracleRingMin,
+        ringMax = if (cassandra.isDefined) Tokens.RingMax else Tokens.OracleRingMax,
+        source = cassandra,
         sink = jdbc.map { j =>
           // bootstrap (K5) before binding the sink
-          val src = spark.read.parquet(req("src"))
+          val src = srcDf
           val renamedSchema = org.apache.spark.sql.types.StructType(
             src.schema.fields.map(f =>
               f.copy(name = renames.getOrElse(f.name, f.name))) :+
