@@ -254,6 +254,52 @@ object Similarity {
            first(col("embedding")).as("embedding"))
   }
 
+  /** Two-level (coarse-quantizer) nearest-centroid assignment — the
+    * production shape once nCells grows past ~1e5 and [[assignCells]]'s
+    * n·nCells dot products dominate (the honest caveat PLANS.md records
+    * for SemDeDup at corpus scale). Structure: ~sqrt(C) PIVOT centroids
+    * (deterministic: the lowest-id cells); each centroid hangs off its
+    * nearest pivot (a control-sized C×sqrt(C) computation); each vector
+    * ranks the pivots exactly, probes the top `nProbe` super-cells, and
+    * exact-re-ranks only the centroids inside them. Per-vector cost
+    * drops from C dots to ~sqrt(C) + nProbe·C/sqrt(C); everything rides
+    * broadcasts — no shuffle touches the corpus. Approximation error is
+    * confined to vectors whose true cell hangs off an unprobed pivot;
+    * SimilaritySpec measures agreement vs exact assignment.
+    */
+  def assignCellsCoarse(e: DataFrame, cents: DataFrame, nProbe: Int = 2): DataFrame = {
+    graft.GraftExtensions.register(e.sparkSession)
+    val nCells = cents.count() // control-sized by contract
+    val ns = math.max(1L, math.round(math.sqrt(nCells.toDouble)))
+    val pivots = cents.orderBy("cell").limit(ns.toInt)
+      .select(col("cell").as("pivot"), col("centroid").as("pv"))
+      .withColumn("pn2",
+        aggregate(transform(col("pv"), x => x * x), lit(0L), (acc, v) => acc + v))
+    val cpn = cents.withColumn("cn2",
+      aggregate(transform(col("centroid"), x => x * x), lit(0L), (acc, v) => acc + v))
+    val c2p = cpn.crossJoin(broadcast(pivots))
+      .withColumn("d", call_function("l2_long", col("centroid"), col("pv")))
+      .groupBy("cell")
+      .agg(min_by(col("pivot"), struct(col("d"), col("pivot"))).as("pivot"),
+           first(col("centroid")).as("centroid"), first(col("cn2")).as("cn2"))
+    val ev = e.withColumn("en2", call_function("qnorm2", col("embedding")))
+    val vp = ev.crossJoin(broadcast(pivots))
+      .withColumn("psim",
+        call_function("qdot_long", col("embedding"), col("pv")).cast("double") /
+          (sqrt(col("en2").cast("double")) * sqrt(col("pn2").cast("double"))))
+      .withColumn("prnk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("psim").desc, col("pivot"))))
+      .where(col("prnk") <= nProbe)
+      .select("vec_id", "embedding", "en2", "pivot")
+    vp.join(broadcast(c2p), Seq("pivot"))
+      .withColumn("csim",
+        call_function("qdot_long", col("embedding"), col("centroid")).cast("double") /
+          (sqrt(col("en2").cast("double")) * sqrt(col("cn2").cast("double"))))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell"), struct(col("csim"), -col("cell"))).as("cell"),
+           first(col("embedding")).as("embedding"))
+  }
+
   /** IVF ANN: probe the nProbeCells nearest cells per query, exact
     * quantized-cosine re-rank within the candidate cells. Candidates are
     * bounded by cell sizes (vs the corpus for brute force); the inverted

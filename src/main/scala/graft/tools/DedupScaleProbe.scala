@@ -100,6 +100,17 @@ object DedupScaleProbe {
           .agg(coalesce(sum(expr("count * (count - 1) / 2")), lit(0L)).cast("long"))
           .head.getLong(0)
       }
+      // same pipeline through the two-level coarse assignment — the
+      // past-1e5-cells production path; wall difference vs t46 is the
+      // n·nCells -> n·(sqrt+probed) assignment saving
+      val (pairs46c, t46c) = time {
+        val e = graft.core.Tables.embeddings(spark, dir).select("vec_id", "embedding")
+        val cents = graft.ops.Similarity.ivfCentroids(e, nCells = 16 * k, iters = 1)
+        graft.ops.Similarity.assignCellsCoarse(e, cents)
+          .groupBy("cell").count()
+          .agg(coalesce(sum(expr("count * (count - 1) / 2")), lit(0L)).cast("long"))
+          .head.getLong(0)
+      }
       println(
         s"""{"probe":"dedup_scale","k":$k,"n_docs":$nDocs,"n_vecs":$nVecs,""" +
         s""""d6b_candidates":$cand6,"d6b_cand_sec":$tc6,"d6b_query_sec":$t6,""" +
@@ -107,7 +118,8 @@ object DedupScaleProbe {
         s""""d22_candidates_16bit":$cand22w,"d22_cand16_sec":$tc22w,""" +
         s""""d22_auto_band_bits":$autoBits,"d22_query_sec":$t22,""" +
         s""""d47_dup_windows":$dup47,"d47_sec":$t47,""" +
-        s""""d46_cells":${16 * k},"d46_within_cell_pairs":$pairs46,"d46_sec":$t46}""")
+        s""""d46_cells":${16 * k},"d46_within_cell_pairs":$pairs46,"d46_sec":$t46,""" +
+        s""""d46_coarse_pairs":$pairs46c,"d46_coarse_sec":$t46c}""")
     }
     spark.stop()
   }
