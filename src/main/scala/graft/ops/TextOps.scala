@@ -1157,6 +1157,70 @@ object TextOps {
                CAST(sum(chunk_len) AS BIGINT) AS total_chunk_words
         FROM c GROUP BY doc_id, n_words ORDER BY doc_id"""),
       doc = "context-window chunking: 64-word windows, stride 48, explode-then-rollup"
+    ),
+
+    // UniMax-style epoch allocation (Chung et al. 2023, public): given a
+    // total token budget and a per-language repeat cap, waterfill —
+    // small languages are capped at `cap` epochs, the remainder of the
+    // budget spreads uniformly over the rest. The classic threshold
+    // search is ONE window pass over the per-language aggregate (sorted
+    // capped allocations + prefix sums; threshold candidate t_i at each
+    // row; the first row where t_i <= cap_toks is the waterline). Scale
+    // shape: the only corpus pass is the per-language token sum
+    // (map-side combined); the waterfill itself runs on a
+    // languages-sized aggregate. Exact integer arithmetic throughout;
+    // the fixture allocation exhausts the budget to the token.
+    "d48_unimax_epochs" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = doc(s, d).groupBy("lang")
+          .agg(sum(size(split(col("text"), " "))).cast("long").as("toks"))
+        val b = toks.agg((sum(col("toks")) * 3).cast("long").as("budget"),
+                         count(lit(1)).as("n"))
+        val w = Window.orderBy("toks", "lang") // languages-sized aggregate
+        val o = toks.withColumn("cap_toks", (col("toks") * 4).cast("long"))
+          .withColumn("i", row_number().over(w).cast("long"))
+          .withColumn("prefix", sum(col("cap_toks")).over(w))
+          .crossJoin(broadcast(b))
+          .withColumn("t_i",
+            expr("(budget - (prefix - cap_toks)) div (n - i + 1)"))
+        val istar = o.where(col("t_i") <= col("cap_toks"))
+          .agg(min(col("i")).as("istar"))
+        val tstar = o.crossJoin(broadcast(istar))
+          .where(col("i") === col("istar"))
+          .agg(min(col("t_i")).as("tstar"))
+        o.crossJoin(broadcast(istar)).crossJoin(broadcast(tstar))
+          .withColumn("alloc",
+            when(col("i") < coalesce(col("istar"), col("n") + 1), col("cap_toks"))
+              .otherwise(least(col("cap_toks"), col("tstar"))))
+          .withColumn("epochs_mille", expr("alloc * 1000 div toks"))
+          .select("lang", "toks", "cap_toks", "alloc", "epochs_mille")
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+          FROM documents GROUP BY lang),
+        b AS (SELECT CAST(3 * sum(toks) AS BIGINT) AS budget, count(*) AS n FROM s),
+        o AS (
+          SELECT lang, toks, 4 * toks AS cap_toks,
+                 row_number() OVER (ORDER BY toks, lang) AS i,
+                 sum(4 * toks) OVER (ORDER BY toks, lang) AS prefix
+          FROM s),
+        t AS (
+          SELECT o.*, b.budget, b.n,
+                 (b.budget - (prefix - cap_toks)) // (b.n - i + 1) AS t_i
+          FROM o, b),
+        pick AS (SELECT min(i) AS istar FROM t WHERE t_i <= cap_toks),
+        ts AS (SELECT min(t_i) AS tstar FROM t, pick WHERE t.i = pick.istar)
+        SELECT lang, toks, cap_toks,
+               CAST(CASE WHEN i < coalesce(istar, n + 1) THEN cap_toks
+                    ELSE least(cap_toks, tstar) END AS BIGINT) AS alloc,
+               CAST((CASE WHEN i < coalesce(istar, n + 1) THEN cap_toks
+                     ELSE least(cap_toks, tstar) END) * 1000 // toks AS BIGINT)
+                 AS epochs_mille
+        FROM t, pick, ts ORDER BY lang"""),
+      doc = "UniMax epoch waterfilling: budget-constrained per-language repeat allocation"
     )
   )
 }
