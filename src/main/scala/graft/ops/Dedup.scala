@@ -885,10 +885,16 @@ object Dedup {
                     .as(Seq("pos", "win")))
           .select(col("doc_id"), col("n_words"), col("pos").cast("long").as("pos"),
                   md5(col("win").cast("binary")).as("wh"))
-        val dupContent = wins.groupBy("wh")
-          .agg(countDistinct(col("doc_id")).as("nd"))
-          .where(col("nd") > 1).select("wh")
-        val dupOcc = wins.join(dupContent, "wh")
+        // cross-doc duplication via TWO window functions over ONE
+        // wh-keyed shuffle (dense_rank of doc_id within the window-hash
+        // partition, then its max): strictly better than the groupBy +
+        // self-join formulation, which scanned and shuffled the window
+        // table twice. distinct-doc count == max(dense_rank by doc_id).
+        val ww = Window.partitionBy("wh")
+        val dupOcc = wins
+          .withColumn("dr", dense_rank().over(ww.orderBy("doc_id")))
+          .withColumn("nd", max(col("dr")).over(ww))
+          .where(col("nd") > 1)
         val w = Window.partitionBy("doc_id").orderBy("pos")
         dupOcc
           .withColumn("prev", lag(col("pos"), 1).over(w))

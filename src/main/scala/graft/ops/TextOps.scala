@@ -1082,8 +1082,13 @@ object TextOps {
     "d43_quality_mix" -> Q(
       fn = (s, d) => {
         val docs = doc(s, d)
-        val strata = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
-          .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_total"))))
+        // ONE corpus scan builds the stratum table; n_total derives from
+        // the strata themselves (aggregate of an aggregate), and the
+        // 5-row result is persisted so the final left-join branch does
+        // not re-execute the corpus lineage
+        val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs")).persist()
+        val strata = counts
+          .crossJoin(broadcast(counts.agg(sum(col("n_docs")).as("n_total"))))
           .withColumn("target_mille",
             when(col("lang") === "en", 400L).otherwise(150L))
           .withColumn("p_mille",
@@ -1173,8 +1178,13 @@ object TextOps {
     "d48_unimax_epochs" -> Q(
       fn = (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // persist the languages-sized aggregate: every waterfill branch
+        // (budget, threshold candidates, waterline, final allocation)
+        // derives from it, and without the cache each branch re-executes
+        // the corpus scan lineage — 10 scans where one suffices
         val toks = doc(s, d).groupBy("lang")
           .agg(sum(size(split(col("text"), " "))).cast("long").as("toks"))
+          .persist()
         val b = toks.agg((sum(col("toks")) * 3).cast("long").as("budget"),
                          count(lit(1)).as("n"))
         val w = Window.orderBy("toks", "lang") // languages-sized aggregate

@@ -372,6 +372,22 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the gaps-and-islands window must partition by doc_id:\n$plan")
     assert(plan.contains("hashpartitioning(wh"),
       s"duplicated-content detection must shuffle md5 window keys:\n$plan")
+    // dup detection is two window functions over ONE wh shuffle — the
+    // groupBy+self-join formulation this replaced scanned the corpus twice
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"the documents table must be scanned exactly once:\n$plan")
+  }
+
+  test("d48 (UniMax): the waterfill branches read the cached language aggregate, not the corpus") {
+    val plan = executedPlan("d48_unimax_epochs").split("== Initial Plan ==").head
+    assert(plan.contains("InMemoryTableScan"),
+      s"the per-language token aggregate must be persisted — every waterfill branch re-scans the corpus otherwise:\n$plan")
+  }
+
+  test("d43 (mixture sampling): stratum branches read the cached counts, not the corpus") {
+    val plan = executedPlan("d43_quality_mix").split("== Initial Plan ==").head
+    assert(plan.contains("InMemoryTableScan"),
+      s"the per-language counts must be persisted — the keep-probability branches re-scan the corpus otherwise:\n$plan")
   }
 
   test("a25b (bucketed Gini): the cumulative window consumes the <=100-row bucket aggregate") {
