@@ -172,11 +172,15 @@ object Events {
       fn = (s, d) => {
         val ev = Tables.events(s, d)
           .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        // v and c each feed TWO consumers (the next stage + the final
+        // count); persist the user-sized aggregates so events is scanned
+        // exactly once per funnel stage (filter-pruned), not re-executed
+        // per branch
         val v = ev.where(col("event_type") === "view")
-          .groupBy("user_id").agg(min("us").as("t_view"))
+          .groupBy("user_id").agg(min("us").as("t_view")).persist()
         val c = ev.where(col("event_type") === "click")
           .join(v, "user_id").where(col("us") >= col("t_view"))
-          .groupBy("user_id").agg(min("us").as("t_click"))
+          .groupBy("user_id").agg(min("us").as("t_click")).persist()
         val p = ev.where(col("event_type") === "purchase")
           .join(c, "user_id").where(col("us") >= col("t_click"))
           .groupBy("user_id").agg(min("us").as("t_buy"))
