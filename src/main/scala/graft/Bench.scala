@@ -112,12 +112,23 @@ object Bench {
     // regressions from harness contention, in the same artifact.
     val isolated = if (only.isEmpty) {
       val slowest = results.filter(_._2.error.isEmpty).sortBy(-_._2.secs).take(5)
+      // Actually isolated: drop every cache entry the sweep left behind
+      // (System.gc() alone does not touch Spark's cache manager), so the
+      // re-measure sees the same cold-cache state a standalone run would.
+      graft.ops.PipelineCache.release()
+      spark.sharedState.cacheManager.clearCache()
       System.gc()
-      slowest.map { case (name, _) =>
+      slowest.flatMap { case (name, _) =>
         val fn = SparkEntry.queries(name)
         val a = once(fn)
         val b = once(fn)
-        name -> math.min(a.secs, b.secs)
+        // a query that fails during re-measure must not record a
+        // plausible-looking timing — drop it from the isolated map
+        if (a.error.isDefined || b.error.isDefined) {
+          System.err.println(s"[bench] isolated re-run of $name failed: " +
+            (a.error orElse b.error).get)
+          None
+        } else Some(name -> math.min(a.secs, b.secs))
       }
     } else Seq.empty
 

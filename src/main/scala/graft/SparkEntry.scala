@@ -22,11 +22,15 @@ object SparkEntry {
     * the migration pipeline's global count-reconciliation (T6).
     */
   def entry(spark: SparkSession): DataFrame =
-    all("t6_validate_counts").fn(spark, "/root/testdata/sf0.001")
+    all("t6_validate_counts").run(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Exposes Q.run
+    * (not the raw fn): invoking any query first releases the previous
+    * query's construction-time caches, so sweep runners (Verify, Bench,
+    * the driver's gate) hold one query's cached state at a time.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    all.map { case (k, q) => k -> q.fn }
+    all.map { case (k, q) => k -> q.run }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

@@ -21,8 +21,17 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // Cache hygiene: each query's construction already released the
+        // previous one's persists (Q.run), but the gate additionally
+        // drops THIS query's cache + any stray entries before the next,
+        // so the 180-query sweep never accumulates memory pressure.
+        graft.ops.PipelineCache.release()
+        spark.sharedState.cacheManager.clearCache()
       }
     }
+    if (!spark.sharedState.cacheManager.isEmpty)
+      System.err.println("[verify] WARNING: cache entries leaked past the per-query clearCache")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

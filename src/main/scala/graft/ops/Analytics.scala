@@ -1107,7 +1107,7 @@ object Analytics {
           .select(col("l_partkey"), col("pv_dec"),
                   col("pv_dec").cast("double").as("part_value"), col("n_lines"))
           .persist()
-        PipelineCache.swap(perPart)
+        PipelineCache.retain(perPart)
         val total = perPart.agg(sum(col("pv_dec")).cast("double").as("total_value"),
                                 count(lit(1)).as("n_parts"))
         perPart.crossJoin(broadcast(total))
@@ -1489,7 +1489,7 @@ object Analytics {
       fn = (s, d) => {
         val cells = Tables.documents(s, d).groupBy("lang", "source")
           .agg(count(lit(1)).as("o")).persist()
-        PipelineCache.swap(cells)
+        PipelineCache.retain(cells)
         val rowM = cells.groupBy("lang").agg(sum("o").as("rt"))
         val colM = cells.groupBy("source").agg(sum("o").as("ct"))
         val n = cells.agg(sum("o").as("n"))
@@ -1720,7 +1720,7 @@ object Analytics {
         val op = Tables.lineitem(s, d)
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
           .persist()
-        PipelineCache.swap(op)
+        PipelineCache.retain(op)
         val nOrders = op.select(countDistinct(col("o")).as("n_orders"))
         val pc = op.groupBy("p").agg(count(lit(1)).as("c"))
         val pairs = op.toDF("o", "pa")

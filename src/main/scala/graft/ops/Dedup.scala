@@ -79,20 +79,9 @@ object Dedup {
     * query runs unplanted.
     */
   // The signature table below is persisted because four plan branches
-  // consume it; in a long-lived session each new call releases the
-  // previous call's cache (no unbounded accumulation). The swap is
-  // synchronized so concurrent calls can't double-unpersist or leak a
-  // cache entry; unpersisting a DataFrame another caller is still
-  // consuming is recompute-safe (Spark falls back to lineage), so the
-  // lock only needs to cover the bookkeeping, not result consumption.
-  private var lastSignatureCache: Option[DataFrame] = None
-  private val cacheLock = new Object
-
-  private def swapSignatureCache(next: DataFrame): Unit = cacheLock.synchronized {
-    lastSignatureCache.foreach(_.unpersist())
-    lastSignatureCache = Some(next)
-  }
-
+  // consume it; registration with PipelineCache means the NEXT judged
+  // query's construction releases it (no unbounded accumulation in a
+  // long-lived sweep session).
   def minhashNearDups(spark: SparkSession, sfDir: String, minJaccard: Double,
                       plant: Boolean = false): DataFrame = {
     graft.GraftExtensions.register(spark)
@@ -106,7 +95,7 @@ object Dedup {
       .select(col("doc_id"), call_function("shingle_hashes", col("text")).as("hpos"))
       .withColumn("sig", call_function("minhash_sig", col("hpos")))
       .persist()
-    swapSignatureCache(base)
+    PipelineCache.retain(base)
     // Band keys only ride the candidate shuffle (ids + two longs per row).
     val banded = base
       .select(col("doc_id"), explode(bandKeys("sig")).as("bk"))
@@ -295,6 +284,7 @@ object Dedup {
     // step of every LSH pipeline (signatures are ~100 longs/doc — tiny
     // next to the text they summarize).
     val base = portableSigTable(spark, sfDir).persist()
+    PipelineCache.retain(base)
     val pairs = portableCandidatePairs(base)
     val hs = base.select(col("doc_id"), col("hpos"))
     pairs
@@ -388,7 +378,7 @@ object Dedup {
       .where(col("doc_id") === col("m"))
       .select("doc_id", "n_words")
       .persist()
-    PipelineCache.swap(e)
+    PipelineCache.retain(e)
     val pairs = minhashPortable(spark, sfDir, 0.5).select("doc_a", "doc_b")
     val nd = pairs
       .join(e.select(col("doc_id").as("doc_a")), "doc_a")
@@ -814,12 +804,16 @@ object Dedup {
         // labels and the cross-split leakage check (at scale this is a
         // disk-backed persist of the pair list, tiny next to the corpus).
         val pairs = minhashPortable(s, d, 0.5).select("doc_a", "doc_b").persist()
+        PipelineCache.retain(pairs)
         val labels = clusterLabels(pairs)
         val rep = Tables.documents(s, d).select("doc_id")
           .join(labels, Seq("doc_id"), "left")
           .select(col("doc_id"), coalesce(col("cluster_rep"), col("doc_id")).as("rep"))
           .withColumn("split",
-            when((col("rep") * 2654435761L) % 10 < 8, "train").otherwise("val"))
+            // wrap-mask: reps >= ~3.5e9 would wrap negative and always
+            // land in "train", biasing the split (see d43's twin fix)
+            when(((col("rep") * 2654435761L).bitwiseAND(Long.MaxValue)) % 10 < 8,
+              "train").otherwise("val"))
         val cross = pairs
           .join(rep.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
           .join(rep.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
@@ -846,7 +840,7 @@ object Dedup {
         lab AS (SELECT node AS doc_id, min(label) AS cluster_rep FROM reach GROUP BY node),
         rep AS (
           SELECT d.doc_id, coalesce(l.cluster_rep, d.doc_id) AS rep,
-                 CASE WHEN (coalesce(l.cluster_rep, d.doc_id) * 2654435761) % 10 < 8
+                 CASE WHEN ((coalesce(l.cluster_rep, d.doc_id) * 2654435761) & 9223372036854775807) % 10 < 8
                       THEN 'train' ELSE 'val' END AS split
           FROM documents d LEFT JOIN lab l USING (doc_id)),
         cc AS (
@@ -1194,7 +1188,7 @@ object Dedup {
             split(col("lt"), " ").getItem(0).as("w1"),
             substring(col("lt"), 1, 12).as("p12"))
           .persist()
-        PipelineCache.swap(f)
+        PipelineCache.retain(f)
         def pass(keyCols: Seq[Column]): org.apache.spark.sql.DataFrame = {
           val slim = f.select(col("doc_id") +: keyCols: _*)
           val a = slim.toDF(("doc_a" +: keyCols.indices.map(i => s"k$i")): _*)

@@ -181,6 +181,7 @@ object Events {
         val c = ev.where(col("event_type") === "click")
           .join(v, "user_id").where(col("us") >= col("t_view"))
           .groupBy("user_id").agg(min("us").as("t_click")).persist()
+        PipelineCache.retain(v, c)
         val p = ev.where(col("event_type") === "purchase")
           .join(c, "user_id").where(col("us") >= col("t_click"))
           .groupBy("user_id").agg(min("us").as("t_buy"))
@@ -305,7 +306,7 @@ object Events {
           .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
           .agg(count(lit(1)).as("n_events"), dsum(col("value"), 2).as("revenue"))
           .persist()
-        PipelineCache.swap(daily)
+        PipelineCache.retain(daily)
         val spine = daily.groupBy("user_id")
           .agg(min("day").as("d0"), max("day").as("d1"))
           .select(col("user_id"),

@@ -285,7 +285,7 @@ object Joins {
           .union(trades.select(col("sp").as("src"), col("c").as("dst")))
           .persist()
         val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).persist()
-        PipelineCache.swap(edges, deg)
+        PipelineCache.retain(edges, deg)
         var rank = deg.select(col("src").as("node"), lit(unit).as("rank"))
         for (_ <- 1 to 3) {
           rank = edges
@@ -353,7 +353,7 @@ object Joins {
           .where(col("a") < col("b"))
           .distinct()
           .persist()
-        PipelineCache.swap(trade)
+        PipelineCache.retain(trade)
         val tri = trade.as("e1")
           .join(trade.as("e2"), col("e1.b") === col("e2.a"))
           .join(trade.as("e3"),

@@ -10,20 +10,38 @@ final case class Q(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
     doc: String = ""
-)
+) {
+  /** The invocation every runner (Verify/Bench/tools/tests via
+    * SparkEntry.queries) should use: releases the PREVIOUS query's
+    * construction-time caches before building this one, so a long
+    * single-JVM sweep holds exactly one query's worth of cached state
+    * at a time instead of accumulating 180 queries' persists.
+    */
+  val run: (SparkSession, String) => DataFrame =
+    (s, d) => { PipelineCache.beginQuery(); fn(s, d) }
+}
 
-/** One-slot cache for DataFrames that a query persists at CONSTRUCTION
-  * time but that must stay cached until the (lazy) result executes: an
-  * in-query `finally unpersist` would release the cache before the first
-  * action runs. Each query run swaps its persisted frames in, releasing
-  * the previous run's — so repeated Verify/Bench loops hold exactly one
-  * query's worth of cached state.
+/** Registry for DataFrames that a query persists at CONSTRUCTION time but
+  * that must stay cached until the (lazy) result executes: an in-query
+  * `finally unpersist` would release the cache before the first action
+  * runs. Discipline: every construction-time `persist()` is immediately
+  * `retain`ed here; the NEXT query's `Q.run` (or an explicit `release()`
+  * from Verify/Bench) unpersists everything retained — so repeated sweep
+  * loops hold exactly one query's worth of cached state, and a runner can
+  * assert `cacheManager.isEmpty` after `release()` at exit.
+  *
+  * `retain` APPENDS (a query may persist several frames, including via
+  * shared helpers like Dedup.minhashPortable); `release` drops them all.
   */
 object PipelineCache {
   private val lock = new Object
-  private var last: Seq[DataFrame] = Nil
-  def swap(next: DataFrame*): Unit = lock.synchronized {
-    last.foreach(_.unpersist())
-    last = next.toIndexedSeq
+  private var held: Vector[DataFrame] = Vector.empty
+  def retain(dfs: DataFrame*): Unit = lock.synchronized { held ++= dfs }
+  def beginQuery(): Unit = release()
+  def release(): Unit = {
+    val toDrop = lock.synchronized { val h = held; held = Vector.empty; h }
+    // Unpersisting a frame another consumer still reads is recompute-safe
+    // (Spark falls back to lineage), so the lock covers bookkeeping only.
+    toDrop.foreach(_.unpersist())
   }
 }

@@ -488,7 +488,7 @@ object Relational {
         val oFlag = o.join(broadcast(victims), col("o_custkey") === col("c_custkey"), "left")
           .select(col("o_orderkey"), col("c_custkey").isNotNull.as("del"))
           .persist()
-        PipelineCache.swap(oFlag)
+        PipelineCache.retain(oFlag)
         val li = Tables.lineitem(s, d)
           .join(oFlag, col("l_orderkey") === col("o_orderkey"), "left")
         val custCounts = Tables.customer(s, d).agg(

@@ -277,10 +277,17 @@ object Similarity {
         aggregate(transform(col("pv"), x => x * x), lit(0L), (acc, v) => acc + v))
     val cpn = cents.withColumn("cn2",
       aggregate(transform(col("centroid"), x => x * x), lit(0L), (acc, v) => acc + v))
+    // centroid-to-pivot grouping uses COSINE, the same metric vectors
+    // rank pivots by below — a mixed-metric grouping (L2 here, cosine
+    // there) would let a vector's best-cosine cell hang off a pivot the
+    // vector never probes even in benign geometry, depressing agreement
     val c2p = cpn.crossJoin(broadcast(pivots))
-      .withColumn("d", call_function("l2_long", col("centroid"), col("pv")))
+      .withColumn("psim",
+        aggregate(zip_with(col("centroid"), col("pv"), (a, b) => a * b),
+                  lit(0L), (acc, v) => acc + v).cast("double") /
+          (sqrt(col("cn2").cast("double")) * sqrt(col("pn2").cast("double"))))
       .groupBy("cell")
-      .agg(min_by(col("pivot"), struct(col("d"), col("pivot"))).as("pivot"),
+      .agg(max_by(col("pivot"), struct(col("psim"), -col("pivot"))).as("pivot"),
            first(col("centroid")).as("centroid"), first(col("cn2")).as("cn2"))
     val ev = e.withColumn("en2", call_function("qnorm2", col("embedding")))
     val vp = ev.crossJoin(broadcast(pivots))
@@ -471,6 +478,7 @@ object Similarity {
         val assigned = assignCells(e, cents)
           .withColumn("n2", call_function("qnorm2", col("embedding")))
           .persist()
+        PipelineCache.retain(assigned)
         val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
                                 col("embedding").as("va"), col("n2").as("n2a"))
         val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
@@ -1111,7 +1119,7 @@ object Similarity {
             posexplode(array((0 until NSub).map(i =>
               slice(col("qv"), i * SubDim + 1, SubDim)): _*)).as(Seq("sub", "svec")))
           .persist()
-        PipelineCache.swap(subs)
+        PipelineCache.retain(subs)
         // one codegen'd static call per (subvector, codeword) pair — the
         // HOF zip_with formulation paid lambda machinery in the hot path
         def l2(a: Column, b: Column): Column =

@@ -550,7 +550,10 @@ object TextOps {
     // reshuffle. All arithmetic is exact int64.
     "d28_hash_sample" -> Q(
       fn = (s, d) => {
-        val h = (col("doc_id") * lit(2654435761L) + lit(104729L)) % lit(4294967296L)
+        // same wrap-mask as d43: keeps the hash in [0, 2^32) for ids past
+        // the ~3.5e9 silent-wrap point (a no-op below it)
+        val h = ((col("doc_id") * lit(2654435761L) + lit(104729L))
+          .bitwiseAND(Long.MaxValue)) % lit(4294967296L)
         val keepBps = least(greatest(col("n_chars") * 5, lit(500L)), lit(10000L))
         doc(s, d)
           .withColumn("u", h % 10000)
@@ -567,7 +570,7 @@ object TextOps {
       oracle = Some("""
         WITH s AS (
           SELECT lang,
-                 (doc_id * 2654435761 + 104729) % 4294967296 % 10000 AS u,
+                 ((doc_id * 2654435761 + 104729) & 9223372036854775807) % 4294967296 % 10000 AS u,
                  least(greatest(n_chars * 5, 500), 10000) AS keep_bps
           FROM documents)
         SELECT lang, count(*) AS n_total,
@@ -810,7 +813,7 @@ object TextOps {
         val m2 = best(pairCounts(t1))
         val t2 = merge(t1, m2).persist()
         val m3 = best(pairCounts(t2))
-        PipelineCache.swap(t0, t1, t2)
+        PipelineCache.retain(t0, t1, t2)
         def out(m: org.apache.spark.sql.DataFrame, step: Long) =
           m.select(lit(step).as("step"), col("a").as("sym_a"),
                    col("b").as("sym_b"), concat(col("a"), col("b")).as("merged"),
@@ -908,7 +911,7 @@ object TextOps {
         val t1 = merge(t0, best(pairCounts(t0))).persist()
         val t2 = merge(t1, best(pairCounts(t1))).persist()
         val t3 = merge(t2, best(pairCounts(t2)))
-        PipelineCache.swap(t0, t1, t2)
+        PipelineCache.retain(t0, t1, t2)
         val enc = t3.select(col("word"),
           size(split(trim(col("tok")), " ")).cast("long").as("n_tok"))
         words.where(col("doc_id") < 100)
@@ -1004,7 +1007,7 @@ object TextOps {
           .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
           .where(col("w1").rlike("^[a-z]{2,}$") && col("w2").rlike("^[a-z]{2,}$"))
           .persist()
-        PipelineCache.swap(pairs)
+        PipelineCache.retain(pairs)
         val lm = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
           .where(col("c12") >= 5)
           .select(col("w1"), col("w2"), lit(1).as("hit"))
@@ -1087,6 +1090,7 @@ object TextOps {
         // 5-row result is persisted so the final left-join branch does
         // not re-execute the corpus lineage
         val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs")).persist()
+        PipelineCache.retain(counts)
         val strata = counts
           .crossJoin(broadcast(counts.agg(sum(col("n_docs")).as("n_total"))))
           .withColumn("target_mille",
@@ -1095,7 +1099,11 @@ object TextOps {
             least(lit(1000L),
               expr("1000 * (target_mille * n_total div 1000) div n_docs")))
         val kept = docs.join(broadcast(strata.select("lang", "p_mille")), "lang")
-          .where((col("doc_id") * 2654435761L) % 1000 < col("p_mille"))
+          // mask the wrapped product non-negative so ids >= ~3.5e9 (where
+          // int64 silently wraps) still land in [0, 1000) instead of a
+          // negative remainder that always passes the threshold
+          .where(((col("doc_id") * 2654435761L).bitwiseAND(Long.MaxValue)) % 1000
+            < col("p_mille"))
           .groupBy("lang").agg(count(lit(1)).as("n_kept"))
         strata.join(kept, Seq("lang"), "left")
           .select(col("lang"), col("n_docs"), col("target_mille"), col("p_mille"),
@@ -1114,7 +1122,7 @@ object TextOps {
         k AS (
           SELECT lang, count(*) AS n_kept
           FROM documents d JOIN p USING (lang)
-          WHERE (d.doc_id * 2654435761) % 1000 < p.p_mille
+          WHERE ((d.doc_id * 2654435761) & 9223372036854775807) % 1000 < p.p_mille
           GROUP BY lang)
         SELECT lang, n_docs, CAST(target_mille AS BIGINT) AS target_mille,
                CAST(p_mille AS BIGINT) AS p_mille,
@@ -1185,6 +1193,7 @@ object TextOps {
         val toks = doc(s, d).groupBy("lang")
           .agg(sum(size(split(col("text"), " "))).cast("long").as("toks"))
           .persist()
+        PipelineCache.retain(toks)
         val b = toks.agg((sum(col("toks")) * 3).cast("long").as("budget"),
                          count(lit(1)).as("n"))
         val w = Window.orderBy("toks", "lang") // languages-sized aggregate
@@ -1192,8 +1201,13 @@ object TextOps {
           .withColumn("i", row_number().over(w).cast("long"))
           .withColumn("prefix", sum(col("cap_toks")).over(w))
           .crossJoin(broadcast(b))
+          // clamp the numerator: when the largest language holds under
+          // 1/4 of total tokens it goes negative, where Spark `div`
+          // (truncate toward zero) and DuckDB `//` (floor) diverge —
+          // greatest(0, ...) keeps both engines in the agreeing domain
+          // and t_i = 0 is the correct "no budget left" waterline
           .withColumn("t_i",
-            expr("(budget - (prefix - cap_toks)) div (n - i + 1)"))
+            expr("greatest(0, budget - (prefix - cap_toks)) div (n - i + 1)"))
         val istar = o.where(col("t_i") <= col("cap_toks"))
           .agg(min(col("i")).as("istar"))
         val tstar = o.crossJoin(broadcast(istar))
@@ -1219,7 +1233,7 @@ object TextOps {
           FROM s),
         t AS (
           SELECT o.*, b.budget, b.n,
-                 (b.budget - (prefix - cap_toks)) // (b.n - i + 1) AS t_i
+                 greatest(0, b.budget - (prefix - cap_toks)) // (b.n - i + 1) AS t_i
           FROM o, b),
         pick AS (SELECT min(i) AS istar FROM t WHERE t_i <= cap_toks),
         ts AS (SELECT min(t_i) AS tstar FROM t, pick WHERE t.i = pick.istar)
