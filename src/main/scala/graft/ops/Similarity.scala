@@ -122,7 +122,8 @@ object Similarity {
     * (DedupScaleProbe): at 50k vectors 8-bit bands emit 22.4M candidate
     * pairs (448/vector, quadratic regime) while 16-bit bands emit 167k
     * (3.3/vector) — so the switch belongs at ~12.8k, well before the
-    * blowup.
+    * blowup. Wired into the judged d22 path (and mirrored by its
+    * oracle's size-guarded union), not just the probe.
     */
   private[graft] def scaledBandBits(n: Long): Int =
     if (n <= (50L << 8)) 8 else 16
@@ -401,6 +402,118 @@ object Similarity {
           FROM fd GROUP BY vec_id, j // 16)"""
   }
 
+  /** SemDeDup per-cell accounting over an assigned (vec_id, embedding,
+    * cell, n2) frame — shared judged tail of d46 (exact assignment) and
+    * d46b (two-level coarse assignment). Within-cell pairs only; the
+    * >= 0.5 dup threshold is the cross-multiplied rational evaluated in
+    * DECIMAL(38) so no float boundary can flake the judged drop set.
+    */
+  private def semdedupAccounting(assigned: DataFrame): DataFrame = {
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+                            col("embedding").as("va"), col("n2").as("n2a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+                            transform(col("embedding"), x => qElem(x)).as("vbq"),
+                            col("n2").as("n2b"))
+    val pairs = a.join(b, Seq("cell")).where(col("id_a") < col("id_b"))
+      .withColumn("dot", call_function("qdot_long", col("va"), col("vbq")))
+      .withColumn("sim", col("dot").cast("double") /
+        (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))))
+      .withColumn("is_dup",
+        (col("dot") > 0) &&
+        (col("dot").cast("decimal(38,0)") * col("dot") * lit(4) >=
+         col("n2a").cast("decimal(38,0)") * col("n2b")))
+    val perCell = pairs.groupBy("cell")
+      .agg(count(lit(1)).as("n_pairs"), max(col("sim")).as("max_sim"))
+    val dropped = pairs.where(col("is_dup"))
+      .select(col("cell"), col("id_b")).distinct()
+      .groupBy("cell").agg(count(lit(1)).as("n_dropped"))
+    assigned.groupBy("cell").agg(count(lit(1)).as("n_members"))
+      .join(perCell, Seq("cell"), "left")
+      .join(dropped, Seq("cell"), "left")
+      .select(col("cell"), col("n_members"),
+              coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+              coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+              coalesce(col("max_sim"), lit(-2.0d)).as("max_sim"))
+      .orderBy("cell")
+  }
+
+  // ---- Lloyd-iteration oracle SQL, shared by d46 / d46b / v4 ----------
+  // Integer-quantized centroids make every iteration exact int64 math,
+  // so the 2-unrolled-iteration training is re-expressible in SQL and
+  // each consumer only varies the FINAL assignment + judged tail.
+
+  /** Assignment CTE body: nearest cell by cosine, tie-break low cell. */
+  private def lloydAssignSql(cellsCte: String): String =
+    s"""SELECT vec_id, cell FROM (
+          SELECT nn.vec_id, c.cell,
+                 row_number() OVER (PARTITION BY nn.vec_id ORDER BY
+                   (list_sum(list_transform(range(1, ${Dim + 1}), i -> nn.q[i] * c.cq[i]))::DOUBLE
+                    / (sqrt(nn.n2::DOUBLE) * sqrt(c.cn2::DOUBLE))) DESC,
+                   c.cell) AS rn
+          FROM n nn JOIN $cellsCte c ON true)
+        WHERE rn = 1"""
+
+  /** Centroid recompute CTE body: integer mean per dimension. */
+  private def lloydRecomputeSql(assignCte: String): String =
+    s"""SELECT cell,
+               list(CAST(round(s::DOUBLE / cnt) AS BIGINT) ORDER BY i) AS cq
+        FROM (
+          SELECT a.cell, t.i, CAST(sum(nn.q[t.i]) AS BIGINT) AS s, count(*) AS cnt
+          FROM $assignCte a JOIN n nn USING (vec_id), range(1, ${Dim + 1}) t(i)
+          GROUP BY a.cell, t.i)
+        GROUP BY cell"""
+
+  private def lloydNormsSql(cte: String): String =
+    s"SELECT cell, cq, CAST(list_sum(list_transform(cq, x -> x*x)) AS BIGINT) AS cn2 FROM $cte"
+
+  /** WITH-chain prefix ending at the trained centroids `c2n(cell, cq,
+    * cn2)` for nCells=16, iters=2 (the fixture configuration).
+    */
+  private def lloydPrefixSql: String =
+    s"""e AS (
+          SELECT vec_id,
+                 list_transform(range(1, ${Dim + 1}),
+                   i -> ${qElemSql("embedding[i]")}) AS q
+          FROM embeddings),
+        n AS (
+          SELECT vec_id, q,
+                 CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2
+          FROM e),
+        c0 AS (SELECT vec_id AS cell, q AS cq FROM e WHERE vec_id < 16),
+        c0n AS (${lloydNormsSql("c0")}),
+        a1 AS (${lloydAssignSql("c0n")}),
+        c1 AS (${lloydRecomputeSql("a1")}),
+        c1n AS (${lloydNormsSql("c1")}),
+        a2 AS (${lloydAssignSql("c1n")}),
+        c2 AS (${lloydRecomputeSql("a2")}),
+        c2n AS (${lloydNormsSql("c2")})"""
+
+  /** Judged SemDeDup tail over an `inv(vec_id, cell)` assignment CTE. */
+  private def semdedupTailSql: String =
+    s"""p AS (
+          SELECT a.cell, b2.vec_id AS id_b,
+                 CAST(list_sum(list_transform(range(1, ${Dim + 1}), i -> na.q[i] * nb.q[i])) AS BIGINT) AS dot,
+                 na.n2 AS n2a, nb.n2 AS n2b
+          FROM inv a JOIN inv b2 ON a.cell = b2.cell AND a.vec_id < b2.vec_id
+          JOIN n na ON na.vec_id = a.vec_id
+          JOIN n nb ON nb.vec_id = b2.vec_id),
+        pc AS (
+          SELECT cell, count(*) AS n_pairs,
+                 max(dot::DOUBLE / (sqrt(n2a::DOUBLE) * sqrt(n2b::DOUBLE))) AS max_sim
+          FROM p GROUP BY cell),
+        dr AS (
+          SELECT cell, count(*) AS n_dropped FROM (
+            SELECT DISTINCT cell, id_b FROM p
+            WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 4 >= CAST(n2a AS HUGEINT) * n2b)
+          GROUP BY cell),
+        m AS (SELECT cell, count(*) AS n_members FROM inv GROUP BY cell)
+        SELECT m.cell, m.n_members,
+               CAST(coalesce(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(coalesce(dr.n_dropped, 0) AS BIGINT) AS n_dropped,
+               coalesce(pc.max_sim, -2.0) AS max_sim
+        FROM m LEFT JOIN pc USING (cell) LEFT JOIN dr USING (cell)
+        ORDER BY m.cell"""
+
   /** Per-label centroids via the typed CentroidAgg Aggregator. */
   def labelCentroids(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -479,97 +592,70 @@ object Similarity {
           .withColumn("n2", call_function("qnorm2", col("embedding")))
           .persist()
         PipelineCache.retain(assigned)
-        val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
-                                col("embedding").as("va"), col("n2").as("n2a"))
-        val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
-                                transform(col("embedding"), x => qElem(x)).as("vbq"),
-                                col("n2").as("n2b"))
-        val pairs = a.join(b, Seq("cell")).where(col("id_a") < col("id_b"))
-          .withColumn("dot", call_function("qdot_long", col("va"), col("vbq")))
-          .withColumn("sim", col("dot").cast("double") /
-            (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))))
-          .withColumn("is_dup",
-            (col("dot") > 0) &&
-            (col("dot").cast("decimal(38,0)") * col("dot") * lit(4) >=
-             col("n2a").cast("decimal(38,0)") * col("n2b")))
-        val perCell = pairs.groupBy("cell")
-          .agg(count(lit(1)).as("n_pairs"), max(col("sim")).as("max_sim"))
-        val dropped = pairs.where(col("is_dup"))
-          .select(col("cell"), col("id_b")).distinct()
-          .groupBy("cell").agg(count(lit(1)).as("n_dropped"))
-        assigned.groupBy("cell").agg(count(lit(1)).as("n_members"))
-          .join(perCell, Seq("cell"), "left")
-          .join(dropped, Seq("cell"), "left")
-          .select(col("cell"), col("n_members"),
-                  coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
-                  coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
-                  coalesce(col("max_sim"), lit(-2.0d)).as("max_sim"))
-          .orderBy("cell")
+        semdedupAccounting(assigned)
       },
-      oracle = Some {
-        def assign(cellsCte: String): String =
-          s"""SELECT vec_id, cell FROM (
-                SELECT nn.vec_id, c.cell,
-                       row_number() OVER (PARTITION BY nn.vec_id ORDER BY
-                         (list_sum(list_transform(range(1, ${Dim + 1}), i -> nn.q[i] * c.cq[i]))::DOUBLE
-                          / (sqrt(nn.n2::DOUBLE) * sqrt(c.cn2::DOUBLE))) DESC,
-                         c.cell) AS rn
-                FROM n nn JOIN $cellsCte c ON true)
-              WHERE rn = 1"""
-        def recompute(assignCte: String): String =
-          s"""SELECT cell,
-                     list(CAST(round(s::DOUBLE / cnt) AS BIGINT) ORDER BY i) AS cq
-              FROM (
-                SELECT a.cell, t.i, CAST(sum(nn.q[t.i]) AS BIGINT) AS s, count(*) AS cnt
-                FROM $assignCte a JOIN n nn USING (vec_id), range(1, ${Dim + 1}) t(i)
-                GROUP BY a.cell, t.i)
-              GROUP BY cell"""
-        def withNorms(cte: String): String =
-          s"SELECT cell, cq, CAST(list_sum(list_transform(cq, x -> x*x)) AS BIGINT) AS cn2 FROM $cte"
-        s"""
-        WITH e AS (
-          SELECT vec_id,
-                 list_transform(range(1, ${Dim + 1}),
-                   i -> ${qElemSql("embedding[i]")}) AS q
-          FROM embeddings),
-        n AS (
-          SELECT vec_id, q,
-                 CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2
-          FROM e),
-        c0 AS (SELECT vec_id AS cell, q AS cq FROM e WHERE vec_id < 16),
-        c0n AS (${withNorms("c0")}),
-        a1 AS (${assign("c0n")}),
-        c1 AS (${recompute("a1")}),
-        c1n AS (${withNorms("c1")}),
-        a2 AS (${assign("c1n")}),
-        c2 AS (${recompute("a2")}),
-        c2n AS (${withNorms("c2")}),
-        inv AS (${assign("c2n")}),
-        p AS (
-          SELECT a.cell, b2.vec_id AS id_b,
-                 CAST(list_sum(list_transform(range(1, ${Dim + 1}), i -> na.q[i] * nb.q[i])) AS BIGINT) AS dot,
-                 na.n2 AS n2a, nb.n2 AS n2b
-          FROM inv a JOIN inv b2 ON a.cell = b2.cell AND a.vec_id < b2.vec_id
-          JOIN n na ON na.vec_id = a.vec_id
-          JOIN n nb ON nb.vec_id = b2.vec_id),
-        pc AS (
-          SELECT cell, count(*) AS n_pairs,
-                 max(dot::DOUBLE / (sqrt(n2a::DOUBLE) * sqrt(n2b::DOUBLE))) AS max_sim
-          FROM p GROUP BY cell),
-        dr AS (
-          SELECT cell, count(*) AS n_dropped FROM (
-            SELECT DISTINCT cell, id_b FROM p
-            WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 4 >= CAST(n2a AS HUGEINT) * n2b)
-          GROUP BY cell),
-        m AS (SELECT cell, count(*) AS n_members FROM inv GROUP BY cell)
-        SELECT m.cell, m.n_members,
-               CAST(coalesce(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
-               CAST(coalesce(dr.n_dropped, 0) AS BIGINT) AS n_dropped,
-               coalesce(pc.max_sim, -2.0) AS max_sim
-        FROM m LEFT JOIN pc USING (cell) LEFT JOIN dr USING (cell)
-        ORDER BY m.cell"""
-      },
+      oracle = Some(s"""
+        WITH $lloydPrefixSql,
+        inv AS (${lloydAssignSql("c2n")}),
+        $semdedupTailSql"""),
       doc = "SemDeDup: k-means cells bound the pairwise semantic-dup check (cluster-partitioned quadratic)"
+    ),
+
+    // SemDeDup through the TWO-LEVEL coarse quantizer — the production
+    // assignment once nCells outgrows assignCells' n·C dot products
+    // (PLANS.md's honest caveat for the exact path). Same trained
+    // centroids and judged accounting as d46; only the final assignment
+    // differs: sqrt(C) pivots (lowest-id cells), each centroid hangs off
+    // its nearest pivot BY COSINE, each vector exact-ranks the pivots,
+    // probes the top-2 super-cells, and re-ranks only the centroids
+    // inside them. Fully hash-gated: the pivot tables are deterministic
+    // integers, so the coarse path is SQL-expressible like v3's planes.
+    "d46b_semdedup_coarse" -> Q(
+      fn = (s, d) => {
+        graft.GraftExtensions.register(s)
+        val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+        val cents = ivfCentroids(e, nCells = 16, iters = 2)
+        val assigned = assignCellsCoarse(e, cents)
+          .withColumn("n2", call_function("qnorm2", col("embedding")))
+          .persist()
+        PipelineCache.retain(assigned)
+        semdedupAccounting(assigned)
+      },
+      oracle = Some(s"""
+        WITH $lloydPrefixSql,
+        piv AS (SELECT cell AS pvt, cq AS pv, cn2 AS pn2 FROM c2n ORDER BY cell LIMIT 4),
+        c2p AS (
+          SELECT cell, pvt FROM (
+            SELECT c.cell, p.pvt,
+                   row_number() OVER (PARTITION BY c.cell ORDER BY
+                     (list_sum(list_transform(range(1, ${Dim + 1}), i -> c.cq[i] * p.pv[i]))::DOUBLE
+                      / (sqrt(c.cn2::DOUBLE) * sqrt(p.pn2::DOUBLE))) DESC,
+                     p.pvt) AS rn
+            FROM c2n c JOIN piv p ON true)
+          WHERE rn = 1),
+        vp AS (
+          SELECT vec_id, pvt FROM (
+            SELECT nn.vec_id, p.pvt,
+                   row_number() OVER (PARTITION BY nn.vec_id ORDER BY
+                     (list_sum(list_transform(range(1, ${Dim + 1}), i -> nn.q[i] * p.pv[i]))::DOUBLE
+                      / (sqrt(nn.n2::DOUBLE) * sqrt(p.pn2::DOUBLE))) DESC,
+                     p.pvt) AS rn
+            FROM n nn JOIN piv p ON true)
+          WHERE rn <= 2),
+        inv AS (
+          SELECT vec_id, cell FROM (
+            SELECT vp.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY vp.vec_id ORDER BY
+                     (list_sum(list_transform(range(1, ${Dim + 1}), i -> nn.q[i] * c.cq[i]))::DOUBLE
+                      / (sqrt(nn.n2::DOUBLE) * sqrt(c.cn2::DOUBLE))) DESC,
+                     c.cell) AS rn
+            FROM vp
+            JOIN c2p ON c2p.pvt = vp.pvt
+            JOIN c2n c ON c.cell = c2p.cell
+            JOIN n nn ON nn.vec_id = vp.vec_id)
+          WHERE rn = 1),
+        $semdedupTailSql"""),
+      doc = "SemDeDup via the two-level coarse quantizer (sqrt(C) pivots, top-2 probes) — full oracle"
     ),
 
     // IVF-style ANN: coarse deterministic centroids -> probe nearest
@@ -583,46 +669,9 @@ object Similarity {
     "v4_ann_ivf" -> Q(
       fn = (s, d) => annIvf(s, d, nProbes = 10, k = 3),
       oracle = Some {
-        // assignment CTE body: nearest cell (cosine, tie-break low cell)
-        def assign(cellsCte: String): String =
-          s"""SELECT vec_id, cell FROM (
-                SELECT nn.vec_id, c.cell,
-                       row_number() OVER (PARTITION BY nn.vec_id ORDER BY
-                         (list_sum(list_transform(range(1, ${Dim + 1}), i -> nn.q[i] * c.cq[i]))::DOUBLE
-                          / (sqrt(nn.n2::DOUBLE) * sqrt(c.cn2::DOUBLE))) DESC,
-                         c.cell) AS rn
-                FROM n nn JOIN $cellsCte c ON true)
-              WHERE rn = 1"""
-        // centroid recompute CTE body: integer mean per dimension
-        def recompute(assignCte: String): String =
-          s"""SELECT cell,
-                     list(CAST(round(s::DOUBLE / cnt) AS BIGINT) ORDER BY i) AS cq
-              FROM (
-                SELECT a.cell, t.i, CAST(sum(nn.q[t.i]) AS BIGINT) AS s, count(*) AS cnt
-                FROM $assignCte a JOIN n nn USING (vec_id), range(1, ${Dim + 1}) t(i)
-                GROUP BY a.cell, t.i)
-              GROUP BY cell"""
-        def withNorms(cte: String): String =
-          s"SELECT cell, cq, CAST(list_sum(list_transform(cq, x -> x*x)) AS BIGINT) AS cn2 FROM $cte"
         s"""
-        WITH e AS (
-          SELECT vec_id,
-                 list_transform(range(1, ${Dim + 1}),
-                   i -> ${qElemSql("embedding[i]")}) AS q
-          FROM embeddings),
-        n AS (
-          SELECT vec_id, q,
-                 CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2
-          FROM e),
-        c0 AS (SELECT vec_id AS cell, q AS cq FROM e WHERE vec_id < 16),
-        c0n AS (${withNorms("c0")}),
-        a1 AS (${assign("c0n")}),
-        c1 AS (${recompute("a1")}),
-        c1n AS (${withNorms("c1")}),
-        a2 AS (${assign("c1n")}),
-        c2 AS (${recompute("a2")}),
-        c2n AS (${withNorms("c2")}),
-        inv AS (${assign("c2n")}),
+        WITH $lloydPrefixSql,
+        inv AS (${lloydAssignSql("c2n")}),
         pc AS (
           SELECT query_id, cell FROM (
             SELECT nn.vec_id AS query_id, c.cell,
@@ -680,20 +729,38 @@ object Similarity {
     // Only ids ride the distinct; exact quantized cosine verifies the
     // survivors. Same exact-vs-banded relationship as d8 vs d6b on text.
     "d22_embedding_lsh_neardup" -> Q(
-      fn = (s, d) =>
+      fn = (s, d) => {
         // the fixture corpus has no >= 0.9 pairs, so the judged output is
         // the top-20 banded candidates by exact similarity — proving the
-        // banding surfaces the closest pairs without an all-pairs join
-        topScoredPairs(s, d, embeddingBandCandidates(s, d)),
+        // banding surfaces the closest pairs without an all-pairs join.
+        // ADAPTIVE BAND WIDTH: the judged entry point itself applies
+        // scaledBandBits — 8-bit bands under the measured ~12.8k-vector
+        // knee (every fixture scale), 16-bit past it (the 100x probe) —
+        // so the query that passes the oracle is the same one that
+        // stays bucket-bounded at corpus scale. The count() driving the
+        // switch is one footer-cheap job with a scalar result.
+        val n = Tables.embeddings(s, d).count()
+        topScoredPairs(s, d, embeddingBandCandidates(s, d, scaledBandBits(n)))
+      },
       oracle = Some(s"""
         WITH $wideSigCtes,
-        banded AS (
+        $fullBandCtes,
+        nn AS (SELECT count(*) AS n FROM embeddings),
+        banded8 AS (
           SELECT vec_id, b, (sig >> (8*b)) & 255 AS bkey
           FROM wsig, range(0, 4) t(b)
           QUALIFY count(*) OVER (PARTITION BY b, bkey) <= 1000),
+        banded16 AS (
+          SELECT vec_id, band, bkey FROM fband
+          QUALIFY count(*) OVER (PARTITION BY band, bkey) <= 1000),
         pairs AS (
-          SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
-          FROM banded a JOIN banded b2 ON a.b = b2.b AND a.bkey = b2.bkey AND a.vec_id < b2.vec_id),
+          SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+          FROM banded8 a JOIN banded8 b2 ON a.b = b2.b AND a.bkey = b2.bkey AND a.vec_id < b2.vec_id
+          WHERE (SELECT n FROM nn) <= 12800
+          UNION
+          SELECT a.vec_id, b2.vec_id
+          FROM banded16 a JOIN banded16 b2 ON a.band = b2.band AND a.bkey = b2.bkey AND a.vec_id < b2.vec_id
+          WHERE (SELECT n FROM nn) > 12800),
         p AS (
           SELECT id_a, id_b,
                  CAST(${dotSql("x.embedding", "y.embedding")} AS DOUBLE) /
