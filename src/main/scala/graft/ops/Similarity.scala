@@ -811,7 +811,12 @@ object Similarity {
     // Embedding-cosine near-dup: the dedup-flavored use of the similarity
     // machinery — most-similar pairs over a corpus sample with a dup flag
     // at the 0.9 threshold (exact quantized math, so the flag and ranking
-    // are oracle-stable).
+    // are oracle-stable). BOUNDED-SAMPLE CONTRACT (same as d8/d33): the
+    // 200-vector cap below is the query's definition, not an
+    // optimization — all-pairs + a global-window rank over the ~20k
+    // resulting pairs is deliberate and stays driver-safe at any corpus
+    // size BECAUSE of the cap; the uncapped full-corpus path is d22's
+    // banded LSH.
     "d10_embedding_neardup" -> Q(
       fn = (s, d) => {
         graft.GraftExtensions.register(s)

@@ -418,4 +418,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       s"every PQ stage joins on (sub) or (sub, code) keys:\n$plan")
   }
+
+  test("d10 (bounded near-dup): the 200-vector cap is pushed into the scan; global window is by contract") {
+    // d10's global-window rank is safe ONLY because of its bounded-sample
+    // contract (vec_id < 200 => ~20k pairs); this guard pins the cap to
+    // the scan so a refactor that drops the filter — turning the
+    // deliberate bounded baseline into an uncapped all-pairs window —
+    // fails here instead of at corpus scale. The uncapped path is d22.
+    val plan = executedPlan("d10_embedding_neardup").split("== Initial Plan ==").head
+    assert(plan.contains("LessThan(vec_id,200") || plan.contains("vec_id#") && plan.contains("< 200"),
+      s"the 200-vector sample cap must reach the embeddings scan:\n$plan")
+  }
 }
