@@ -855,6 +855,65 @@ object Dedup {
       doc = "cluster-aware train/val split with an in-query zero-leakage proof"
     ),
 
+    // Quality-aware canonical selection — the KEEP POLICY of near-dup
+    // curation: instead of keep-lowest-id (d46's convention), each dup
+    // cluster keeps its highest-QUALITY member (longest text; ties to
+    // the lowest id), the policy production pipelines apply when
+    // near-dups differ in completeness (truncated mirrors, boilerplate
+    // copies). One MinHash pass feeds both the cluster labels and the
+    // per-doc quality join; judged rows are the real (>= 2-member)
+    // clusters with their keep/drop accounting, so the policy itself is
+    // hash-checked. Scale shape: the pair graph is the persisted
+    // cluster-sized frame; quality join is doc_id-keyed; the argmax is
+    // one map-side-combinable max_by per cluster.
+    "d49_quality_keep_dedup" -> Q(
+      fn = (s, d) => {
+        val pairs = minhashPortable(s, d, 0.5).select("doc_a", "doc_b").persist()
+        PipelineCache.retain(pairs)
+        val labels = clusterLabels(pairs)
+        val rep = Tables.documents(s, d).select("doc_id", "n_chars")
+          .join(labels, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_chars"),
+                  coalesce(col("cluster_rep"), col("doc_id")).as("rep"))
+        rep.groupBy("rep")
+          .agg(count(lit(1)).as("n_members"),
+               max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id"))).as("kept_doc"),
+               max(col("n_chars")).as("kept_n_chars"))
+          .where(col("n_members") > 1)
+          .select(col("rep"), col("n_members"), col("kept_doc"),
+                  col("kept_n_chars"), (col("n_members") - 1).as("n_dropped"))
+          .orderBy("rep")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $minhashPairsCtes,
+        p2 AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= 0.5),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM p2
+          UNION ALL
+          SELECT doc_b, doc_a FROM p2),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach(node, label) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+        lab AS (SELECT node AS doc_id, min(label) AS cluster_rep FROM reach GROUP BY node),
+        rep AS (
+          SELECT d.doc_id, d.n_chars, coalesce(l.cluster_rep, d.doc_id) AS rep
+          FROM documents d LEFT JOIN lab l USING (doc_id)),
+        k AS (
+          SELECT rep, count(*) AS n_members, max(n_chars) AS kept_n_chars
+          FROM rep GROUP BY rep HAVING count(*) > 1),
+        kd AS (
+          SELECT r.rep, min(r.doc_id) AS kept_doc
+          FROM rep r JOIN k ON k.rep = r.rep AND r.n_chars = k.kept_n_chars
+          GROUP BY r.rep)
+        SELECT k.rep, CAST(k.n_members AS BIGINT) AS n_members, kd.kept_doc,
+               CAST(k.kept_n_chars AS BIGINT) AS kept_n_chars,
+               CAST(k.n_members - 1 AS BIGINT) AS n_dropped
+        FROM k JOIN kd USING (rep) ORDER BY k.rep"""),
+      doc = "quality-aware keep policy on dup clusters (keep longest member, not lowest id)"
+    ),
+
     // Exact substring dedup (Lee et al. 2022, "Deduplicating Training
     // Data Makes Language Models Better", public): any k-word window
     // whose content appears in MORE THAN ONE document is a duplicated
