@@ -1245,6 +1245,105 @@ object TextOps {
                  AS epochs_mille
         FROM t, pick, ts ORDER BY lang"""),
       doc = "UniMax epoch waterfilling: budget-constrained per-language repeat allocation"
+    ),
+
+    // BM25 retrieval — multi-term search with tf saturation and length
+    // normalization (k1=1.2, b=0.75), the ranking d18's tf/df extraction
+    // does not do. All arithmetic is exact-integer micro so the score is
+    // bit-stable across engines: the idf log is replaced by the rational
+    // surrogate (N-df)*1e6 div (df+1), capped at 25e6 (Lucene-style idf
+    // ceiling); the multiply is exact to ~9e12 docs — far past 100 TB at
+    // any realistic doc size, and DuckDB errors loudly beyond it. Shape at
+    // scale: one corpus-stats scan (1 broadcast row), one scan exploding
+    // ONLY query-term hits (filter() before explode, so non-matching
+    // tokens never become rows), a (doc,term)-keyed aggregate, term-sized
+    // df broadcast back, TakeOrderedAndProject top-k — no global sort.
+    "d50_bm25_retrieval" -> Q(
+      fn = (s, d) => {
+        val stats = doc(s, d).agg(
+          count(lit(1)).as("n_docs"),
+          expr("sum(size(split(lower(text), ' '))) div count(1)").as("avgdl"))
+        val hits = doc(s, d).select(
+          col("doc_id"),
+          size(split(lower(col("text")), " ")).cast("long").as("dl"),
+          explode(expr(
+            "filter(split(lower(text), ' '), x -> x = 'vector' OR x = 'hash' OR x = 'stream')"))
+            .as("word"))
+        // persist the (doc, term) tf table: df and the score join both
+        // consume it, and without the cache each re-executes the hit scan
+        val tf = hits.groupBy("doc_id", "word", "dl")
+          .agg(count(lit(1)).as("tf")).persist()
+        PipelineCache.retain(tf)
+        val dfT = tf.groupBy("word").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(dfT), "word")
+          .crossJoin(broadcast(stats))
+          .withColumn("idf_micro",
+            expr("least((n_docs - df) * 1000000 div (df + 1), 25000000)"))
+          .withColumn("tfc_micro",
+            expr("tf * 220 * avgdl * 1000000 div (100 * tf * avgdl + 30 * avgdl + 90 * dl)"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_terms"),
+               sum(expr("idf_micro * tfc_micro div 1000000")).cast("long").as("score_micro"))
+          .orderBy(col("score_micro").desc, col("doc_id"))
+          .limit(10)
+      },
+      oracle = Some("""
+        WITH stats AS (
+          SELECT count(*) AS n_docs,
+                 sum(len(string_split(lower(text), ' '))) // count(*) AS avgdl
+          FROM documents),
+        hits AS (
+          SELECT doc_id, len(string_split(lower(text), ' ')) AS dl,
+                 unnest(list_filter(string_split(lower(text), ' '),
+                        x -> x = 'vector' OR x = 'hash' OR x = 'stream')) AS word
+          FROM documents),
+        tf AS (SELECT doc_id, word, dl, count(*) AS tf FROM hits GROUP BY 1, 2, 3),
+        df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        sc AS (
+          SELECT tf.doc_id,
+                 least((s.n_docs - df.df) * 1000000 // (df.df + 1), 25000000) AS idf_micro,
+                 tf.tf * 220 * s.avgdl * 1000000
+                   // (100 * tf.tf * s.avgdl + 30 * s.avgdl + 90 * tf.dl) AS tfc_micro
+          FROM tf JOIN df USING (word), stats s)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(sum(idf_micro * tfc_micro // 1000000) AS BIGINT) AS score_micro
+        FROM sc GROUP BY doc_id
+        ORDER BY score_micro DESC, doc_id LIMIT 10"""),
+      doc = "BM25 retrieval: integer-micro tf-saturated length-normalized top-10"
+    ),
+
+    // Priority sampling (Duffield-Lund-Thorup) — weight-proportional
+    // sampling without replacement: priority = w / u, u ~ U(0,1), keep the
+    // top-k. The deterministic surrogate for u is the oracle token hash
+    // scaled to [0,1): priority = w * 2^32 div (h+1) — exact for weights
+    // to ~2^31 chars/doc. Unlike d17 (per-stratum top-K) and d28 (uniform
+    // hash sample), inclusion probability here is proportional to doc
+    // weight, the estimator-friendly property priority sampling is for.
+    // Shape: scan-side projection, TakeOrderedAndProject top-20, window
+    // only over the 20 survivors (the d22/d24 pattern).
+    "d51_priority_sample" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        doc(s, d)
+          .select(col("doc_id"), col("n_chars").as("weight"),
+                  graft.core.Tokens.tokenOracle(col("doc_id")).as("h"))
+          .withColumn("priority", expr("weight * 4294967296 div (h + 1)"))
+          .orderBy(col("priority").desc, col("doc_id")).limit(20)
+          .withColumn("rnk",
+            row_number().over(Window.orderBy(col("priority").desc, col("doc_id"))).cast("long"))
+          .select("rnk", "doc_id", "weight", "priority")
+          .orderBy("rnk")
+      },
+      oracle = Some(s"""
+        WITH p AS (
+          SELECT doc_id, n_chars AS weight,
+                 n_chars * 4294967296 // (${graft.core.Tokens.tokenOracleSql("doc_id")} + 1) AS priority
+          FROM documents),
+        t AS (SELECT * FROM p ORDER BY priority DESC, doc_id LIMIT 20)
+        SELECT CAST(row_number() OVER (ORDER BY priority DESC, doc_id) AS BIGINT) AS rnk,
+               doc_id, CAST(weight AS BIGINT) AS weight, CAST(priority AS BIGINT) AS priority
+        FROM t ORDER BY rnk"""),
+      doc = "priority sampling: weight-proportional top-20 via deterministic u surrogate"
     )
   )
 }
