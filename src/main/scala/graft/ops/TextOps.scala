@@ -1252,26 +1252,37 @@ object TextOps {
     // does not do. All arithmetic is exact-integer micro so the score is
     // bit-stable across engines: the idf log is replaced by the rational
     // surrogate (N-df)*1e6 div (df+1), capped at 25e6 (Lucene-style idf
-    // ceiling); the multiply is exact to ~9e12 docs — far past 100 TB at
-    // any realistic doc size, and DuckDB errors loudly beyond it. Shape at
-    // scale: one corpus-stats scan (1 broadcast row), one scan exploding
-    // ONLY query-term hits (filter() before explode, so non-matching
-    // tokens never become rows), a (doc,term)-keyed aggregate, term-sized
-    // df broadcast back, TakeOrderedAndProject top-k — no global sort.
+    // ceiling) — exact in int64 to ~9e12 docs; the tfc term runs on
+    // DECIMAL(38,0)/HUGEINT intermediates (the a26 discipline), so the
+    // tf·avgdl product carries no int64 bound at all — exact at any
+    // document/corpus size on both engines (closing the ~4.2e10 silent-
+    // wrap envelope ADVICE r6 flagged on the int64 formulation).
+    // Shape at scale (single-scan since VERDICT r6 #3): documents is
+    // read ONCE into a persisted (doc_id, dl, query-word hits)
+    // projection — at cluster scale, the materialized per-doc posting
+    // fragment — which feeds corpus stats (1 broadcast row), the
+    // exploded (doc,term) tf aggregate (filter() before explode, so
+    // non-matching tokens never become rows), and the term-sized df
+    // broadcast; TakeOrderedAndProject top-k — no global sort.
     "d50_bm25_retrieval" -> Q(
       fn = (s, d) => {
-        val stats = doc(s, d).agg(
+        val words = doc(s, d)
+          .select(
+            col("doc_id"),
+            size(split(lower(col("text")), " ")).cast("long").as("dl"),
+            expr(
+              "filter(split(lower(text), ' '), x -> x = 'vector' OR x = 'hash' OR x = 'stream')")
+              .as("qws"))
+          .persist()
+        PipelineCache.retain(words)
+        val stats = words.agg(
           count(lit(1)).as("n_docs"),
-          expr("sum(size(split(lower(text), ' '))) div count(1)").as("avgdl"))
-        val hits = doc(s, d).select(
-          col("doc_id"),
-          size(split(lower(col("text")), " ")).cast("long").as("dl"),
-          explode(expr(
-            "filter(split(lower(text), ' '), x -> x = 'vector' OR x = 'hash' OR x = 'stream')"))
-            .as("word"))
-        // persist the (doc, term) tf table: df and the score join both
-        // consume it, and without the cache each re-executes the hit scan
-        val tf = hits.groupBy("doc_id", "word", "dl")
+          expr("sum(dl) div count(1)").as("avgdl"))
+        // persist the (doc, term) tf table too: df and the score join
+        // both consume it, and without the cache each re-explodes qws
+        val tf = words
+          .select(col("doc_id"), col("dl"), explode(col("qws")).as("word"))
+          .groupBy("doc_id", "word", "dl")
           .agg(count(lit(1)).as("tf")).persist()
         PipelineCache.retain(tf)
         val dfT = tf.groupBy("word").agg(count(lit(1)).as("df"))
@@ -1280,7 +1291,8 @@ object TextOps {
           .withColumn("idf_micro",
             expr("least((n_docs - df) * 1000000 div (df + 1), 25000000)"))
           .withColumn("tfc_micro",
-            expr("tf * 220 * avgdl * 1000000 div (100 * tf * avgdl + 30 * avgdl + 90 * dl)"))
+            expr("""cast(tf as decimal(38,0)) * 220 * avgdl * 1000000
+                    div (100 * cast(tf as decimal(38,0)) * avgdl + 30 * avgdl + 90 * dl)"""))
           .groupBy("doc_id")
           .agg(count(lit(1)).cast("long").as("n_terms"),
                sum(expr("idf_micro * tfc_micro div 1000000")).cast("long").as("score_micro"))
@@ -1288,22 +1300,21 @@ object TextOps {
           .limit(10)
       },
       oracle = Some("""
-        WITH stats AS (
-          SELECT count(*) AS n_docs,
-                 sum(len(string_split(lower(text), ' '))) // count(*) AS avgdl
-          FROM documents),
-        hits AS (
+        WITH words AS (
           SELECT doc_id, len(string_split(lower(text), ' ')) AS dl,
-                 unnest(list_filter(string_split(lower(text), ' '),
-                        x -> x = 'vector' OR x = 'hash' OR x = 'stream')) AS word
+                 list_filter(string_split(lower(text), ' '),
+                        x -> x = 'vector' OR x = 'hash' OR x = 'stream') AS qws
           FROM documents),
+        stats AS (
+          SELECT count(*) AS n_docs, sum(dl) // count(*) AS avgdl FROM words),
+        hits AS (SELECT doc_id, dl, unnest(qws) AS word FROM words),
         tf AS (SELECT doc_id, word, dl, count(*) AS tf FROM hits GROUP BY 1, 2, 3),
         df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
         sc AS (
           SELECT tf.doc_id,
                  least((s.n_docs - df.df) * 1000000 // (df.df + 1), 25000000) AS idf_micro,
-                 tf.tf * 220 * s.avgdl * 1000000
-                   // (100 * tf.tf * s.avgdl + 30 * s.avgdl + 90 * tf.dl) AS tfc_micro
+                 CAST(tf.tf AS HUGEINT) * 220 * s.avgdl * 1000000
+                   // (100 * CAST(tf.tf AS HUGEINT) * s.avgdl + 30 * s.avgdl + 90 * tf.dl) AS tfc_micro
           FROM tf JOIN df USING (word), stats s)
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
                CAST(sum(idf_micro * tfc_micro // 1000000) AS BIGINT) AS score_micro

@@ -96,6 +96,17 @@ class DedupSpec extends AnyFunSuite {
       s"only-production=${production -- portable} only-portable=${portable -- production}")
   }
 
+  test("d6c stored-signature-table path returns exactly d6b's pairs") {
+    // d6c replaces d6b's cached signature stage with a parquet write +
+    // read-back; any divergence would mean the signature table does not
+    // round-trip through storage (type widening, array encoding, row
+    // loss) — the property the materialized-table scale path rests on.
+    def rows(name: String) = SparkEntryQueries.run(spark, name)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+                 r.getAs[Double]("jaccard"))).toSet
+    assert(rows("d6c_minhash_sigtable") == rows("d6b_minhash_portable"))
+  }
+
   test("ngram jaccard top pairs are symmetric-free and ranked") {
     val rows = SparkEntryQueries.run(spark, "d8_ngram_jaccard")
     assert(rows.length == 20)
