@@ -19,21 +19,28 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame       = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read it as raw long nanos (legacy conf) and floor-divide to
-    * microsecond timestamps — the same truncation DuckDB applies when it
-    * reads nanos into its microsecond TIMESTAMP.
+  /** events.ts has shipped in two physical forms across fixture
+    * generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader rejects, so it is read as raw long nanos (legacy conf) and
+    * floor-divided to microsecond timestamps, the same truncation DuckDB
+    * applies — and, in newer fixtures, native TIMESTAMP(MICROS), which
+    * needs no conversion. Dispatch on the READ schema, not the fixture
+    * generation, so both forms load identically.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     // Session-level contract, documented: nanosAsLong must be true at
     // PLAN time for any query over events (the session builders in
     // Bench/Verify/tests set it at construction; this set makes ad-hoc
     // sessions work too). It only affects files carrying
-    // TIMESTAMP(NANOS) columns — i.e. events.parquet alone.
+    // TIMESTAMP(NANOS) columns; on micros fixtures it is a no-op.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
