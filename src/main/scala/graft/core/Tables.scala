@@ -35,11 +35,20 @@ object Tables {
     // TIMESTAMP(NANOS) columns; on micros fixtures it is a no-op.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, sfDir, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
-      case _ => raw
+      case TimestampNTZType =>
+        // parquet TIMESTAMP(MICROS) without timezone reads as TIMESTAMP_NTZ;
+        // cast to TimestampType (exact under the UTC session TZ every entry
+        // point pins) so unix_micros & friends resolve.
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts has unexpected type $other (expected long nanos, TIMESTAMP, or TIMESTAMP_NTZ)")
     }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")

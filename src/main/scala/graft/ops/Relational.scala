@@ -610,7 +610,7 @@ object Relational {
             coalesce(col("c3").cast("long"), lit(0L)).as("good_langs")),
       oracle = Some("""
         SELECT count(*) AS n_total,
-               sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS n_corrupt,
+               CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
                CAST(coalesce(sum(CASE WHEN doc_id % 7 <> 0 THEN n_chars END), 0) AS BIGINT) AS good_n_chars,
                count(DISTINCT CASE WHEN doc_id % 7 <> 0 THEN lang END) AS good_langs
         FROM documents"""),

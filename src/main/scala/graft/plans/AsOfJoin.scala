@@ -174,9 +174,19 @@ object AsOfJoinApi {
     def attr(p: LogicalPlan, name: String) =
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found in ${p.output.map(_.name)}"))
-    val node = AsOfJoin(lPlan, rPlan,
-      attr(lPlan, leftKeyCol), attr(rPlan, rightKeyCol),
-      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol))
+    val lKey = attr(lPlan, leftKeyCol); val rKey = attr(rPlan, rightKeyCol)
+    val lTime = attr(lPlan, leftTimeCol); val rTime = attr(rPlan, rightTimeCol)
+    // Type-strict by contract: the physical merge compares times on their
+    // internal long representation and the node propagates the right-side
+    // time attribute unchanged, so mixed LTZ/NTZ (or long-vs-timestamp)
+    // inputs would silently mix epochs/types in the output. Refuse instead.
+    require(lTime.dataType == rTime.dataType,
+      s"as-of time columns must share one type; got left $leftTimeCol: ${lTime.dataType}, " +
+        s"right $rightTimeCol: ${rTime.dataType} — cast one side before joining")
+    require(lKey.dataType == rKey.dataType,
+      s"as-of key columns must share one type; got left $leftKeyCol: ${lKey.dataType}, " +
+        s"right $rightKeyCol: ${rKey.dataType}")
+    val node = AsOfJoin(lPlan, rPlan, lKey, rKey, lTime, rTime)
     org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark, node)
   }
 }

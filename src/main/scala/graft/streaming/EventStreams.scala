@@ -13,15 +13,17 @@ import org.apache.spark.sql.types._
   * snapshot_use_pyspark.py:465-478) is exactly what Structured Streaming's
   * incremental execution + checkpointing replaces at scale.
   *
-  * The fixture's events.parquet carries TIMESTAMP(NANOS); the stream reads
-  * ts as long nanos (same legacy conf as the batch loader) and converts to
-  * microsecond timestamps, so batch and stream agree row-for-row.
+  * events.ts has shipped in two physical forms across fixture generations
+  * (see core.Tables.events): TIMESTAMP(NANOS), read as long nanos and
+  * floor-divided to micros, and native TIMESTAMP(MICROS). A file-source
+  * stream needs the schema up front, so probe the footer once with a batch
+  * read and branch — batch and stream then agree row-for-row either way.
   */
 object EventStreams {
 
-  val eventSchemaRaw: StructType = StructType(Seq(
+  private def eventSchemaRaw(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos-as-long
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -30,14 +32,25 @@ object EventStreams {
   /** File-source stream over an sf directory's events parquet. The fixture
     * is a single file (not a directory), so stream the directory with a
     * glob filter — the same shape as tailing a landing directory in prod.
+    * The footer probe is one driver-side metadata read, not a data scan.
     */
   def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventSchemaRaw)
+    val footerTsType =
+      spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    val stream = spark.readStream
+      .schema(eventSchemaRaw(footerTsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    footerTsType match {
+      case LongType => // nanos-as-long legacy fixture
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        stream.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => stream
+      case other => throw new IllegalStateException(
+        s"events.ts has unexpected type $other (expected long nanos, TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
   }
 
   /** Streaming twin of e1_tumbling_counts: watermarked tumbling windows. */

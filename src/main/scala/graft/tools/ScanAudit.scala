@@ -21,8 +21,15 @@ object ScanAudit {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
-      case Some(names) => graft.SparkEntry.queries.view.filterKeys(names).toMap
-      case None        => graft.SparkEntry.queries
+      case Some(names) =>
+        require(names.nonEmpty,
+          "SPARK_GRAFT_ONLY is set but names no queries (empty/whitespace value) — " +
+            "unset it to audit the full surface or pass comma-separated query names")
+        val unknown = names -- graft.SparkEntry.queries.keySet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_ONLY names not in the registry: ${unknown.toSeq.sorted.mkString(", ")}")
+        graft.SparkEntry.queries.view.filterKeys(names).toMap
+      case None => graft.SparkEntry.queries
     }
     selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

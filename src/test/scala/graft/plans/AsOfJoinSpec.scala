@@ -86,4 +86,34 @@ class AsOfJoinSpec extends AnyFunSuite {
       (1L, null, null),  // null left time -> no match
       (1L, 20L, 1.0)))   // matches the legal v=1.0, not the null-time 777
   }
+
+  test("mixed NTZ/LTZ time columns are refused, not silently joined") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "t")
+      .withColumn("ts", timestamp_micros(col("t"))) // TIMESTAMP (LTZ)
+    val right = Seq((1L, 5L, 1.0)).toDF("rk", "rt", "v")
+      .withColumn("rts", timestamp_micros(col("rt")).cast("timestamp_ntz"))
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoinApi.asofJoin(spark, left, right, "k", "ts", "rk", "rts")
+    }
+    assert(e.getMessage.contains("share one type"))
+    // mismatched key types refuse too (long vs int)
+    val rightIntKey = Seq((1, 5L, 1.0)).toDF("rk", "rt", "v")
+      .withColumn("rts", timestamp_micros(col("rt")))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoinApi.asofJoin(spark, left, rightIntKey, "k", "ts", "rk", "rts")
+    }
+    assert(e2.getMessage.contains("key columns"))
+  }
+
+  test("matched right-time column keeps the input timestamp type (no NTZ leak)") {
+    // j6's output rate_ts must be TimestampType when inputs are TimestampType
+    // — the r7 regression was the custom node propagating fixture NTZ while
+    // j5's twin pinned LTZ.
+    val j6 = graft.SparkEntry.queries("j6_asof_custom")(spark, SparkTestBase.Sf0001)
+    val j5 = graft.SparkEntry.queries("j5_asof_join")(spark, SparkTestBase.Sf0001)
+    assert(j6.schema("rate_ts").dataType == j5.schema("rate_ts").dataType)
+    assert(j6.schema("rate_ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
 }
