@@ -58,6 +58,15 @@ def main():
         try:
             exp = con.sql(oracles[name])
             erows, ecols = exp.fetchall(), exp.columns
+            # Output-type lint (the s18 bug class): an uncast integer
+            # sum() surfaces as HUGEINT -> Arrow decimal128, which a
+            # driver harness may canonicalize differently from int64
+            # even when the values match. Flag it loudly.
+            for cn, ct in zip(exp.columns, exp.types):
+                if "HUGEINT" in str(ct) or "DECIMAL" in str(ct):
+                    failures.append((name,
+                        f"oracle output column {cn} has type {ct}: CAST it "
+                        "(BIGINT/DOUBLE) so the driver hash sees int64/float64"))
         except Exception as e:
             failures.append((name, f"oracle SQL error: {e}"))
             continue
