@@ -613,7 +613,10 @@ object Dedup {
     // match counts, and doubles only in final deterministic divisions.
     "d25_minhash_est_error" -> Q(
       fn = (s, d) => {
-        val base = portableSigTable(s, d)
+        // three consumers of the signature scan (band keys + both sig
+        // joins): persist once, same as minhashPortable
+        val base = portableSigTable(s, d).persist()
+        PipelineCache.retain(base)
         val pairs = portableCandidatePairs(base)
         val sigs = base.select(col("doc_id"), col("sig"), col("hpos"))
         pairs
@@ -1376,7 +1379,11 @@ object Dedup {
     // Jaccard verify as the full-corpus d6b.
     "d40_cross_corpus_dedup" -> Q(
       fn = (s, d) => {
-        val base = portableSigTable(s, d)
+        // same three-consumer shape as minhashPortable (band keys + both
+        // sides of the verification join): persist so the shingle+minhash
+        // scan runs once, not three times (ScanAudit r8 flagged the rebuild)
+        val base = portableSigTable(s, d).persist()
+        PipelineCache.retain(base)
         val banded = bandedKeys(base)
         val capped = banded
           .withColumn("bsz", count(lit(1)).over(
