@@ -429,4 +429,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("LessThan(vec_id,200") || plan.contains("vec_id#") && plan.contains("< 200"),
       s"the 200-vector sample cap must reach the embeddings scan:\n$plan")
   }
+
+  test("d40/d25: the MinHash signature table is cached, not rebuilt per consumer") {
+    // ScanAudit r8 caught both queries recomputing the shingle+minhash
+    // scan three times (band keys + both sides of the verification
+    // join). The persist makes the signature build run once — the
+    // 'materialize signatures once' invariant every LSH pipeline needs
+    // at corpus scale.
+    Seq("d40_cross_corpus_dedup", "d25_minhash_est_error").foreach { name =>
+      val plan = executedPlan(name).split("== Initial Plan ==").head
+      assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+        s"$name: signature table must be persisted and reused:\n$plan")
+      graft.ops.PipelineCache.release()
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
 }
