@@ -1304,9 +1304,20 @@ object Dedup {
           .persist()
         PipelineCache.retain(f)
         def pass(keyCols: Seq[Column]): org.apache.spark.sql.DataFrame = {
+          // same spam-block guard as the LSH band joins (MaxBucket,
+          // oracle-mirrored via QUALIFY): a hot blocking key — empty
+          // prefix, ubiquitous first word — would otherwise make the
+          // within-block self-join quadratic at corpus scale. Fixture
+          // max block = 7, so the cap is a proven no-op here.
           val slim = f.select(col("doc_id") +: keyCols: _*)
-          val a = slim.toDF(("doc_a" +: keyCols.indices.map(i => s"k$i")): _*)
-          val b = slim.toDF(("doc_b" +: keyCols.indices.map(i => s"k$i")): _*)
+            .toDF(("doc_id" +: keyCols.indices.map(i => s"k$i")): _*)
+          val capped = slim
+            .withColumn("bsz", count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window.partitionBy(
+                keyCols.indices.map(i => col(s"k$i")): _*)))
+            .where(col("bsz") <= MaxBucket).drop("bsz")
+          val a = capped.withColumnRenamed("doc_id", "doc_a")
+          val b = capped.withColumnRenamed("doc_id", "doc_b")
           a.join(b, keyCols.indices.map(i => s"k$i"))
             .where(col("doc_a") < col("doc_b"))
             .select("doc_a", "doc_b")
@@ -1339,14 +1350,20 @@ object Dedup {
                  split_part(lower(text), ' ', 1) AS w1,
                  substr(lower(text), 1, 12) AS p12
           FROM documents),
+        f1 AS (
+          SELECT doc_id, lang, p12 FROM f
+          QUALIFY count(*) OVER (PARTITION BY lang, p12) <= 1000),
+        f2 AS (
+          SELECT doc_id, lang, n_chars // 10 AS nb, w1 FROM f
+          QUALIFY count(*) OVER (PARTITION BY lang, n_chars // 10, w1) <= 1000),
         c1 AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM f a JOIN f b
+          FROM f1 a JOIN f1 b
             ON a.lang = b.lang AND a.p12 = b.p12 AND a.doc_id < b.doc_id),
         c2 AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM f a JOIN f b
-            ON a.lang = b.lang AND a.n_chars // 10 = b.n_chars // 10
+          FROM f2 a JOIN f2 b
+            ON a.lang = b.lang AND a.nb = b.nb
                AND a.w1 = b.w1 AND a.doc_id < b.doc_id),
         cand AS (
           SELECT DISTINCT doc_a, doc_b
