@@ -1229,18 +1229,37 @@ object Dedup {
     "d38_snm_neardup" -> Q(
       fn = (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("lang").orderBy("sortkey", "doc_id")
+        // Distributed SNM. A window PARTITIONED BY lang alone puts an
+        // entire language's corpus in one task at scale, so instead:
+        // window within (lang, 2-char sortkey bucket) — prefix buckets
+        // are order-aligned with the global (sortkey, doc_id) sort, so
+        // within-bucket neighbors ARE global neighbors — then stitch
+        // the pairs that cross bucket edges through a boundary set of
+        // at most 4 rows per bucket (first 2 + last 2). Every global
+        // pair at offset <= 2 either lies inside one bucket or has all
+        // its rows within 2 of a bucket edge, so within ∪ cross is
+        // exactly the single-window pair set (oracle unchanged proves
+        // it). Bucket width is the parallelism dial: 2 chars here,
+        // 3-4 at corpus scale; the boundary window stays ~4×#buckets
+        // rows per language.
         val keyed = Tables.documents(s, d).select(
           col("doc_id"), col("lang"),
           substring(lower(col("text")), 1, 40).as("sortkey"),
           substring(lower(col("text")), 1, 80).as("prefix"))
-        // One scan + one window pass: both neighbor slots ride a single
-        // explode instead of a union that would re-run the sort.
-        val pairs = keyed
-          .withColumn("n1_id", lead("doc_id", 1).over(w))
-          .withColumn("n1_p", lead("prefix", 1).over(w))
-          .withColumn("n2_id", lead("doc_id", 2).over(w))
-          .withColumn("n2_p", lead("prefix", 2).over(w))
+          .withColumn("bucket", substring(col("sortkey"), 1, 2))
+        val wb = Window.partitionBy("lang", "bucket").orderBy("sortkey", "doc_id")
+        val wbDesc = Window.partitionBy("lang", "bucket")
+          .orderBy(col("sortkey").desc, col("doc_id").desc)
+        val marked = keyed
+          .withColumn("n1_id", lead("doc_id", 1).over(wb))
+          .withColumn("n1_p", lead("prefix", 1).over(wb))
+          .withColumn("n2_id", lead("doc_id", 2).over(wb))
+          .withColumn("n2_p", lead("prefix", 2).over(wb))
+          .withColumn("rn", row_number().over(wb))
+          .withColumn("rnd", row_number().over(wbDesc))
+          .persist() // two consumers: within-pairs + boundary set
+        PipelineCache.retain(marked)
+        val within = marked
           .select(col("lang"), col("doc_id").as("doc_a"), col("prefix"),
                   explode(array(
                     struct(col("n1_id").as("doc_b"), col("n1_p").as("p_b"),
@@ -1250,7 +1269,31 @@ object Dedup {
           .select(col("lang"), col("doc_a"), col("nb.doc_b").as("doc_b"),
                   col("prefix"), col("nb.p_b").as("p_b"),
                   col("nb.offset").as("offset"))
-        pairs.where(col("doc_b").isNotNull)
+        // Boundary stitch: consecutive rows of the boundary set are
+        // global neighbors whenever the pair crosses a bucket edge
+        // (interior rows between them would contradict offset <= 2);
+        // same-bucket lead targets are nulled out — the within pass
+        // already owns those.
+        val wl = Window.partitionBy("lang").orderBy("sortkey", "doc_id")
+        val cross = marked.where(col("rn") <= 2 || col("rnd") <= 2)
+          .select(col("doc_id"), col("lang"), col("sortkey"), col("prefix"), col("bucket"))
+          .withColumn("c1_id", lead("doc_id", 1).over(wl))
+          .withColumn("c1_p", lead("prefix", 1).over(wl))
+          .withColumn("c1_b", lead("bucket", 1).over(wl))
+          .withColumn("c2_id", lead("doc_id", 2).over(wl))
+          .withColumn("c2_p", lead("prefix", 2).over(wl))
+          .withColumn("c2_b", lead("bucket", 2).over(wl))
+          .select(col("lang"), col("doc_id").as("doc_a"), col("prefix"),
+                  explode(array(
+                    struct(when(col("c1_b") =!= col("bucket"), col("c1_id")).as("doc_b"),
+                           col("c1_p").as("p_b"), lit(1L).as("offset")),
+                    struct(when(col("c2_b") =!= col("bucket"), col("c2_id")).as("doc_b"),
+                           col("c2_p").as("p_b"), lit(2L).as("offset")))).as("nb"))
+          .select(col("lang"), col("doc_a"), col("nb.doc_b").as("doc_b"),
+                  col("prefix"), col("nb.p_b").as("p_b"),
+                  col("nb.offset").as("offset"))
+        within.union(cross)
+          .where(col("doc_b").isNotNull)
           .withColumn("lev", levenshtein(col("prefix"), col("p_b")).cast("long"))
           .where(col("lev") <= 24)
           .select("lang", "doc_a", "doc_b", "offset", "lev")

@@ -114,6 +114,70 @@ class DedupSpec extends AnyFunSuite {
     assert(rnks.toSeq == (1L to 20L))
     rows.foreach(r => assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
   }
+
+  test("d38 bucketed SNM equals the single-window plan on adversarial bucket shapes") {
+    // Crafted corpus forcing every stitch edge the fixture may not hit:
+    // 1-row buckets (offset-2 pairs spanning TWO bucket edges), buckets
+    // of exactly 2/3 rows (boundary set = whole bucket), a >4-row bucket
+    // (interior rows absent from the boundary set), and a second
+    // language interleaved so partition isolation is exercised.
+    import org.apache.spark.sql.functions.{col, lead, lit, substring, lower, levenshtein, explode, array, struct}
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // a shared tail keeps every neighbor pair's levenshtein <= 24, so a
+    // pair lost by a stitch bug cannot hide behind the filter
+    val tail = " the shared body keeps edit distance tiny"
+    val docs = Seq(
+      // lang en: buckets aa(5 rows), ab(1), ac(2), ad(1), ae(1), zz(3)
+      (1L, "en", s"aaa$tail"), (2L, "en", s"aab$tail"), (3L, "en", s"aac$tail"),
+      (4L, "en", s"aad$tail"), (5L, "en", s"aae$tail"),
+      (6L, "en", s"abb$tail"),
+      (7L, "en", s"aca$tail"), (8L, "en", s"acb$tail"),
+      (9L, "en", s"ada$tail"),
+      (10L, "en", s"aea$tail"),
+      (11L, "en", s"zza$tail"), (12L, "en", s"zzb$tail"), (13L, "en", s"zzc$tail"),
+      // lang fr: interleaved sort keys, incl. a 1-row bucket between two
+      (21L, "fr", s"aaa$tail"), (22L, "fr", s"aba$tail"),
+      (23L, "fr", s"aca$tail"), (24L, "fr", s"acb$tail")
+    ).toDF("doc_id", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("d38adv").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // reference: the naive single-window-per-lang plan, inline
+    val w = Window.partitionBy("lang").orderBy("sortkey", "doc_id")
+    val keyed = spark.read.parquet(s"$dir/documents.parquet").select(
+      col("doc_id"), col("lang"),
+      substring(lower(col("text")), 1, 40).as("sortkey"),
+      substring(lower(col("text")), 1, 80).as("prefix"))
+    val expected = keyed
+      .withColumn("n1_id", lead("doc_id", 1).over(w))
+      .withColumn("n1_p", lead("prefix", 1).over(w))
+      .withColumn("n2_id", lead("doc_id", 2).over(w))
+      .withColumn("n2_p", lead("prefix", 2).over(w))
+      .select(col("lang"), col("doc_id").as("doc_a"),
+              col("prefix"),
+              explode(array(
+                struct(col("n1_id").as("doc_b"), col("n1_p").as("p_b"), lit(1L).as("offset")),
+                struct(col("n2_id").as("doc_b"), col("n2_p").as("p_b"), lit(2L).as("offset")))).as("nb"))
+      .select(col("lang"), col("doc_a"), col("nb.doc_b").as("doc_b"),
+              col("prefix"), col("nb.p_b").as("p_b"), col("nb.offset").as("offset"))
+      .where(col("doc_b").isNotNull)
+      .withColumn("lev", levenshtein(col("prefix"), col("p_b")).cast("long"))
+      .where(col("lev") <= 24)
+      .select("lang", "doc_a", "doc_b", "offset", "lev")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+
+    val got = graft.SparkEntry.queries("d38_snm_neardup")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected,
+      s"bucketed != single-window;\nmissing: ${expected -- got}\nextra: ${got -- expected}")
+    graft.ops.PipelineCache.release()
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
 
 /** Helper: run a registered query at sf0.001. */
