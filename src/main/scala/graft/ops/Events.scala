@@ -357,11 +357,28 @@ object Events {
     // All comparisons in integer microseconds: bit-stable both engines.
     "e11_late_data_audit" -> Q(
       fn = (s, d) => {
-        val w = Window.partitionBy("event_type").orderBy("event_id")
+        // Two-level exclusive running max so one event_type never
+        // serializes into a single window task: within-bucket prefix
+        // max over (event_type, event_id-range bucket) — order-aligned
+        // with event_id — combined with the max over all EARLIER
+        // buckets (exclusive prefix max of the aggregate-sized bucket
+        // maxima, broadcast back). greatest(offset, within) is exactly
+        // the single-window high-water mark.
+        val wIn = Window.partitionBy("event_type", "bucket").orderBy("event_id")
           .rowsBetween(Window.unboundedPreceding, -1)
-        Tables.events(s, d)
+        val wOff = Window.partitionBy("event_type").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val evs = Tables.events(s, d)
           .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-          .withColumn("hwm", max("us").over(w))
+          .withColumn("bucket", expr("event_id div 4096"))
+        val offsets = evs.groupBy("event_type", "bucket")
+          .agg(max("us").as("bmax"))
+          .withColumn("omax", max("bmax").over(wOff))
+          .select("event_type", "bucket", "omax")
+        evs
+          .withColumn("wmax", max("us").over(wIn))
+          .join(broadcast(offsets), Seq("event_type", "bucket"))
+          .withColumn("hwm", greatest(col("omax"), col("wmax")))
           .withColumn("late_us",
             when(col("hwm") - lit(600000000L) > col("us"),
                  col("hwm") - lit(600000000L) - col("us")).otherwise(lit(0L)))

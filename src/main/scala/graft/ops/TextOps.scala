@@ -278,17 +278,32 @@ object TextOps {
     // fixed token-budget bins in deterministic order, streaming-style
     // (bin = exclusive-prefix-sum div budget; a doc may straddle a
     // boundary, which is exactly what sequence packers do with
-    // cross-document attention masking). The window partitions by lang, so
-    // at scale each stratum packs independently — no global sort, and the
-    // per-partition prefix sum is the one window pass.
+    // cross-document attention masking). The prefix sum is TWO-LEVEL so
+    // no language ever serializes into one window task: within-bucket
+    // exclusive cumsum over (lang, doc_id-range bucket) — order-aligned
+    // with the per-lang doc_id order — plus a per-bucket offset computed
+    // by the same exclusive cumsum over the bucket TOTALS (aggregate-
+    // sized: one row per bucket) and broadcast back. cum_before =
+    // offset + within, exactly the single-window value; bucket width is
+    // the parallelism dial.
     "d16_pack_sequences" -> Q(
       fn = (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("lang").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        doc(s, d)
+        val toks = doc(s, d)
           .select(col("doc_id"), col("lang"), nWords(col("text")).as("n_tokens"))
-          .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+          .withColumn("bucket", expr("doc_id div 1024"))
+        val wIn = Window.partitionBy("lang", "bucket").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wOff = Window.partitionBy("lang").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = toks.groupBy("lang", "bucket")
+          .agg(sum("n_tokens").as("tot"))
+          .withColumn("offset", coalesce(sum("tot").over(wOff), lit(0L)))
+          .select("lang", "bucket", "offset")
+        toks
+          .withColumn("within", coalesce(sum("n_tokens").over(wIn), lit(0L)))
+          .join(broadcast(offsets), Seq("lang", "bucket"))
+          .withColumn("cum_before", col("offset") + col("within"))
           .withColumn("bin_id", floor(col("cum_before") / 512).cast("long"))
           .groupBy("lang", "bin_id")
           .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens_packed"))
@@ -317,11 +332,22 @@ object TextOps {
     "d17_stratified_sample" -> Q(
       fn = (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // Two-phase top-K so a huge stratum never sorts in one window
+        // task: top-5 within (lang, source, h-range bucket) — integer
+        // div is order-aligned with the (h, doc_id) sort — then top-5
+        // of the surviving <= 5-per-bucket union. The global top-5 is
+        // always contained in the union of per-bucket top-5s, so the
+        // result is exactly the single-window sample.
+        val wB = Window.partitionBy("lang", "source", "bucket")
+          .orderBy(col("h"), col("doc_id"))
         val w = Window.partitionBy("lang", "source")
           .orderBy(col("h"), col("doc_id"))
         doc(s, d)
           .select(col("doc_id"), col("lang"), col("source"),
                   graft.core.Tokens.tokenOracle(col("doc_id")).as("h"))
+          .withColumn("bucket", expr("h div 1152921504606846976")) // 2^60
+          .withColumn("brnk", row_number().over(wB))
+          .where(col("brnk") <= 5)
           .withColumn("rnk", row_number().over(w).cast("long"))
           .where(col("rnk") <= 5)
           .select("lang", "source", "rnk", "doc_id")
@@ -427,10 +453,31 @@ object TextOps {
     "d20_quality_percentile" -> Q(
       fn = (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-        doc(s, d)
+        // Two-level exact rank, so no language serializes into one
+        // window task: position within (lang, n_chars-range bucket) —
+        // order-aligned with the (n_chars, doc_id) sort — plus the
+        // count of rows in earlier buckets (offset over the aggregate-
+        // sized bucket counts, broadcast back). The (n_chars, doc_id)
+        // tiebreak makes every rank distinct, so percent_rank is
+        // exactly (pos - 1) / (n - 1) in double — the same value the
+        // single window produces (0.0 for a single-row language).
+        val sized = doc(s, d)
           .select(col("doc_id"), col("lang"), col("n_chars"))
-          .withColumn("pr", percent_rank().over(w))
+          .withColumn("bucket", expr("n_chars div 64"))
+        val wIn = Window.partitionBy("lang", "bucket").orderBy("n_chars", "doc_id")
+        val wOff = Window.partitionBy("lang").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = sized.groupBy("lang", "bucket")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("offset", coalesce(sum("cnt").over(wOff), lit(0L)))
+          .withColumn("n", sum("cnt").over(Window.partitionBy("lang")))
+          .select("lang", "bucket", "offset", "n")
+        sized
+          .withColumn("rn", row_number().over(wIn).cast("long"))
+          .join(broadcast(offsets), Seq("lang", "bucket"))
+          .withColumn("pr",
+            when(col("n") === 1L, lit(0.0)).otherwise(
+              (col("offset") + col("rn") - 1).cast("double") / (col("n") - 1)))
           .where(col("pr") >= 0.1)
           .groupBy("lang")
           .agg(count(lit(1)).as("n_kept"),
