@@ -430,6 +430,17 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the 200-vector sample cap must reach the embeddings scan:\n$plan")
   }
 
+  test("d16/d20/e11: two-level window offsets ride a broadcast, not a corpus shuffle") {
+    // The cross-bucket component is aggregate-sized (one row per bucket);
+    // joining it back by sort-merge would re-shuffle the whole corpus and
+    // erase the point of the two-level plan.
+    Seq("d16_pack_sequences", "d20_quality_percentile", "e11_late_data_audit").foreach { name =>
+      val plan = executedPlan(name).split("== Initial Plan ==").head
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: bucket-offset join must broadcast:\n$plan")
+    }
+  }
+
   test("d40/d25: the MinHash signature table is cached, not rebuilt per consumer") {
     // ScanAudit r8 caught both queries recomputing the shingle+minhash
     // scan three times (band keys + both sides of the verification
