@@ -151,11 +151,32 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2.secs).sum else 0.0
     val failed = results.count(_._2.error.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"isolated":$iso,"cache_build":$cb,"failed":$failed,"runs":2,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"isolated":$iso,"cache_build":$cb,"failed":$failed,"runs":2,"sf":"$sfDir"}"""
+    println(fullLine)
     // Short trailer AFTER the full line: capture tools that keep only the
     // tail of the output can truncate the per-query map away, so the
     // headline numbers are re-emitted in a line that always fits.
     println(s"""{"metric":"total_only","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed}""")
+    // Durable copy: three rounds of driver artifacts (r06-r08) lost the
+    // per-query map to stdout tail truncation. Write the complete JSON to
+    // a repo file so the artifact is self-contained regardless of how much
+    // of stdout the capture keeps. latest.json is the full line; a
+    // timestamped history line is appended so successive sweeps in one
+    // round remain distinguishable.
+    try {
+      val outDir = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out"))
+      java.nio.file.Files.createDirectories(outDir)
+      java.nio.file.Files.write(outDir.resolve("bench_latest.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+      val stamped = s"""{"ts":"${java.time.Instant.now()}",""" + fullLine.drop(1) + "\n"
+      java.nio.file.Files.write(outDir.resolve("bench_history.jsonl"),
+        stamped.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not persist bench_out files: ${e.getMessage}")
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

@@ -368,9 +368,14 @@ object Events {
           .rowsBetween(Window.unboundedPreceding, -1)
         val wOff = Window.partitionBy("event_type").orderBy("bucket")
           .rowsBetween(Window.unboundedPreceding, -1)
+        // evs feeds TWO consumers (bucket-maxima aggregate + the main
+        // within-bucket window); persist the 4-column projection so the
+        // events scan runs once per query (d25/d40 ScanAudit discipline)
         val evs = Tables.events(s, d)
           .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
           .withColumn("bucket", expr("event_id div 4096"))
+          .persist()
+        PipelineCache.retain(evs)
         val offsets = evs.groupBy("event_type", "bucket")
           .agg(max("us").as("bmax"))
           .withColumn("omax", max("bmax").over(wOff))
@@ -461,27 +466,64 @@ object Events {
     // user's funnel-event subsequence and completes inside 24 hours
     // (the fixture averages one funnel event per user every ~14 h, so a
     // 1-hour window matches nothing — the day window yields real runs).
-    // The engine's rewrite: filter to the pattern alphabet, then two
-    // lead windows over one user-keyed sort expose each 3-row run —
-    // no self-joins, so cost is one keyed shuffle regardless of pattern
-    // length. e5 counts stage reach; this emits each full match
-    // instance, which is what session-quality and abuse analyses need.
+    // The engine's rewrite: filter to the pattern alphabet, then lead
+    // windows expose each 3-row run — no self-joins, so cost is one
+    // keyed shuffle regardless of pattern length. e5 counts stage
+    // reach; this emits each full match instance, which is what
+    // session-quality and abuse analyses need.
     "w5_pattern_match" -> Q(
       fn = (s, d) => {
-        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-        Tables.events(s, d)
+        // TWO-LEVEL match, so one hot user (a bot with a billion-event
+        // stream) never serializes into a single window task: the lead
+        // windows run within (user_id, time bucket) — bucket = us div B
+        // depends on the primary sort key alone, so it is order-aligned
+        // with the (us, event_id) sort — and runs that cross a bucket
+        // edge are recovered from the BOUNDARY set (first/last 2 rows
+        // per bucket: a lead-2 from any last-2 row lands inside it, and
+        // the boundary subsequence is contiguous in the full per-user
+        // order exactly there). A view row with >= 2 followers in its
+        // own bucket (rn_desc >= 3) is exact in the within pass; the
+        // two passes split on rn_desc, so they are disjoint and
+        // exhaustive. Bucket width is the parallelism dial: 1 day keeps
+        // a task at one user-day of events regardless of corpus size.
+        val bucketUs = 86400000000L
+        val wIn = Window.partitionBy("user_id", "bucket").orderBy("us", "event_id")
+        val marked = Tables.events(s, d)
           .where(col("event_type").isin("view", "click", "purchase"))
           .select(col("user_id"), col("event_id"), col("event_type"),
                   unix_micros(col("ts")).as("us"))
-          .withColumn("t1", lead("event_type", 1).over(w))
-          .withColumn("t2", lead("event_type", 2).over(w))
-          .withColumn("us2", lead("us", 2).over(w))
-          .where(col("event_type") === "view" && col("t1") === "click" &&
-                 col("t2") === "purchase" &&
+          .withColumn("bucket", expr(s"us div $bucketUs"))
+          .withColumn("t1", lead("event_type", 1).over(wIn))
+          .withColumn("t2", lead("event_type", 2).over(wIn))
+          .withColumn("us2", lead("us", 2).over(wIn))
+          .withColumn("rn_asc", row_number().over(wIn))
+          // "last 2 of bucket" via the unordered bucket count — an
+          // rn_desc window would re-sort every partition descending
+          .withColumn("rn_desc",
+            count(lit(1)).over(Window.partitionBy("user_id", "bucket"))
+              - col("rn_asc") + 1)
+          .persist()
+        PipelineCache.retain(marked)
+        val emit = (df: org.apache.spark.sql.DataFrame) => df.select(
+          col("user_id"), col("us").as("view_us"), col("us2").as("purchase_us"),
+          (col("us2") - col("us")).as("funnel_us"))
+        val within = marked
+          .where(col("rn_desc") >= 3 && col("event_type") === "view" &&
+                 col("t1") === "click" && col("t2") === "purchase" &&
                  col("us2") - col("us") <= 86400000000L)
-          .select(col("user_id"), col("us").as("view_us"),
-                  col("us2").as("purchase_us"),
-                  (col("us2") - col("us")).as("funnel_us"))
+        // boundary stitch: leads over the <= 4-rows-per-bucket subsequence
+        // are exact for rows in the last 2 of their bucket (rn_desc <= 2)
+        val wB = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val cross = marked
+          .where(col("rn_asc") <= 2 || col("rn_desc") <= 2)
+          .select("user_id", "event_id", "event_type", "us", "rn_desc")
+          .withColumn("t1", lead("event_type", 1).over(wB))
+          .withColumn("t2", lead("event_type", 2).over(wB))
+          .withColumn("us2", lead("us", 2).over(wB))
+          .where(col("rn_desc") <= 2 && col("event_type") === "view" &&
+                 col("t1") === "click" && col("t2") === "purchase" &&
+                 col("us2") - col("us") <= 86400000000L)
+        emit(within).unionByName(emit(cross))
           .orderBy("user_id", "view_us")
       },
       oracle = Some("""

@@ -289,9 +289,15 @@ object TextOps {
     "d16_pack_sequences" -> Q(
       fn = (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // toks feeds TWO consumers (the bucket-totals aggregate and the
+        // main within-bucket window); persist the narrow projection so
+        // the text scan + token count runs once, not per branch (the
+        // same ScanAudit finding that added the d25/d40 persists)
         val toks = doc(s, d)
           .select(col("doc_id"), col("lang"), nWords(col("text")).as("n_tokens"))
           .withColumn("bucket", expr("doc_id div 1024"))
+          .persist()
+        PipelineCache.retain(toks)
         val wIn = Window.partitionBy("lang", "bucket").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, -1)
         val wOff = Window.partitionBy("lang").orderBy("bucket")
@@ -337,7 +343,11 @@ object TextOps {
         // div is order-aligned with the (h, doc_id) sort — then top-5
         // of the surviving <= 5-per-bucket union. The global top-5 is
         // always contained in the union of per-bucket top-5s, so the
-        // result is exactly the single-window sample.
+        // result is exactly the single-window sample. The divisor is
+        // sized to the hash RANGE: tokenOracle lands in [0, 2^32), so
+        // div 2^26 yields 64 buckets per stratum (a 2^60 divisor would
+        // put every row in bucket 0 and silently degrade to the single
+        // window — caught by the TwoLevelWindowSpec straddle assert).
         val wB = Window.partitionBy("lang", "source", "bucket")
           .orderBy(col("h"), col("doc_id"))
         val w = Window.partitionBy("lang", "source")
@@ -345,7 +355,7 @@ object TextOps {
         doc(s, d)
           .select(col("doc_id"), col("lang"), col("source"),
                   graft.core.Tokens.tokenOracle(col("doc_id")).as("h"))
-          .withColumn("bucket", expr("h div 1152921504606846976")) // 2^60
+          .withColumn("bucket", expr("h div 67108864")) // 2^26
           .withColumn("brnk", row_number().over(wB))
           .where(col("brnk") <= 5)
           .withColumn("rnk", row_number().over(w).cast("long"))
@@ -461,9 +471,14 @@ object TextOps {
         // tiebreak makes every rank distinct, so percent_rank is
         // exactly (pos - 1) / (n - 1) in double — the same value the
         // single window produces (0.0 for a single-row language).
+        // sized feeds TWO consumers (bucket-counts aggregate + the main
+        // rank window); persist the 4-column projection so the parquet
+        // scan runs once per query, matching the d25/d40 discipline
         val sized = doc(s, d)
           .select(col("doc_id"), col("lang"), col("n_chars"))
           .withColumn("bucket", expr("n_chars div 64"))
+          .persist()
+        PipelineCache.retain(sized)
         val wIn = Window.partitionBy("lang", "bucket").orderBy("n_chars", "doc_id")
         val wOff = Window.partitionBy("lang").orderBy("bucket")
           .rowsBetween(Window.unboundedPreceding, -1)

@@ -126,4 +126,119 @@ class TwoLevelWindowSpec extends AnyFunSuite {
     assert(expected.exists(_._3 > 0), "crafted corpus produced no late events")
     cleanup()
   }
+
+  test("w5 two-level pattern match equals the single window across time-bucket edges") {
+    import spark.implicits._
+    // Bucket width is 1 day of microseconds. Crafted edges:
+    //  u1: run fully inside one bucket (within-pass baseline)
+    //  u2: view = LAST row of bucket 0, click/purchase = first rows of
+    //      bucket 1 (lead-2 crosses the edge from rn_desc=1)
+    //  u3: view = second-to-last of bucket 0, click = last, purchase =
+    //      first of bucket 1 (crosses from rn_desc=2)
+    //  u4: view is the ONLY row of its bucket (rn_asc = rn_desc = 1 —
+    //      must enter the boundary set exactly once), click/purchase
+    //      open the next bucket
+    //  u8: three single-row buckets view->click->purchase — spans two
+    //      bucket edges, so the gap necessarily exceeds the 24h limit;
+    //      pins that the stitched chain computes the leads yet rejects it
+    //  u5: 5-row bucket view,view,view,click,purchase — row 2's leads in
+    //      the BOUNDARY subsequence alone would falsely be (click,
+    //      purchase); only row 3 (rn_desc=3, within pass) truly matches.
+    //      Proves the rn_desc<=2 guard on the stitch pass.
+    //  u6: run crossing the edge but slower than 24h (time-window reject)
+    //  u7: us tie at a bucket edge broken by event_id
+    val day = 86400000000L
+    val t0 = 1700000000000000L - (1700000000000000L % day) // bucket-aligned
+    val evs = Seq(
+      (1L, 10L, "view", t0 + 1000L), (1L, 11L, "click", t0 + 2000L),
+      (1L, 12L, "purchase", t0 + 3000L),
+      (2L, 20L, "click", t0 + 100L), (2L, 21L, "view", t0 + day - 1L),
+      (2L, 22L, "click", t0 + day + 1L), (2L, 23L, "purchase", t0 + day + 2L),
+      (3L, 30L, "click", t0 + 100L), (3L, 31L, "view", t0 + day - 2L),
+      (3L, 32L, "click", t0 + day - 1L), (3L, 33L, "purchase", t0 + day + 5L),
+      (4L, 40L, "view", t0 + day - 5L), (4L, 41L, "click", t0 + day + 1L),
+      (4L, 42L, "purchase", t0 + day + 2L),
+      (8L, 80L, "view", t0 + 1L), (8L, 81L, "click", t0 + day + 1L),
+      (8L, 82L, "purchase", t0 + 2 * day - 1L),
+      (5L, 50L, "view", t0 + 10L), (5L, 51L, "view", t0 + 20L),
+      (5L, 52L, "view", t0 + 30L), (5L, 53L, "click", t0 + 40L),
+      (5L, 54L, "purchase", t0 + 50L),
+      (6L, 60L, "view", t0 + day - 1L), (6L, 61L, "click", t0 + day + 1L),
+      (6L, 62L, "purchase", t0 + 2 * day + 10L), // > 24h after the view
+      (7L, 70L, "view", t0 + day), (7L, 71L, "click", t0 + day), // us tie
+      (7L, 72L, "purchase", t0 + day + 1L)
+    )
+    val dir = java.nio.file.Files.createTempDirectory("twolevel_w5").toString
+    evs.toDF("user_id", "event_id", "event_type", "us")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+              timestamp_micros(col("us")).as("ts"),
+              lit(0.0).as("value"), lit("").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val expected = spark.read.parquet(s"$dir/events.parquet")
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+              unix_micros(col("ts")).as("us"))
+      .withColumn("t1", lead("event_type", 1).over(w))
+      .withColumn("t2", lead("event_type", 2).over(w))
+      .withColumn("us2", lead("us", 2).over(w))
+      .where(col("event_type") === "view" && col("t1") === "click" &&
+             col("t2") === "purchase" && col("us2") - col("us") <= 86400000000L)
+      .select(col("user_id"), col("us"), col("us2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val got = graft.SparkEntry.queries("w5_pattern_match")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, s"missing: ${expected -- got}\nextra: ${got -- expected}")
+    // the crafted corpus must exercise BOTH passes: u1/u5 within, u2/u3/u4 cross
+    assert(expected.exists(_._1 == 1L) && expected.exists(_._1 == 2L) &&
+           expected.exists(_._1 == 3L) && expected.exists(_._1 == 4L) &&
+           expected.exists(_._1 == 5L) && expected.exists(_._1 == 7L),
+      s"crafted corpus lost a planted match: $expected")
+    assert(!expected.exists(_._1 == 6L), "the >24h run must not match")
+    assert(!expected.exists(_._1 == 8L),
+      "the three-single-bucket chain necessarily exceeds 24h and must not match")
+    assert(expected.count(_._1 == 5L) == 1, "u5 must match exactly once (row 3)")
+    cleanup()
+  }
+
+  test("d17 two-level top-K equals the single window incl. small strata and h-bucket edges") {
+    // Stratum (aa, s0): 100 sequential doc_ids — the oracle-token h
+    // values spread golden-ratio-evenly over [0, 2^32), and at n=100 the
+    // five smallest land in div-2^26 buckets {0,0,1,2,3}, so the global
+    // top-5 must assemble from several bucket-local top-5s.
+    // (bb, s0): 3 docs (< K rows); (cc, s0): exactly 5; (dd, s0): 1.
+    val docs = (1L to 100L).map(id => (id, "t", "aa", "s0", 0L)) ++
+      (400L to 402L).map(id => (id, "t", "bb", "s0", 0L)) ++
+      (500L to 504L).map(id => (id, "t", "cc", "s0", 0L)) ++
+      Seq((600L, "t", "dd", "s0", 0L))
+    val dir = writeDocs(docs)
+
+    val w = Window.partitionBy("lang", "source")
+      .orderBy(col("h"), col("doc_id"))
+    val expected = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"),
+              graft.core.Tokens.tokenOracle(col("doc_id")).as("h"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 5)
+      .select("lang", "source", "rnk", "doc_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+
+    val got = graft.SparkEntry.queries("d17_stratified_sample")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected, s"missing: ${expected -- got}\nextra: ${got -- expected}")
+    // aa's top-5 must straddle more than one h bucket or the edge is untested
+    val aaBuckets = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("lang") === "aa")
+      .select(graft.core.Tokens.tokenOracle(col("doc_id")).as("h"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("h"))))
+      .where(col("rnk") <= 5)
+      .select(expr("h div 67108864").as("b"))
+      .collect().map(_.getLong(0)).toSet
+    assert(aaBuckets.size > 1,
+      s"crafted aa stratum's top-5 sits in one h bucket ($aaBuckets) — edge untested")
+    cleanup()
+  }
 }
