@@ -281,8 +281,14 @@ object Joins {
           .select((col("o_custkey") * 2).as("c"),
                   (col("l_suppkey") * 2 + 1).as("sp"))
           .distinct()
-        val edges = trades.select(col("c").as("src"), col("sp").as("dst"))
-          .union(trades.select(col("sp").as("src"), col("c").as("dst")))
+        // explode both directions from ONE pass over trades — the
+        // union-of-two-projections form materialized the orders x lineitem
+        // distinct twice (once per branch) before the persist caught it
+        val edges = trades
+          .select(explode(array(
+            struct(col("c").as("src"), col("sp").as("dst")),
+            struct(col("sp").as("src"), col("c").as("dst")))).as("e"))
+          .select(col("e.src"), col("e.dst"))
           .persist()
         val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).persist()
         PipelineCache.retain(edges, deg)
