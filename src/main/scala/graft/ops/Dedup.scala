@@ -485,13 +485,8 @@ object Dedup {
     // Symmetrize via explode, not self-union: a union of two projections
     // scans (and for unpersisted callers like d21/d34, fully recomputes)
     // the pair pipeline once per branch; the explode emits both directions
-    // from a single pass.
-    val edges = pairs
-      .select(explode(array(
-        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
-        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
-      .select(col("e.src"), col("e.dst"))
-      .persist()
+    // from a single pass (shape pinned in PlanQualitySpec).
+    val edges = Edges.symmetrize(pairs, col("doc_a"), col("doc_b")).persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)

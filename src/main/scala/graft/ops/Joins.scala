@@ -284,12 +284,7 @@ object Joins {
         // explode both directions from ONE pass over trades — the
         // union-of-two-projections form materialized the orders x lineitem
         // distinct twice (once per branch) before the persist caught it
-        val edges = trades
-          .select(explode(array(
-            struct(col("c").as("src"), col("sp").as("dst")),
-            struct(col("sp").as("src"), col("c").as("dst")))).as("e"))
-          .select(col("e.src"), col("e.dst"))
-          .persist()
+        val edges = Edges.symmetrize(trades, col("c"), col("sp")).persist()
         val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).persist()
         PipelineCache.retain(edges, deg)
         var rank = deg.select(col("src").as("node"), lit(unit).as("rank"))

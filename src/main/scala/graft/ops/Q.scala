@@ -21,6 +21,26 @@ final case class Q(
     (s, d) => { PipelineCache.beginQuery(); fn(s, d) }
 }
 
+/** Shared plan-shape helpers for the graph-flavored queries. */
+object Edges {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{array, col, explode, struct}
+
+  /** Symmetrize a directed pair list into an undirected edge list in ONE
+    * pass: explode each row into both directions. The union-of-two-
+    * projections alternative scans — and, when the input is not
+    * persisted, fully recomputes — the upstream pair pipeline once per
+    * branch; this shape is pinned by PlanQualitySpec (single source scan,
+    * no Union).
+    */
+  def symmetrize(pairs: DataFrame, a: Column, b: Column): DataFrame =
+    pairs
+      .select(explode(array(
+        struct(a.as("src"), b.as("dst")),
+        struct(b.as("src"), a.as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+}
+
 /** Registry for DataFrames that a query persists at CONSTRUCTION time but
   * that must stay cached until the (lazy) result executes: an in-query
   * `finally unpersist` would release the cache before the first action

@@ -455,4 +455,26 @@ class PlanQualitySpec extends AnyFunSuite {
       spark.sharedState.cacheManager.clearCache()
     }
   }
+
+  test("Edges.symmetrize: undirected edges come from ONE pass, not a self-union") {
+    // Symmetrizing via union-of-two-projections materializes the upstream
+    // pair pipeline once per branch when the input is not persisted (d21
+    // computed the whole MinHash candidate join twice; j11 ran the
+    // orders x lineitem distinct twice). The final plans of d21/j11 hide
+    // the edge build behind persist/localCheckpoint boundaries, so the
+    // pin asserts on the shared helper's OWN plan: one source scan, no
+    // Union — the union form shows two scans here.
+    import org.apache.spark.sql.functions.col
+    val pairs = spark.read.parquet(s"${SparkTestBase.Sf0001}/nation.parquet")
+      .select(col("n_nationkey").as("doc_a"), col("n_regionkey").as("doc_b"))
+    val edges = graft.ops.Edges.symmetrize(pairs, col("doc_a"), col("doc_b"))
+    edges.collect()
+    val plan = edges.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1,
+      s"edge symmetrization must read its input once, saw $scans scans:\n$plan")
+    assert(!plan.contains("Union"),
+      s"edge symmetrization must not be a self-union:\n$plan")
+  }
 }
