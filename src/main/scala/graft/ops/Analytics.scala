@@ -1745,14 +1745,23 @@ object Analytics {
         PipelineCache.retain(op)
         val nOrders = op.select(countDistinct(col("o")).as("n_orders"))
         val pc = op.groupBy("p").agg(count(lit(1)).as("c"))
-        val opPruned = op
+        // pair enumeration as one basket aggregate + map-side explode:
+        // the former self-join on o shuffled the pruned item list twice
+        // (and re-ran its basket-size window once per side); collecting
+        // each order's (distinct, apriori-pruned) items into a sorted
+        // array costs ONE shuffle by o, the i<j pairs explode map-side,
+        // and the basket cap is a plain size() filter. Arrays are <=
+        // MaxBasket elements by that filter, so no collect_list blowup.
+        val baskets = op
           .join(pc.where(col("c") >= 3).select("p"), Seq("p"), "left_semi")
-          .withColumn("bsz", count(lit(1)).over(Window.partitionBy("o")))
-          .where(col("bsz") <= MaxBasket)
-          .select("o", "p")
-        val pairs = opPruned.toDF("o", "pa")
-          .join(opPruned.toDF("o", "pb"), "o")
-          .where(col("pa") < col("pb"))
+          .groupBy("o").agg(sort_array(collect_list(col("p"))).as("ps"))
+          .where(size(col("ps")) <= MaxBasket && size(col("ps")) >= 2)
+        val pairs = baskets
+          .select(explode(expr(
+            """flatten(transform(sequence(0, size(ps) - 2),
+               i -> transform(slice(ps, i + 2, size(ps) - i - 1),
+                              q -> struct(ps[i] AS pa, q AS pb))))""")).as("pr"))
+          .select(col("pr.pa"), col("pr.pb"))
           .groupBy("pa", "pb").agg(count(lit(1)).as("both_c"))
           .where(col("both_c") >= 3)
         pairs
