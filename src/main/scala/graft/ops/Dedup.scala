@@ -871,9 +871,19 @@ object Dedup {
             // land in "train", biasing the split (see d43's twin fix)
             when(((col("rep") * 2654435761L).bitwiseAND(Long.MaxValue)) % 10 < 8,
               "train").otherwise("val"))
+        // The leakage check only involves docs that appear in a pair —
+        // exactly the membership of the cluster-sized labels frame, where
+        // coalesce(cluster_rep, doc_id) == cluster_rep by construction.
+        // Deriving the split there keeps the corpus-sized rep map to ONE
+        // consumer (the per-split aggregate) instead of three: at scale
+        // the cross joins probe a frame bounded by the dup-pair graph,
+        // not the corpus.
+        val labSplit = labels.withColumn("split",
+          when(((col("cluster_rep") * 2654435761L).bitwiseAND(Long.MaxValue)) % 10 < 8,
+            "train").otherwise("val"))
         val cross = pairs
-          .join(rep.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
-          .join(rep.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
+          .join(labSplit.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
+          .join(labSplit.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
           .agg(coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)), lit(0L))
             .as("cross_split_dup_pairs"))
         rep.groupBy("split")
