@@ -167,9 +167,15 @@ object Bench {
       val outDir = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out"))
       java.nio.file.Files.createDirectories(outDir)
-      java.nio.file.Files.write(outDir.resolve("bench_latest.json"),
-        (fullLine + "\n").getBytes("UTF-8"))
-      val stamped = s"""{"ts":"${java.time.Instant.now()}",""" + fullLine.drop(1) + "\n"
+      // bench_latest.json is the durable FULL-SURFACE artifact; a targeted
+      // SPARK_GRAFT_ONLY probe must not clobber it with a 5-query subset —
+      // subset runs land only in the history log, marked as such.
+      if (only.isEmpty)
+        java.nio.file.Files.write(outDir.resolve("bench_latest.json"),
+          (fullLine + "\n").getBytes("UTF-8"))
+      val subsetTag = if (only.isEmpty) "" else "\"subset\":true,"
+      val stamped =
+        s"""{"ts":"${java.time.Instant.now()}",$subsetTag""" + fullLine.drop(1) + "\n"
       java.nio.file.Files.write(outDir.resolve("bench_history.jsonl"),
         stamped.getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,

@@ -557,10 +557,16 @@ object Dedup {
     // pair — bounded by construction, like the d8 all-pairs baseline.
     "d13_levenshtein" -> Q(
       fn = (s, d) => {
+        // ~20-row sample consumed by both join sides: persist once so the
+        // pair enumeration reads the cache, not documents 4x (the union
+        // inside withPlantedDups doubles every downstream scan).
         val base = withPlantedDups(s, d)
+          .where(col("doc_id") < 10 || (col("doc_id") >= 1000000L && col("doc_id") < 1000010L))
+          .persist()
+        PipelineCache.retain(base)
         val a = base.where(col("doc_id") < 10)
           .select(col("doc_id").as("doc_a"), col("text").as("ta"))
-        val b = base.where(col("doc_id") < 10 || (col("doc_id") >= 1000000L && col("doc_id") < 1000010L))
+        val b = base
           .select(col("doc_id").as("doc_b"), col("text").as("tb"))
         a.join(b, col("doc_a") < col("doc_b"))
           .select(col("doc_a"), col("doc_b"),
@@ -659,10 +665,14 @@ object Dedup {
     "d7b_simhash_portable" -> Q(
       fn = (s, d) => {
         graft.GraftExtensions.register(s)
+        // ~75-row fingerprinted sample read by both join sides: persist so
+        // the Hamming all-pairs reads the cache, not documents 4x.
         val sample = withPlantedDups(s, d)
           .where(col("doc_id") < 50 || col("doc_id") >= 1000000L)
           .withColumn("wh", portableWordHashes("text"))
           .withColumn("simhash", portableSimhash("wh"))
+          .persist()
+        PipelineCache.retain(sample)
         val a = sample.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
         val b = sample.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
         a.join(b, col("doc_a") < col("doc_b"))
@@ -710,6 +720,8 @@ object Dedup {
           .where(col("doc_id") < 50 || col("doc_id") >= 1000000L)
           .withColumn("whash", expr("transform(split(text, ' '), w -> xxhash64(w))"))
           .withColumn("simhash", simhash32("whash"))
+          .persist()
+        PipelineCache.retain(sample)
         val a = sample.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
         val b = sample.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
         a.join(b, col("doc_a") < col("doc_b"))

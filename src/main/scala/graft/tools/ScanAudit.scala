@@ -1,11 +1,46 @@
 package graft.tools
 
-/** Dev audit: per-query final-plan file-scan and cache-read counts.
-  * Queries with many parquet scans and no cache reads are re-executing
-  * a shared branch — the d43/d48 bug class. AQE plans print initial +
-  * final; only the final section is counted.
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+
+/** Dev audit: per-query, per-RELATION file-scan counts in the final plan.
+  *
+  * A raw "Scan parquet" count flags every wide multi-table join (q5/q8
+  * legitimately scan 6-8 DIFFERENT tables once each); the signal that
+  * matters for the d43/d48 bug class is the SAME relation scanned
+  * repeatedly with no cache read in between — that is a shared branch
+  * being re-executed per consumer. This audit walks the executed plan
+  * tree (through AQE stages and subqueries, stopping at cache and
+  * reused-exchange boundaries, which already de-duplicate work) and
+  * reports the max per-relation scan count.
   */
 object ScanAudit {
+
+  /** Leaf parquet relations under `plan`, one entry per scan, named by
+    * file-index root (table file name). Recurses through AQE wrapper
+    * nodes and subquery expressions; does NOT descend into cached or
+    * reused-exchange subtrees — those execute once regardless of how
+    * many consumers the plan gives them.
+    */
+  def relationScans(plan: SparkPlan): Seq[String] = {
+    val self = plan match {
+      case f: FileSourceScanExec =>
+        Seq(f.relation.location.rootPaths.map(_.getName).sorted.mkString(","))
+      case _ => Seq.empty
+    }
+    val children: Seq[SparkPlan] = plan match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case _: InMemoryTableScanExec => Seq.empty
+      case _: ReusedExchangeExec    => Seq.empty
+      case p                        => p.children
+    }
+    val subq = plan.subqueries
+    self ++ (children ++ subq).flatMap(relationScans)
+  }
+
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = org.apache.spark.sql.SparkSession.builder()
@@ -35,14 +70,21 @@ object ScanAudit {
       try {
         val df = fn(spark, sf)
         df.collect()
-        val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-        val scans = "Scan parquet".r.findAllIn(plan).length
-        val cached = "InMemoryTableScan".r.findAllIn(plan).length
-        val rdd = "Scan ExistingRDD".r.findAllIn(plan).length
-        if (scans >= 4 && cached == 0)
-          println(s"SCANAUDIT SUSPECT $name scans=$scans cached=$cached rdd=$rdd")
+        val perRel = relationScans(df.queryExecution.executedPlan)
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val cached = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+          .linesIterator.count(_.contains("InMemoryTableScan"))
+        val worst = if (perRel.isEmpty) ("-", 0) else perRel.maxBy(_._2)
+        val detail = perRel.toSeq.sortBy(-_._2)
+          .map { case (r, n) => s"$r=$n" }.mkString(",")
+        // Same relation executed 3+ times with nothing cached: the
+        // multi-consumer rebuild class. 2 scans of one table is normal
+        // (self-joins: a/b sides of a pair enumeration).
+        if (worst._2 >= 3 && cached == 0)
+          println(s"SCANAUDIT SUSPECT $name max=${worst._2} cached=$cached [$detail]")
         else
-          println(s"SCANAUDIT ok $name scans=$scans cached=$cached rdd=$rdd")
+          println(s"SCANAUDIT ok $name max=${worst._2} cached=$cached [$detail]")
       } catch { case e: Exception =>
         println(s"SCANAUDIT ERROR $name ${e.getClass.getSimpleName}")
       }
