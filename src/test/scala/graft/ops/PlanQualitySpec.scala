@@ -477,4 +477,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Union"),
       s"edge symmetrization must not be a self-union:\n$plan")
   }
+
+  test("t6 (validate counts): all three reconciliation counts ride ONE lineitem scan") {
+    val df = graft.SparkEntry.queries("t6_validate_counts")(spark, SparkTestBase.Sf0001)
+    df.collect()
+    val rels = graft.tools.ScanAudit.relationScans(df.queryExecution.executedPlan)
+    assert(rels.size == 1,
+      s"multi-distinct aggregation must be a single pass over lineitem, saw $rels")
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("Expand"),
+      s"the three distinct counts should plan as one scan + Expand:\n$plan")
+  }
+
+  test("k9 (CDC tombstones): the three generations come from ONE orders scan") {
+    val df = graft.SparkEntry.queries("k9_cdc_tombstones")(spark, SparkTestBase.Sf0001)
+    df.collect()
+    val rels = graft.tools.ScanAudit.relationScans(df.queryExecution.executedPlan)
+    assert(rels.size == 1,
+      s"change-set generation must read orders once, saw $rels")
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("Generate"),
+      s"generations should come from an explode (Generate), not a union of re-scans:\n$plan")
+  }
 }
