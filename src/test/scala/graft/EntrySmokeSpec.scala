@@ -60,4 +60,57 @@ class EntrySmokeSpec extends AnyFunSuite {
     assert(stale.isEmpty,
       s"allowlist entries no longer needed (remove them): ${stale.toSeq.sorted.mkString(", ")}")
   }
+
+  // A join with no equality conjunct plans as BroadcastNestedLoopJoin or
+  // CartesianProduct — per-pair work quadratic in the inputs. Legitimate
+  // only when at least one side is bounded by construction (a sample cap,
+  // a <= 20 top-k, a 1-row scalar). Same contract as the window audit:
+  // every occurrence must carry its bound here.
+  private val justifiedNonEquiJoins: Map[String, String] = Map(
+    "d7_simhash" -> "all-pairs Hamming over the persisted ~75-row planted-dup sample (bounded-sample contract)",
+    "d7b_simhash_portable" -> "all-pairs Hamming over the persisted ~75-row planted-dup sample (bounded-sample contract)",
+    "d13_levenshtein" -> "edit-distance DP over the ~20-row planted-dup sample (bounded-sample contract)",
+    "d8_ngram_jaccard" -> "all-pairs baseline over the 60-doc sample (bounded-sample contract; banded path is d6)",
+    "d33_containment" -> "all-pairs over the 60-doc sample (bounded-sample contract)",
+    "d10_embedding_neardup" -> "all-pairs over the 200-vector cap (bounded-sample contract; full-corpus path is d22)",
+    "v1_cosine_topk" -> "brute-force baseline: bounded probe set broadcasts, corpus streams once",
+    "v2_sim_histogram" -> "bounded probe set broadcasts against the streaming corpus",
+    "v5_crossmodal_curation" -> "dup detection reuses d10's 200-vector bounded-sample shape",
+    "v6_centered_cosine" -> "bounded probe set broadcasts against the streaming corpus",
+    "v7_knn_classify" -> "probes broadcast, corpus streams once (pinned in PlanQualitySpec)",
+    "v8_hamming_topk" -> "probes broadcast, signature+popcount corpus streams once (pinned in PlanQualitySpec)",
+    "v9_hard_negatives" -> "anchors broadcast, corpus streams once (pinned in PlanQualitySpec)")
+
+  test("non-equi joins only appear on the allowlist, justified by a bounded side") {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, SparkTestBase.Sf0001).queryExecution.optimizedPlan
+      val n = plan.collectWithSubqueries {
+        case j: Join if !j.condition.exists(c =>
+          conjuncts(c).exists {
+            case _: EqualTo | _: EqualNullSafe => true
+            case _                             => false
+          })
+          // a side with a STATICALLY known row bound (grouping-less
+          // aggregate = 1 row, limit(k) = k rows) makes the nested loop
+          // linear — the ubiquitous scalar-broadcast cross join. Sides
+          // bounded only semantically (a sample predicate) don't set
+          // maxRows and must justify themselves on the allowlist.
+          && !j.left.maxRows.exists(_ <= 128)
+          && !j.right.maxRows.exists(_ <= 128) => j
+      }.size
+      if (n > 0) Some(name -> n) else None
+    }.toMap
+    val unlisted = offenders.keySet -- justifiedNonEquiJoins.keySet
+    val stale = justifiedNonEquiJoins.keySet -- offenders.keySet
+    assert(unlisted.isEmpty,
+      s"unjustified non-equi joins (quadratic unless a side is bounded): ${unlisted.toSeq.sorted.map(n => s"$n(x${offenders(n)})").mkString(", ")}")
+    assert(stale.isEmpty,
+      s"allowlist entries no longer needed (remove them): ${stale.toSeq.sorted.mkString(", ")}")
+  }
 }
