@@ -485,29 +485,38 @@ object Dedup {
     // Symmetrize via explode, not self-union: a union of two projections
     // scans (and for unpersisted callers like d21/d34, fully recomputes)
     // the pair pipeline once per branch; the explode emits both directions
-    // from a single pass (shape pinned in PlanQualitySpec).
-    val edges = Edges.symmetrize(pairs, col("doc_a"), col("doc_b")).persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    // from a single pass (shape pinned in PlanQualitySpec). One self-loop
+    // per vertex is then appended so a superstep's "min over neighbors
+    // AND self" is ONE join + aggregate — the previous formulation paid a
+    // second labels join per iteration (two extra N-row shuffles per
+    // superstep at cluster scale) just to fold the prior label back in.
+    val sym = Edges.symmetrize(pairs, col("doc_a"), col("doc_b")).persist()
+    val ids = sym.select(col("src").as("id")).distinct()
+    val edges = sym.union(ids.select(col("id").as("src"), col("id").as("dst"))).persist()
+    var labels = ids.withColumn("label", col("id")).localCheckpoint(true)
+    // Labels only DECREASE under min-propagation (each update takes a min
+    // that includes the vertex's own label via its self-loop), so
+    // fixpoint <=> the label sum stops changing — a 1-row aggregate over
+    // the checkpoint instead of a prev-vs-next filter job per superstep.
+    // DECIMAL(38,0) keeps the check overflow-safe at any vertex count.
+    var prevSum: java.math.BigDecimal = null
     var iter = 0
     var done = false
     val maxIters = 20
     while (!done && iter < maxIters) {
-      val nmin = edges
+      val next = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
-        .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
-      // carry the previous label through the checkpoint so convergence is
-      // a cheap filter on materialized data, not a re-joined recompute
-      val next = labels.join(nmin, Seq("id"), "left")
-        .select(col("id"),
-                least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-                col("label").as("prev"))
+        .groupBy(col("src").as("id")).agg(min(col("nl")).as("label"))
         .localCheckpoint(true)
-      done = next.where(col("label") =!= col("prev")).isEmpty
-      labels = next.select("id", "label")
+      val s = next
+        .agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .collect()(0).getDecimal(0)
+      done = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
       iter += 1
     }
+    sym.unpersist()
     edges.unpersist()
     // Diameter > maxIters means the labels above are NOT fixed-point —
     // returning them silently would hand the caller wrong clusters.
