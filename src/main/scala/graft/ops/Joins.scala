@@ -268,9 +268,10 @@ object Joins {
     // the 100 TB analog). All arithmetic is integer millionths with floor
     // division, so every iteration is EXACT and order-independent: no
     // float accumulation, hash-stable across engines and partitionings.
-    // Each iteration is one equi-join of (node, rank) against the edge
-    // list + one keyed aggregation — the Pregel superstep as DataFrames;
-    // the edge list and degrees persist across iterations.
+    // Each iteration is one equi-join of (node, rank) against the cached
+    // degree-annotated edge list + one keyed aggregation — the Pregel
+    // superstep as DataFrames. The edge table is hash-partitioned by src
+    // once before caching, so supersteps shuffle only rank + contribs.
     "j11_pagerank" -> Q(
       fn = (s, d) => {
         val damp = 850000L; val base = 150000L; val unit = 1000000L
@@ -285,13 +286,22 @@ object Joins {
         // union-of-two-projections form materialized the orders x lineitem
         // distinct twice (once per branch) before the persist caught it
         val edges = Edges.symmetrize(trades, col("c"), col("sp")).persist()
+        // Degree is a per-src constant, so fold it into the edge list ONCE
+        // (src, dst, d) and hash-partition that table by the join key
+        // before caching: every superstep's join then reuses the cached
+        // partitioning — only the N-row rank table and the contrib
+        // aggregation shuffle per iteration, never the E-row edge list,
+        // and the per-iteration deg join disappears entirely.
+        // deg feeds both the edge annotation and the rank init — cache it
+        // so the N-row degree aggregation runs once, not per consumer
         val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).persist()
-        PipelineCache.retain(edges, deg)
+        val edgesD = edges.join(deg, "src").select("src", "dst", "d")
+          .repartition(col("src")).persist()
+        PipelineCache.retain(edges, deg, edgesD)
         var rank = deg.select(col("src").as("node"), lit(unit).as("rank"))
         for (_ <- 1 to 3) {
-          rank = edges
+          rank = edgesD
             .join(rank, col("src") === col("node"))
-            .join(deg, "src")
             .select(col("dst"), expr("rank div d").as("contrib"))
             .groupBy("dst")
             .agg(sum(col("contrib")).as("in_sum"))

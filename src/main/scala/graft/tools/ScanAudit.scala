@@ -41,6 +41,36 @@ object ScanAudit {
     self ++ (children ++ subq).flatMap(relationScans)
   }
 
+  /** Hash-partitioning key names of every shuffle exchange that executes
+    * as part of `plan`, one entry per exchange. Same traversal contract
+    * as [[relationScans]]: recurses through AQE wrappers and subqueries,
+    * stops at cache / reused-exchange boundaries — so a repartition that
+    * runs ONCE to build a cached table is not attributed to the plans
+    * that read the cache. Used by plan-quality pins that assert an
+    * iteration re-shuffles only the small side (e.g. j11's supersteps
+    * must never re-exchange the cached edge list on src).
+    */
+  def exchangeKeys(plan: SparkPlan): Seq[Seq[String]] = {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val self = plan match {
+      case e: ShuffleExchangeExec => e.outputPartitioning match {
+        case h: HashPartitioning =>
+          Seq(h.expressions.map(_.references.map(_.name).toSeq.sorted.mkString("+")))
+        case _ => Seq(Seq.empty[String])
+      }
+      case _ => Seq.empty
+    }
+    val children: Seq[SparkPlan] = plan match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case _: InMemoryTableScanExec => Seq.empty
+      case _: ReusedExchangeExec    => Seq.empty
+      case p                        => p.children
+    }
+    self ++ (children ++ plan.subqueries).flatMap(exchangeKeys)
+  }
+
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = org.apache.spark.sql.SparkSession.builder()

@@ -499,4 +499,38 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("Generate"),
       s"generations should come from an explode (Generate), not a union of re-scans:\n$plan")
   }
+
+  test("j11 (PageRank): supersteps reuse the cached edge partitioning — no edge-side exchange") {
+    // At sf0.001 AQE broadcasts the tiny edge table, which hides the
+    // property this test exists for: at cluster scale the edge list is
+    // NOT broadcastable, the superstep join plans as SMJ/SHJ, and its
+    // edge-side distribution requirement must be satisfied by the
+    // partitioning baked into the cache — never by a fresh exchange.
+    // Disable broadcast to plan the joins the way the big cluster would.
+    val thresholds = Seq("spark.sql.autoBroadcastJoinThreshold",
+                         "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = thresholds.map(k => k -> spark.conf.getOption(k))
+    thresholds.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val df = graft.SparkEntry.queries("j11_pagerank")(spark, SparkTestBase.Sf0001)
+      df.collect()
+      // walk the executed tree (cache-build subtrees excluded — the
+      // one-time repartition(src) that bakes the cache partitioning is
+      // legitimate): no exchange that actually ran per superstep may be
+      // keyed on the edge-side src column.
+      val keys = graft.tools.ScanAudit.exchangeKeys(df.queryExecution.executedPlan)
+      val srcExchanges = keys.count(_.contains("src"))
+      assert(srcExchanges == 0,
+        s"superstep re-shuffled the cached edge table on src ($srcExchanges of ${keys.size} " +
+          s"exchanges, keys=$keys):\n${df.queryExecution.executedPlan}")
+      assert(df.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+        "supersteps must read the degree-annotated edge table from cache")
+    } finally {
+      saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      }
+      graft.ops.PipelineCache.release()
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
 }
