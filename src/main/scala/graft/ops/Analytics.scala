@@ -281,7 +281,7 @@ object Analytics {
         val l = Tables.lineitem(s, d)
           .where(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
           .select("l_orderkey", "l_extendedprice", "l_discount")
-        l.join(broadcast(o.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
+        l.join(o.join(cust, col("o_custkey") === col("c_custkey")),
                col("l_orderkey") === col("o_orderkey"))
           .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
           .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
@@ -434,11 +434,11 @@ object Analytics {
           .select("p_partkey")
         val li = Tables.lineitem(s, d)
           .select("l_partkey", "l_quantity", "l_extendedprice")
-          .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+          .join(p, col("l_partkey") === col("p_partkey"), "left_semi")
         val thresholds = li.groupBy("l_partkey")
           .agg((sum(col("l_quantity")) / count(lit(1)) * 0.2).as("qty_threshold"))
           .select(col("l_partkey").as("t_partkey"), col("qty_threshold"))
-        li.join(broadcast(thresholds), col("l_partkey") === col("t_partkey"))
+        li.join(thresholds, col("l_partkey") === col("t_partkey"))
           .where(col("l_quantity") < col("qty_threshold"))
           .agg((dsum(col("l_extendedprice"), 2) / 7.0).as("avg_yearly"),
                count(lit(1)).as("n_small"))
@@ -470,7 +470,7 @@ object Analytics {
           .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
         val c = Tables.customer(s, d).select("c_custkey", "c_name")
         o.join(big, col("o_orderkey") === col("l_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
           .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
                   col("o_orderdate"), col("o_totalprice"), col("total_qty"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -596,7 +596,7 @@ object Analytics {
                  col("l_shipdate") < to_timestamp(lit("1997-04-01")))
         val p = Tables.part(s, d).select("p_partkey", "p_type")
         val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
-        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        l.join(p, col("l_partkey") === col("p_partkey"))
           .agg(
             dsum(when(col("p_type").startsWith("PROMO"), disc).otherwise(lit(0.0)), 6)
               .as("promo_revenue"),
@@ -634,7 +634,7 @@ object Analytics {
             col("p_size").between(1, 10)) ||
           (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30) &&
             col("p_size").between(1, 15))
-        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        l.join(p, col("l_partkey") === col("p_partkey"))
           .where(cond)
           .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"),
                count(lit(1)).as("n_lines"))
@@ -694,9 +694,9 @@ object Analytics {
           .select("o_orderkey", "o_custkey")
         Tables.lineitem(s, d)
           .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-          .join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-          .join(broadcast(cust),
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
+          .join(cust,
                 col("o_custkey") === col("c_custkey") &&
                 col("c_nationkey") === col("s_nationkey"))
           .groupBy("n_name")
@@ -734,11 +734,11 @@ object Analytics {
           .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
           .select(col("c_custkey"), col("n_name").as("cust_nation"))
         val o = Tables.orders(s, d)
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .select("o_orderkey", "cust_nation")
         Tables.lineitem(s, d)
           .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
-          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
           .join(o, col("l_orderkey") === col("o_orderkey"))
           .where(col("supp_nation") =!= col("cust_nation"))
           .withColumn("l_year", year(col("l_shipdate")).cast("long"))
@@ -780,8 +780,8 @@ object Analytics {
         val o = Tables.orders(s, d).select("o_orderkey", "o_orderdate")
         Tables.lineitem(s, d)
           .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
-          .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
-          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(prt, col("l_partkey") === col("p_partkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
           .join(o, col("l_orderkey") === col("o_orderkey"))
           .withColumn("o_year", year(col("o_orderdate")).cast("long"))
           .groupBy("nation", "o_year")
@@ -826,7 +826,7 @@ object Analytics {
           .withColumn("n_late_supp",
             size(collect_set(when(col("is_late"), col("l_suppkey"))).over(w)))
           .where(col("is_late") && col("n_supp") > 1 && col("n_late_supp") === 1)
-          .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+          .join(Tables.supplier(s, d).select("s_suppkey", "s_name"),
                 col("l_suppkey") === col("s_suppkey"))
           .groupBy("s_name")
           .agg(countDistinct(col("l_orderkey")).as("numwait"))
@@ -895,7 +895,7 @@ object Analytics {
         val maxRev = rev.agg(max(col("r")).as("max_r"))
         rev.crossJoin(maxRev)
           .where(col("r") === col("max_r"))
-          .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+          .join(Tables.supplier(s, d).select("s_suppkey", "s_name"),
                 col("l_suppkey") === col("s_suppkey"))
           .select(col("s_suppkey"), col("s_name"),
                   col("r").cast("double").as("total_revenue"))
@@ -928,8 +928,8 @@ object Analytics {
         val bad = Tables.supplier(s, d)
           .where(col("s_acctbal") < 0).select("s_suppkey")
         Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
-          .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
-          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(p, col("l_partkey") === col("p_partkey"))
           .groupBy("p_brand", "p_type")
           .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
           .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
@@ -1003,10 +1003,10 @@ object Analytics {
         val r = Tables.region(s, d).where(col("r_name") === "ASIA").select("r_regionkey")
         val vol = (col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast(DecimalType(18, 6))
-        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        li.join(p, col("l_partkey") === col("p_partkey"))
           .join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(n1), col("c_nationkey") === col("n1_key"))
           .join(broadcast(r), col("n1_region") === col("r_regionkey"))
           .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
@@ -1229,7 +1229,7 @@ object Analytics {
         val gear = Tables.part(s, d).where(col("p_name").like("%gear%"))
           .select("p_partkey")
         val li = Tables.lineitem(s, d)
-          .join(broadcast(gear), col("l_partkey") === col("p_partkey"))
+          .join(gear, col("l_partkey") === col("p_partkey"))
           .select(col("l_partkey"), col("l_suppkey"), col("l_shipdate"),
                   col("l_quantity").cast(DecimalType(18, 2)).as("qty"))
         val y97 = li

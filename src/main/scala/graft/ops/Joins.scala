@@ -241,7 +241,9 @@ object Joins {
     // the plan), so at 100 TB the non-matching ~80% of orders never
     // reaches the join. Bloom FPs are absorbed by the exact semi join
     // that follows, so the result — and the oracle — is exactly the
-    // plain semi join.
+    // plain semi join. The semi join carries no broadcast hint: the dim
+    // side is customer-scaled (grows with SF), so AQE picks the strategy
+    // from the runtime size instead of a forced replication.
     "j10_bloom_prune" -> Q(
       fn = (s, d) => {
         val dim = Tables.customer(s, d)
@@ -250,7 +252,7 @@ object Joins {
         val bloom = graft.functions.PortableBloom.build(dim, "c_custkey")
         Tables.orders(s, d)
           .where(graft.functions.PortableBloom.mightContain(col("o_custkey"), bloom))
-          .join(broadcast(dim), col("o_custkey") === col("c_custkey"), "left_semi")
+          .join(dim, col("o_custkey") === col("c_custkey"), "left_semi")
           .agg(count(lit(1)).as("n_orders"),
                sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
       },

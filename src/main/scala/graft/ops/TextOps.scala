@@ -375,9 +375,10 @@ object TextOps {
 
     // Keyword extraction by tf/df ratio — the exact-integer stand-in for
     // tf-idf (a float log would not be bit-stable across engines): score =
-    // tf * 10^6 div df. The document-frequency table is a vocabulary-sized
-    // aggregate (broadcastable at corpus scale); per-doc top-3 is a
-    // bounded window.
+    // tf * 10^6 div df. The document-frequency table is vocabulary-sized,
+    // which GROWS with the corpus (Heaps' law) — no broadcast hint; AQE
+    // picks broadcast vs shuffle from the runtime size. Per-doc top-3 is
+    // a bounded window.
     "d18_keyword_scores" -> Q(
       fn = (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -390,7 +391,7 @@ object TextOps {
         val w = Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("word"))
         tf.where(col("doc_id") < 50)
-          .join(broadcast(df), "word")
+          .join(df, "word")
           .withColumn("score", expr("tf * 1000000 div df"))
           .withColumn("rnk", row_number().over(w).cast("long"))
           .where(col("rnk") <= 3)
@@ -1348,7 +1349,7 @@ object TextOps {
           .agg(count(lit(1)).as("tf")).persist()
         PipelineCache.retain(tf)
         val dfT = tf.groupBy("word").agg(count(lit(1)).as("df"))
-        tf.join(broadcast(dfT), "word")
+        tf.join(dfT, "word")
           .crossJoin(broadcast(stats))
           .withColumn("idf_micro",
             expr("least((n_docs - df) * 1000000 div (df + 1), 25000000)"))

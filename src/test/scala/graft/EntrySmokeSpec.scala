@@ -81,6 +81,73 @@ class EntrySmokeSpec extends AnyFunSuite {
     "v8_hamming_topk" -> "probes broadcast, signature+popcount corpus streams once (pinned in PlanQualitySpec)",
     "v9_hard_negatives" -> "anchors broadcast, corpus streams once (pinned in PlanQualitySpec)")
 
+  // An explicit broadcast() hint FORCES the build side to the driver and
+  // every executor at every scale — AQE cannot back it out. A hint on a
+  // frame whose cardinality grows with the corpus (a fact table, an
+  // unbounded vocabulary) works at sf0.1 and OOMs the fleet at 100 TB.
+  // Hints are legitimate only on frames bounded by construction: true
+  // dimension tables (nation/region: fixed 25/5 rows at every TPC-H SF),
+  // calendar-sized aggregates, sample caps, centroid/codebook tables.
+  // Scale-growing sides must drop the hint and let AQE pick the strategy
+  // from runtime sizes. Auto-exempt: sides with a static maxRows <= 4096
+  // (limits, grouping-less aggregates), and sides reading ONLY the
+  // SF-invariant dimension tables (nation is 25 rows and region 5 at
+  // every TPC-H scale factor — broadcastable at 100 TB by definition).
+  private val justifiedBroadcastHints: Map[String, String] = Map(
+    "a23_chi_square" -> "row/column marginals: one row per lang / per source — category domains, not corpus-scaled",
+    "d10_embedding_neardup" -> "the 200-vector sample cap (bounded-sample contract; stats can't see the semantic bound)",
+    "d15_decontaminate" -> "benchmark eval-suite side: fixed suite size, independent of corpus scale",
+    "d16_pack_sequences" -> "per-bucket offset table: one row per packing bucket ~ corpus/capacity, 4+ orders below corpus; broadcast trades the O(corpus) shuffle for O(buckets) replication (pinned in PlanQualitySpec)",
+    "d20_quality_percentile" -> "two-level rank offsets: one row per score bucket (fixed bucket count)",
+    "e11_late_data_audit" -> "two-level running-max offsets: one row per (day bucket), calendar-bounded",
+    "d27_heavy_hitters_cms" -> "the 4x1024 count-min sketch: fixed size by construction",
+    "d43_quality_mix" -> "per-language sampling-rate table: language-domain bounded, not corpus-scaled",
+    "e8_anomaly_zscore" -> "per-event-type moment stats: type-domain bounded (pinned in PlanQualitySpec)",
+    "v1_cosine_topk" -> "bounded probe set broadcasts; corpus streams once (non-equi allowlist twin)",
+    "v2_sim_histogram" -> "bounded probe set broadcasts; corpus streams once",
+    "v3_ann_lsh" -> "probe bucket signatures: probe-set bounded",
+    "v4_ann_ivf" -> "k centroids / probe cells: k is driver-sized by construction",
+    "v5_crossmodal_curation" -> "200-vector bounded-sample side (d10's contract)",
+    "v6_centered_cosine" -> "bounded probe set broadcasts; corpus streams once",
+    "v7_knn_classify" -> "probes broadcast; corpus streams once (pinned in PlanQualitySpec)",
+    "v8_hamming_topk" -> "probes broadcast; signature corpus streams once (pinned in PlanQualitySpec)",
+    "v9_hard_negatives" -> "anchors broadcast; corpus streams once (pinned in PlanQualitySpec)",
+    "v10_pq_ann" -> "256-codeword codebooks + per-subvector ADC tables: fixed size by construction (pinned in PlanQualitySpec)")
+
+  test("broadcast hints only appear on bounded-by-construction sides, justified") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    import org.apache.spark.sql.catalyst.plans.logical.BROADCAST
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def hinted(j: Join): Seq[LogicalPlan] =
+      (if (j.hint.leftHint.exists(_.strategy.contains(BROADCAST))) Seq(j.left) else Nil) ++
+      (if (j.hint.rightHint.exists(_.strategy.contains(BROADCAST))) Seq(j.right) else Nil)
+    def sfInvariantDims(side: LogicalPlan): Boolean = {
+      val leaves = side.collectLeaves()
+      leaves.nonEmpty && leaves.forall {
+        case l: LogicalRelation => l.relation match {
+          case f: HadoopFsRelation => f.location.rootPaths.forall { p =>
+            p.getName == "nation.parquet" || p.getName == "region.parquet"
+          }
+          case _ => false
+        }
+        case _ => false
+      }
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, SparkTestBase.Sf0001).queryExecution.optimizedPlan
+      val n = plan.collectWithSubqueries { case j: Join => j }
+        .flatMap(hinted)
+        .count(side => !side.maxRows.exists(_ <= 4096) && !sfInvariantDims(side))
+      if (n > 0) Some(name -> n) else None
+    }.toMap
+    val unlisted = offenders.keySet -- justifiedBroadcastHints.keySet
+    val stale = justifiedBroadcastHints.keySet -- offenders.keySet
+    assert(unlisted.isEmpty,
+      s"unjustified broadcast hints (forced replication of a scale-growing side): ${unlisted.toSeq.sorted.map(n => s"$n(x${offenders(n)})").mkString(", ")}")
+    assert(stale.isEmpty,
+      s"allowlist entries no longer needed (remove them): ${stale.toSeq.sorted.mkString(", ")}")
+  }
+
   test("non-equi joins only appear on the allowlist, justified by a bounded side") {
     import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression}
     import org.apache.spark.sql.catalyst.plans.logical.Join
