@@ -54,4 +54,35 @@ class TokensSpec extends AnyFunSuite {
     for (n <- Seq(1, 2, 3, 7, 16, 64, 256, 1024))
       split(n).foreach(r => assert(r.start < r.end, s"wrapped range at n=$n"))
   }
+
+  // Bridge between the property suite's pure mirror (TokensProps
+  // .fullRingIdMirror) and the REAL Column arithmetic: evaluate
+  // Tokens.rangeId through Spark on every range edge (+/-1) and MIN/MAX
+  // specials, and require table-lookup agreement. A divergence between
+  // the Catalyst expression and the pure mirror would invalidate the
+  // 500-sample property runs silently; this pins them together.
+  test("rangeId Column evaluated by Spark matches the split table at all edges") {
+    val spark = graft.SparkTestBase.spark
+    import spark.implicits._
+    for (n <- Seq(2, 16, 256, 4096)) {
+      val rs = split(n)
+      val toks = (rs.flatMap(r => Seq(r.start - 1, r.start, r.start + 1,
+                                       r.end - 1, r.end, r.end + 1)) ++
+        Seq(Long.MinValue, Long.MinValue + 1, -1L, 0L, 1L, Long.MaxValue))
+        .filter(t => t > Long.MinValue || t == Long.MinValue) // keep MIN: normalization path
+        .distinct
+      val got = toks.toDF("tok")
+        .select($"tok", Tokens.rangeId($"tok", n).as("id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      toks.foreach { t =>
+        // MIN is not on the ring; the Column normalizes it to MAX's bucket
+        val expect =
+          if (t == Long.MinValue) Some((n - 1).toLong)
+          else rs.find(r => t > r.start && t <= r.end).map(_.rangeId.toLong)
+        expect.foreach { e =>
+          assert(got(t) == e, s"n=$n tok=$t: Spark says ${got(t)}, table says $e")
+        }
+      }
+    }
+  }
 }
