@@ -116,7 +116,9 @@ object ScanAudit {
         else
           println(s"SCANAUDIT ok $name max=${worst._2} cached=$cached [$detail]")
       } catch { case e: Exception =>
-        println(s"SCANAUDIT ERROR $name ${e.getClass.getSimpleName}")
+        println(s"SCANAUDIT ERROR $name ${e.getClass.getSimpleName}: " +
+          Option(e.getMessage).getOrElse("").linesIterator.take(3).mkString(" | "))
+        if (sys.env.contains("SPARK_GRAFT_AUDIT_TRACE")) e.printStackTrace()
       }
       spark.sharedState.cacheManager.clearCache()
     }
