@@ -51,6 +51,20 @@ class PortableBloomSpec extends AnyFunSuite {
       s"bloom pruned nothing: $surviving of $total rows survived for $matching matches")
   }
 
+  test("no false negatives on adversarial keys: extremes, negatives, random longs") {
+    // fixture custkeys are small non-negative; the hash arithmetic's
+    // sign handling (pmod of negative keys) only gets exercised here
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xB100D)
+    val keys = (Seq(Long.MinValue, Long.MinValue + 1, -1L, 0L, 1L,
+                    Long.MaxValue, Long.MaxValue - 1, -4294967296L, 4294967296L) ++
+      Seq.fill(2000)(rnd.nextLong())).distinct
+    val dim = keys.toDF("k")
+    val bloom = PortableBloom.build(dim, "k")
+    val dropped = dim.where(!PortableBloom.mightContain(col("k"), bloom)).count()
+    assert(dropped == 0L, s"$dropped adversarial keys failed their own membership probe")
+  }
+
   test("probe stays codegen arithmetic: no UDF node in the filter plan") {
     val dim = customer.where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
     val bloom = PortableBloom.build(dim, "c_custkey")
