@@ -60,11 +60,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"bloom probe must stay codegen arithmetic:\n$plan")
   }
 
-  test("q21: window decorrelation — fact table scanned once, no self-joins") {
+  test("q21: hash-aggregate decorrelation — one fact read, no window sort, no Expand") {
     val plan = executedPlan("q21_waiting_supplier").split("== Initial Plan ==").head
     val scans = "Scan parquet".r.findAllIn(plan).size
     assert(scans <= 3, s"q21 must read lineitem/orders/supplier once each, saw $scans scans:\n$plan")
-    assert(plan.contains("Window"), s"per-order counts must come from a window pass:\n$plan")
+    // the EXISTS/NOT-EXISTS pair decorrelates as two cascaded hash
+    // aggregates: no per-order sort-window, no multi-distinct Expand
+    // (which triples the join output), no self-joins
+    assert(!plan.contains("Window"), s"q21 must not sort per order:\n$plan")
+    assert(!plan.contains("Expand"), s"q21 must not use a multi-distinct Expand:\n$plan")
+    assert(plan.contains("HashAggregate"), s"expected hash-aggregate cascade:\n$plan")
   }
 
   test("s9 (V2 ring source): range_id predicate prunes partitions at planning") {
