@@ -46,6 +46,7 @@ object PortableBloom {
     * word-keyed combine); returns the driver-side literal-to-be.
     */
   def build(keys: DataFrame, keyCol: String): Array[Long] = {
+    // driver-sized: at most Words (= 1024) rows, 8 KiB of bitset
     val rows = keys
       .select(explode(array(positions(col(keyCol)): _*)).as("pos"))
       .select(expr("pos div 64").as("w"), bitOf(col("pos")).as("bit"))

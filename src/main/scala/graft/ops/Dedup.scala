@@ -508,6 +508,7 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nl")).as("label"))
         .localCheckpoint(true)
+      // driver-sized: grouping-less aggregate, exactly 1 row
       val s = next
         .agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
         .collect()(0).getDecimal(0)

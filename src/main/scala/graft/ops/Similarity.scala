@@ -905,6 +905,7 @@ object Similarity {
       fn = (s, d) => {
         val e = Tables.embeddings(s, d)
         val q = e.select(col("vec_id"), transform(col("embedding"), x => qElem(x)).as("q"))
+        // driver-sized: one row per embedding dimension (Dim = 64)
         val statRows = q.select(posexplode(col("q")))
           .groupBy("pos").agg(sum("col").as("sm"), count(lit(1)).as("n"))
           .collect()

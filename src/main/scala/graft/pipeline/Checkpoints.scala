@@ -84,6 +84,7 @@ class Checkpoints(spark: SparkSession, path: String) extends CheckpointStore {
 
   def all(): Seq[CheckpointRange] = {
     recover()
+    // driver-sized: the checkpoint table holds one row per token range
     spark.read.parquet(path).as[CheckpointRange].collect().toSeq.sortBy(_.range_id)
   }
 

@@ -43,6 +43,7 @@ final case class ParquetSink(path: String) extends MigrateSink {
       .parquet(path)
 
   def countsByRange(spark: SparkSession, rangeIds: Seq[Long]): Map[Long, Long] =
+    // driver-sized: one aggregated row per token range
     spark.read.parquet(path)
       .where(col("range_id").isin(rangeIds: _*))
       .groupBy("range_id").agg(count(lit(1)).as("a"))
@@ -220,6 +221,7 @@ class Migrate(spark: SparkSession, cfg: MigrateConfig) {
     // caught too (full-outer semantics).
     val written = observedCounts(obs).getOrElse {
       // listener never fired (defensive): fall back to a source re-scan
+      // driver-sized: one aggregated row per token range
       tokenized().where(col("range_id").isin(todoIds: _*))
         .groupBy("range_id").agg(count(lit(1)).as("e"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source-level audit for the last uncovered scale class: an unbounded
+  * `.collect()` pulls a corpus-growing result onto the driver — works at
+  * sf0.1, OOMs the driver (or stalls the job on serialization) at
+  * 100 TB. Unlike shuffles and joins this never shows in the PLAN of the
+  * returned DataFrame (the collect happens while BUILDING the query), so
+  * the plan-walking audits cannot see it.
+  *
+  * Convention enforced here: every `.collect()` in the engine layers
+  * must state its bound in a `driver-sized:` comment on the same line or
+  * within the 6 lines above. The existing sites are all control-sized
+  * (k-means centroids, per-dimension stats, a 1-row convergence sum, the
+  * 1024-word Bloom bitset, per-token-range checkpoint/count tables); a
+  * new collect without a declared bound fails the build and forces the
+  * author to justify it.
+  */
+class CollectAuditSpec extends AnyFunSuite {
+
+  private val auditedDirs = Seq(
+    "src/main/scala/graft/ops", "src/main/scala/graft/core",
+    "src/main/scala/graft/functions", "src/main/scala/graft/pipeline",
+    "src/main/scala/graft/plans", "src/main/scala/graft/streaming",
+    "src/main/scala/graft/sources")
+
+  test("every .collect() in the engine layers declares its driver-side bound") {
+    import scala.jdk.CollectionConverters._
+    val offenders = auditedDirs.flatMap { dir =>
+      val root = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.isDirectory(root)) Seq.empty
+      else java.nio.file.Files.walk(root).iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .flatMap { f =>
+          val lines = java.nio.file.Files.readAllLines(f).asScala.toVector
+          lines.zipWithIndex.collect {
+            case (line, i)
+                if line.contains(".collect()") && !line.trim.startsWith("//") && {
+                  val windowStart = math.max(0, i - 6)
+                  !(windowStart to i).exists(j => lines(j).contains("driver-sized"))
+                } =>
+              s"$f:${i + 1}"
+          }
+        }.toSeq
+    }
+    assert(offenders.isEmpty,
+      "collect() without a declared driver-side bound (add a 'driver-sized: <bound>' " +
+        s"comment within 6 lines above, or restructure to stay distributed):\n  " +
+        offenders.mkString("\n  "))
+  }
+}
