@@ -71,16 +71,45 @@ object ScanAudit {
     self ++ (children ++ plan.subqueries).flatMap(exchangeKeys)
   }
 
+  /** Count of RANGE-partitioned shuffle exchanges under `plan` (same
+    * traversal contract as [[exchangeKeys]]). A query's final orderBy
+    * legitimately contributes one; a SECOND range exchange is a mid-plan
+    * global sort — the all-data-through-one-ordering scale smell the
+    * hash-key audits cannot see.
+    */
+  def rangeExchanges(plan: SparkPlan): Int = {
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val self = plan match {
+      case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[RangePartitioning] => 1
+      case _ => 0
+    }
+    val children: Seq[SparkPlan] = plan match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case _: InMemoryTableScanExec => Seq.empty
+      case _: ReusedExchangeExec    => Seq.empty
+      case p                        => p.children
+    }
+    self + (children ++ plan.subqueries).map(rangeExchanges).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = org.apache.spark.sql.SparkSession.builder()
+    val builder = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.GraftExtensions)
-      .getOrCreate()
+    // Deterministic shuffle counts for ExchangeBudgetSpec's pins: AQE's
+    // runtime SMJ->BHJ conversion can drop a shuffle or not depending on
+    // measured stage sizes (q5 flips 2<->3 at sf0.001), so the budget is
+    // pinned on the STATIC shape with runtime conversion off.
+    val spark = (if (sys.env.contains("SPARK_GRAFT_NO_AQE_BROADCAST"))
+      builder.config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Optional subset (same contract as Bench/Verify's SPARK_GRAFT_ONLY).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -108,13 +137,19 @@ object ScanAudit {
         val worst = if (perRel.isEmpty) ("-", 0) else perRel.maxBy(_._2)
         val detail = perRel.toSeq.sortBy(-_._2)
           .map { case (r, n) => s"$r=$n" }.mkString(",")
+        // Shuffle budget: every executed shuffle exchange under the final
+        // plan (post-AQE, cache/reuse boundaries excluded) — the number a
+        // refactor silently grows when it un-broadcasts a join or splits
+        // an aggregate. ExchangeBudgetSpec pins these per query.
+        val nShuffle = exchangeKeys(df.queryExecution.executedPlan).size
+        val nRange = rangeExchanges(df.queryExecution.executedPlan)
         // Same relation executed 3+ times with nothing cached: the
         // multi-consumer rebuild class. 2 scans of one table is normal
         // (self-joins: a/b sides of a pair enumeration).
         if (worst._2 >= 3 && cached == 0)
-          println(s"SCANAUDIT SUSPECT $name max=${worst._2} cached=$cached [$detail]")
+          println(s"SCANAUDIT SUSPECT $name max=${worst._2} cached=$cached shuffles=$nShuffle ranges=$nRange [$detail]")
         else
-          println(s"SCANAUDIT ok $name max=${worst._2} cached=$cached [$detail]")
+          println(s"SCANAUDIT ok $name max=${worst._2} cached=$cached shuffles=$nShuffle ranges=$nRange [$detail]")
       } catch { case e: Exception =>
         println(s"SCANAUDIT ERROR $name ${e.getClass.getSimpleName}: " +
           Option(e.getMessage).getOrElse("").linesIterator.take(3).mkString(" | "))
