@@ -527,6 +527,46 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
   }
 
+  /** d47 core over ANY documents-shaped frame: cross-doc duplicated
+    * k-word windows (two window functions over ONE wh-keyed shuffle)
+    * merged to contiguous spans by gaps-and-islands per doc. Extracted so
+    * DedupSpec can pin the gap==k / within-doc-repeat / overlap edges on
+    * a crafted corpus against a brute-force reference — fixture text is
+    * not guaranteed to exercise the exact-gap boundary.
+    */
+  private[graft] def substringDedup(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= k)
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+              posexplode(expr(
+                s"transform(sequence(0, size(ws)-$k), i -> concat_ws(' ', slice(ws, i+1, $k)))"))
+                .as(Seq("pos", "win")))
+      .select(col("doc_id"), col("n_words"), col("pos").cast("long").as("pos"),
+              md5(col("win").cast("binary")).as("wh"))
+    val ww = Window.partitionBy("wh")
+    val dupOcc = wins
+      .withColumn("dr", dense_rank().over(ww.orderBy("doc_id")))
+      .withColumn("nd", max(col("dr")).over(ww))
+      .where(col("nd") > 1)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    dupOcc
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > k, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("n_words"), col("island"))
+      .agg(count(lit(1)).as("n_win"),
+           (max(col("pos")) - min(col("pos")) + k).as("span_words"))
+      .groupBy("doc_id", "n_words")
+      .agg(sum(col("n_win")).as("n_dup_windows"),
+           count(lit(1)).as("n_spans"),
+           sum(col("span_words")).as("dup_words"))
+      .withColumn("dup_mille", expr("dup_words * 1000 div n_words"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Composed data-prep pipeline, one oracle-checked summary row.
@@ -1014,45 +1054,14 @@ object Dedup {
     // merge is a per-doc window function, embarrassingly parallel across
     // documents. Judged output: per affected doc, dup window count,
     // merged span count, covered words, and coverage ratio in mille.
+    // Cross-doc duplication rides TWO window functions over ONE wh-keyed
+    // shuffle (dense_rank of doc_id within the window-hash partition,
+    // then its max): strictly better than the groupBy + self-join
+    // formulation, which scanned and shuffled the window table twice.
+    // distinct-doc count == max(dense_rank by doc_id). Core extracted as
+    // [[substringDedup]] for the crafted-corpus spec.
     "d47_substring_dedup" -> Q(
-      fn = (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val k = 8
-        val wins = Tables.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("ws"))
-          .where(size(col("ws")) >= k)
-          .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
-                  posexplode(expr(
-                    s"transform(sequence(0, size(ws)-$k), i -> concat_ws(' ', slice(ws, i+1, $k)))"))
-                    .as(Seq("pos", "win")))
-          .select(col("doc_id"), col("n_words"), col("pos").cast("long").as("pos"),
-                  md5(col("win").cast("binary")).as("wh"))
-        // cross-doc duplication via TWO window functions over ONE
-        // wh-keyed shuffle (dense_rank of doc_id within the window-hash
-        // partition, then its max): strictly better than the groupBy +
-        // self-join formulation, which scanned and shuffled the window
-        // table twice. distinct-doc count == max(dense_rank by doc_id).
-        val ww = Window.partitionBy("wh")
-        val dupOcc = wins
-          .withColumn("dr", dense_rank().over(ww.orderBy("doc_id")))
-          .withColumn("nd", max(col("dr")).over(ww))
-          .where(col("nd") > 1)
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        dupOcc
-          .withColumn("prev", lag(col("pos"), 1).over(w))
-          .withColumn("brk",
-            when(col("prev").isNull || col("pos") - col("prev") > k, 1L).otherwise(0L))
-          .withColumn("island", sum(col("brk")).over(w))
-          .groupBy(col("doc_id"), col("n_words"), col("island"))
-          .agg(count(lit(1)).as("n_win"),
-               (max(col("pos")) - min(col("pos")) + k).as("span_words"))
-          .groupBy("doc_id", "n_words")
-          .agg(sum(col("n_win")).as("n_dup_windows"),
-               count(lit(1)).as("n_spans"),
-               sum(col("span_words")).as("dup_words"))
-          .withColumn("dup_mille", expr("dup_words * 1000 div n_words"))
-          .orderBy("doc_id")
-      },
+      fn = (s, d) => substringDedup(Tables.documents(s, d), k = 8),
       oracle = Some("""
         WITH w AS (
           SELECT doc_id, string_split(text, ' ') AS ws FROM documents

@@ -115,6 +115,75 @@ class DedupSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
   }
 
+  test("d47 substring dedup matches a brute-force reference on the gap/overlap/repeat edges") {
+    // The DuckDB oracle proves d47 against fixture text; this corpus
+    // forces the boundary cases fixture prose may never hit: a gap of
+    // EXACTLY k between dup windows (must merge — brk fires only on
+    // gap > k), gap k+1 (must split), overlapping adjacent dup windows
+    // (one island, span = k+1), a window repeated WITHIN one doc that is
+    // also cross-doc (both occurrences count), a 3-doc shared window,
+    // and sub-k / no-dup docs (excluded from output entirely).
+    import spark.implicits._
+    val k = 4
+    val S = "s1 s2 s3 s4"; val T = "t1 t2 t3 t4"; val U = "u1 u2 u3 u4"
+    val corpus: Seq[(Long, String)] = Seq(
+      // dup windows at pos 0 (S) and pos 4 (T): gap == k -> ONE island
+      1L -> s"$S $T f11 f12 f13 f14",
+      // S at 0, T at pos k+1: gap == k+1 -> TWO islands
+      2L -> s"$S f21 t1 t2 t3 t4 f22 f23",
+      // U twice in one doc (pos 0, pos 8), also in doc 4: both count
+      3L -> s"$U f31 f32 f33 f34 $U",
+      4L -> s"f41 $U f42 f43",
+      // 5-word shared run with doc 6: windows at pos 1 and 2 overlap
+      5L -> s"f51 v1 v2 v3 v4 v5 f52 f53",
+      6L -> s"f61 f62 v1 v2 v3 v4 v5",
+      // S shared with docs 1/2 as a third holder, at an interior pos
+      7L -> s"f71 f72 $S f73 f74",
+      // k-1 words: below the window size, excluded
+      8L -> "f81 f82 f83",
+      // k words, nothing shared: no dup windows, absent from output
+      9L -> "f91 f92 f93 f94"
+    )
+
+    // brute force: enumerate every k-window, count holders by content,
+    // merge dup positions into islands with the gap > k rule
+    val words = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val winsOf = words.collect { case (id, ws) if ws.size >= k =>
+      id -> (0 to ws.size - k).map(i => i.toLong -> ws.slice(i, i + k).mkString(" "))
+    }
+    val holders = winsOf.toSeq
+      .flatMap { case (id, ps) => ps.map { case (_, w) => (w, id) } }
+      .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).distinct.size }
+    val expected = winsOf.flatMap { case (id, ps) =>
+      val dupPos = ps.collect { case (p, w) if holders(w) > 1 => p }.sorted
+      if (dupPos.isEmpty) None else {
+        val islands = dupPos.tail.foldLeft(Vector(Vector(dupPos.head))) {
+          case (acc, p) =>
+            if (p - acc.last.last > k) acc :+ Vector(p) else acc.init :+ (acc.last :+ p)
+        }
+        val nWords = words(id).size.toLong
+        val dupWords = islands.map(i => i.max - i.min + k).sum
+        Some((id, nWords, dupPos.size.toLong, islands.size.toLong,
+              dupWords, dupWords * 1000 / nWords))
+      }
+    }.toSet
+
+    val got = Dedup.substringDedup(corpus.toDF("doc_id", "text"), k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(got == expected,
+      s"substring dedup != brute force;\nmissing: ${expected -- got}\nextra: ${got -- expected}")
+    // pin the merge-boundary intent explicitly, not just set equality
+    val byDoc = got.map(r => r._1 -> r).toMap
+    assert(byDoc(1L)._4 == 1L, "gap == k must merge into one span")
+    assert(byDoc(2L)._4 == 2L, "gap == k+1 must split into two spans")
+    assert(byDoc(3L)._3 == 2L, "within-doc repeat of a cross-doc window counts both occurrences")
+    assert(byDoc(5L)._5 == (k + 1).toLong, "overlapping adjacent windows span k+1 words")
+    assert(!byDoc.contains(8L) && !byDoc.contains(9L), "sub-k and dup-free docs are absent")
+  }
+
   test("d38 bucketed SNM equals the single-window plan on adversarial bucket shapes") {
     // Crafted corpus forcing every stitch edge the fixture may not hit:
     // 1-row buckets (offset-2 pairs spanning TWO bucket edges), buckets
