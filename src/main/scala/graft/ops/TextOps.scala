@@ -16,6 +16,43 @@ object TextOps {
 
   private def doc(s: org.apache.spark.sql.SparkSession, d: String) = Tables.documents(s, d)
 
+  /** BPE core shared by d36 (learn) and d41 (encode): spaced-symbol
+    * encoding ("cat" -> " c a t "), distributed pair counting over the
+    * vocabulary, deterministic best-pair pick, and broadcast merge
+    * application. Extracted so BpeSpec can pin the representation
+    * invariants (symbol concatenation reconstructs the word; no empty
+    * symbols; adjacent-repeat runs <= 4 fully merged) on adversarial
+    * vocab the fixture's [a-z]+ prose never contains.
+    */
+  private[graft] object Bpe {
+    import org.apache.spark.sql.DataFrame
+    def spacedTok(word: Column): Column =
+      concat(regexp_replace(word, "(.)", " $1"), lit(" "))
+    def pairCounts(t: DataFrame): DataFrame =
+      t.select(split(trim(col("tok")), " ").as("ss"), col("cnt"))
+        .where(size(col("ss")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(ss)-2), i -> struct(ss[i] AS a, ss[i+1] AS b))"))
+          .as("p"), col("cnt"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+    def best(pc: DataFrame): DataFrame =
+      pc.orderBy(col("c").desc, col("a"), col("b")).limit(1)
+    // merge application runs TWO greedy left-to-right passes: a single
+    // replace() consumes the shared delimiter space, skipping the second
+    // of two ADJACENT occurrences (' a b a b '); the second pass catches
+    // it. Runs longer than 4 repeats would need more passes — [a-z]+
+    // fixture words never get there (BpeSpec pins the <= 4 bound), and
+    // both engines apply the identical rule either way.
+    def applyMerge(t: DataFrame, m: DataFrame): DataFrame = {
+      val keep = t.columns.toSeq
+      t.crossJoin(broadcast(m.select("a", "b")))
+        .withColumn("tok", expr(
+          "replace(replace(tok, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '), ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')"))
+        .select(keep.map(col): _*)
+    }
+  }
+
   /** Whitespace word count for single-space-joined text: #spaces + 1. */
   private def nWords(text: Column): Column =
     (length(text) - length(regexp_replace(text, " ", "")) + 1).cast("long")
@@ -846,36 +883,12 @@ object TextOps {
           .where(col("word").rlike("^[a-z]+$"))
           .groupBy("word").agg(count(lit(1)).as("cnt"))
         // spaced-symbol encoding: "cat" -> " c a t "
-        val t0 = wc.select(
-          concat(regexp_replace(col("word"), "(.)", " $1"), lit(" ")).as("tok"),
-          col("cnt")).persist()
-        def pairCounts(t: org.apache.spark.sql.DataFrame) =
-          t.select(split(trim(col("tok")), " ").as("ss"), col("cnt"))
-            .where(size(col("ss")) >= 2)
-            .select(explode(expr(
-              "transform(sequence(0, size(ss)-2), i -> struct(ss[i] AS a, ss[i+1] AS b))"))
-              .as("p"), col("cnt"))
-            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-            .agg(sum(col("cnt")).as("c"))
-        def best(pc: org.apache.spark.sql.DataFrame) =
-          pc.orderBy(col("c").desc, col("a"), col("b")).limit(1)
-        // merge application runs TWO greedy left-to-right passes: a single
-        // replace() consumes the shared delimiter space, skipping the
-        // second of two ADJACENT occurrences (' a b a b '); the second
-        // pass catches it. Runs longer than 4 repeats would need more
-        // passes — [a-z]+ fixture words never get there, and both engines
-        // apply the identical rule either way.
-        def merge(t: org.apache.spark.sql.DataFrame,
-                  m: org.apache.spark.sql.DataFrame) =
-          t.crossJoin(broadcast(m))
-            .select(expr(
-              "replace(replace(tok, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '), ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')")
-              .as("tok"), col("cnt"))
-        val m1 = best(pairCounts(t0))
-        val t1 = merge(t0, m1).persist()
-        val m2 = best(pairCounts(t1))
-        val t2 = merge(t1, m2).persist()
-        val m3 = best(pairCounts(t2))
+        val t0 = wc.select(Bpe.spacedTok(col("word")).as("tok"), col("cnt")).persist()
+        val m1 = Bpe.best(Bpe.pairCounts(t0))
+        val t1 = Bpe.applyMerge(t0, m1).persist()
+        val m2 = Bpe.best(Bpe.pairCounts(t1))
+        val t2 = Bpe.applyMerge(t1, m2).persist()
+        val m3 = Bpe.best(Bpe.pairCounts(t2))
         PipelineCache.retain(t0, t1, t2)
         def out(m: org.apache.spark.sql.DataFrame, step: Long) =
           m.select(lit(step).as("step"), col("a").as("sym_a"),
@@ -951,29 +964,11 @@ object TextOps {
           .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
           .where(col("word").rlike("^[a-z]+$"))
         val wc = words.groupBy("word").agg(count(lit(1)).as("cnt"))
-        val t0 = wc.select(col("word"),
-          concat(regexp_replace(col("word"), "(.)", " $1"), lit(" ")).as("tok"),
+        val t0 = wc.select(col("word"), Bpe.spacedTok(col("word")).as("tok"),
           col("cnt")).persist()
-        def pairCounts(t: org.apache.spark.sql.DataFrame) =
-          t.select(split(trim(col("tok")), " ").as("ss"), col("cnt"))
-            .where(size(col("ss")) >= 2)
-            .select(explode(expr(
-              "transform(sequence(0, size(ss)-2), i -> struct(ss[i] AS a, ss[i+1] AS b))"))
-              .as("p"), col("cnt"))
-            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-            .agg(sum(col("cnt")).as("c"))
-        def best(pc: org.apache.spark.sql.DataFrame) =
-          pc.orderBy(col("c").desc, col("a"), col("b")).limit(1)
-        // two greedy passes per merge, same rule as d36 (see comment there)
-        def merge(t: org.apache.spark.sql.DataFrame,
-                  m: org.apache.spark.sql.DataFrame) =
-          t.crossJoin(broadcast(m))
-            .select(col("word"), expr(
-              "replace(replace(tok, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '), ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')")
-              .as("tok"), col("cnt"))
-        val t1 = merge(t0, best(pairCounts(t0))).persist()
-        val t2 = merge(t1, best(pairCounts(t1))).persist()
-        val t3 = merge(t2, best(pairCounts(t2)))
+        val t1 = Bpe.applyMerge(t0, Bpe.best(Bpe.pairCounts(t0))).persist()
+        val t2 = Bpe.applyMerge(t1, Bpe.best(Bpe.pairCounts(t1))).persist()
+        val t3 = Bpe.applyMerge(t2, Bpe.best(Bpe.pairCounts(t2)))
         PipelineCache.retain(t0, t1, t2)
         val enc = t3.select(col("word"),
           size(split(trim(col("tok")), " ")).cast("long").as("n_tok"))
