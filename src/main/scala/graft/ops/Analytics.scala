@@ -312,6 +312,8 @@ object Analytics {
       fn = (s, d) =>
         Tables.orders(s, d)
           .groupBy("o_orderstatus")
+          // group-bounded: o_orderpriority has 5 domain values, so the
+          // set per status group is <= 5 regardless of corpus size
           .agg(concat_ws(",", sort_array(collect_set(col("o_orderpriority")))).as("priorities"),
                count(lit(1)).as("n"))
           .orderBy("o_orderstatus"),
@@ -1761,10 +1763,14 @@ object Analytics {
         // (and re-ran its basket-size window once per side); collecting
         // each order's (distinct, apriori-pruned) items into a sorted
         // array costs ONE shuffle by o, the i<j pairs explode map-side,
-        // and the basket cap is a plain size() filter. Arrays are <=
-        // MaxBasket elements by that filter, so no collect_list blowup.
+        // and the basket cap is a plain size() filter. group-bounded: the
+        // aggregation buffer holds ONE order's distinct pruned parts —
+        // bounded by the order's line count (single-digit in this data
+        // model), not the corpus; the size(ps) <= MaxBasket filter then
+        // caps the downstream pair explosion for any hotter source.
         val baskets = op
           .join(pc.where(col("c") >= 3).select("p"), Seq("p"), "left_semi")
+          // group-bounded: see above — one order's pruned distinct parts
           .groupBy("o").agg(sort_array(collect_list(col("p"))).as("ps"))
           .where(size(col("ps")) <= MaxBasket && size(col("ps")) >= 2)
         val pairs = baskets

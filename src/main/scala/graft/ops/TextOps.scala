@@ -838,6 +838,9 @@ object TextOps {
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_sents"),
                sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+               // group-bounded: one DOC's kept sentences — the group can
+               // never exceed the document that produced it, and a doc
+               // already fits in a single row of the source table
                md5(encode(concat_ws(". ",
                  expr("transform(array_sort(collect_list(CASE WHEN keep THEN struct(pos, sent) END)), x -> x.sent)")),
                  "UTF-8")).as("kept_md5"))

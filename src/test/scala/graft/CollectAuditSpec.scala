@@ -49,4 +49,37 @@ class CollectAuditSpec extends AnyFunSuite {
         s"comment within 6 lines above, or restructure to stay distributed):\n  " +
         offenders.mkString("\n  "))
   }
+
+  test("every collect_list/collect_set in the engine layers declares its group bound") {
+    // The executor-side twin of the driver audit: a list-valued aggregate
+    // whose group can grow with the corpus (all events of one hot user,
+    // all members of one dup cluster) concentrates that group's data in
+    // ONE aggregation buffer — works at sf0.1, OOMs an executor at
+    // 100 TB. Every site must state why the group is bounded in a
+    // `group-bounded:` comment within 6 lines.
+    import scala.jdk.CollectionConverters._
+    val pat = java.util.regex.Pattern.compile("collect_(list|set)\\(")
+    val offenders = auditedDirs.flatMap { dir =>
+      val root = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.isDirectory(root)) Seq.empty
+      else java.nio.file.Files.walk(root).iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .flatMap { f =>
+          val lines = java.nio.file.Files.readAllLines(f).asScala.toVector
+          lines.zipWithIndex.collect {
+            case (line, i)
+                if pat.matcher(line).find() && !line.trim.startsWith("//") && {
+                  val windowStart = math.max(0, i - 6)
+                  !(windowStart to i).exists(j => lines(j).contains("group-bounded"))
+                } =>
+              s"$f:${i + 1}"
+          }
+        }.toSeq
+    }
+    assert(offenders.isEmpty,
+      "collect_list/collect_set without a declared group bound (add a " +
+        "'group-bounded: <why the group cannot grow with the corpus>' comment " +
+        s"within 6 lines above, or cap the group first):\n  " +
+        offenders.mkString("\n  "))
+  }
 }
