@@ -116,8 +116,11 @@ object Analytics {
           // estimate stays covered by AnalyticsSpec's error-bound test.
           .select(
             col("exact_keys"),
-            (abs(col("approx_keys") - col("exact_keys")).cast("double") /
-              col("exact_keys") <= 0.05).as("approx_within_5pct")),
+            // empty input: 0 exact keys means the contract is "approx is
+            // also 0", not a division by zero (ANSI mode throws)
+            when(col("exact_keys") === 0, col("approx_keys") === 0)
+              .otherwise(abs(col("approx_keys") - col("exact_keys")).cast("double") /
+                col("exact_keys") <= 0.05).as("approx_within_5pct")),
       oracle = Some("""
         SELECT count(DISTINCT l_orderkey) AS exact_keys,
                true AS approx_within_5pct
@@ -147,19 +150,23 @@ object Analytics {
         val direct = li.agg(
           hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"))).as("direct_est"),
           countDistinct(col("l_orderkey")).as("exact_keys"))
+        // empty input: a zero/null base means the contract is "the
+        // estimate is also 0/absent", not a division by zero (ANSI
+        // throws); the union of ZERO per-range sketches estimates NULL
+        def within(est: Column, base: Column, tol: Double, name: String): Column =
+          when(coalesce(base, lit(0L)) === 0, coalesce(est, lit(0L)) === 0)
+            .otherwise(abs(coalesce(est, lit(0L)) - base).cast("double") /
+              base <= tol).as(name)
         direct.crossJoin(merged).select(
           col("exact_keys"),
-          (abs(col("merged_est") - col("exact_keys")).cast("double") /
-            col("exact_keys") <= 0.05).as("merged_within_5pct"),
-          (abs(col("direct_est") - col("exact_keys")).cast("double") /
-            col("exact_keys") <= 0.05).as("direct_within_5pct"),
+          within(col("merged_est"), col("exact_keys"), 0.05, "merged_within_5pct"),
+          within(col("direct_est"), col("exact_keys"), 0.05, "direct_within_5pct"),
           // 5%, not 1%: DataSketches HLL unions are not register-exact
           // (sparse->dense promotion in the union gadget), so merged and
           // direct estimates legitimately drift apart as cardinality
           // grows — observed 1-2% at 147k distinct keys (sf0.1). Both
           // remain within the sketch's own error envelope.
-          (abs(col("merged_est") - col("direct_est")).cast("double") /
-            col("direct_est") <= 0.05).as("merge_drift_below_5pct"))
+          within(col("merged_est"), col("direct_est"), 0.05, "merge_drift_below_5pct"))
       },
       oracle = Some("""
         SELECT count(DISTINCT l_orderkey) AS exact_keys,

@@ -508,10 +508,13 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nl")).as("label"))
         .localCheckpoint(true)
-      // driver-sized: grouping-less aggregate, exactly 1 row
-      val s = next
+      // driver-sized: grouping-less aggregate, exactly 1 row. sum over an
+      // EMPTY vertex set is NULL — normalize to 0 so an empty pair graph
+      // converges on the second pass instead of spinning to the iteration
+      // cap (EmptyInputSpec pins this).
+      val s = Option(next
         .agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-        .collect()(0).getDecimal(0)
+        .collect()(0).getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
       done = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s
       labels = next

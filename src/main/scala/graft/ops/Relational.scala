@@ -1001,9 +1001,13 @@ object Relational {
     "s10_partitioned_scan" -> Q(
       fn = (s, d) => {
         val out = java.nio.file.Files.createTempDirectory("graft_s10").toString
-        Tables.events(s, d).write.mode("overwrite")
+        val ev = Tables.events(s, d)
+        ev.write.mode("overwrite")
           .partitionBy("event_type").parquet(s"$out/events_by_type")
-        s.read.parquet(s"$out/events_by_type")
+        // explicit schema: a partitioned write of an EMPTY frame leaves
+        // no partition directories, and schema inference on a dataless
+        // layout throws — the read must stay total (EmptyInputSpec)
+        s.read.schema(ev.schema).parquet(s"$out/events_by_type")
           .where(col("event_type") === "purchase")
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_events"),

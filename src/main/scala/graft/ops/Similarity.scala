@@ -909,9 +909,11 @@ object Similarity {
         val statRows = q.select(posexplode(col("q")))
           .groupBy("pos").agg(sum("col").as("sm"), count(lit(1)).as("n"))
           .collect()
-        val n = statRows.head.getAs[Long]("n")
+        // empty corpus: no stat rows — center by the zero vector (the
+        // result is empty anyway; this must not throw on head of Nil)
+        val n = statRows.headOption.map(_.getAs[Long]("n")).getOrElse(0L)
         val dimSum = statRows.map(r => r.getAs[Int]("pos") -> r.getAs[Long]("sm")).toMap
-        val sums = typedlit((0 until Dim).map(dimSum(_)))
+        val sums = typedlit((0 until Dim).map(dimSum.getOrElse(_, 0L)))
         def ldot(a: Column, b: Column): Column =
           aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
         val centered = q

@@ -42,20 +42,33 @@ final case class ParquetSink(path: String) extends MigrateSink {
       .partitionBy("range_id")
       .parquet(path)
 
+  /** A dynamic-overwrite write of an EMPTY frame leaves the sink path
+    * with a _SUCCESS marker but no partition directories; schema
+    * inference then throws UNABLE_TO_INFER_SCHEMA. That condition means
+    * "zero data files", so the verify/validate reads treat it as an
+    * empty sink instead of crashing (EmptyInputSpec).
+    */
+  private def readSink(spark: SparkSession): Option[DataFrame] =
+    try Some(spark.read.parquet(path)) catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).contains("UNABLE_TO_INFER_SCHEMA") => None
+    }
+
   def countsByRange(spark: SparkSession, rangeIds: Seq[Long]): Map[Long, Long] =
-    // driver-sized: one aggregated row per token range
-    spark.read.parquet(path)
-      .where(col("range_id").isin(rangeIds: _*))
-      .groupBy("range_id").agg(count(lit(1)).as("a"))
-      .collect()
-      .map(r => r.getAs[Number]("range_id").longValue() -> r.getAs[Long]("a"))
-      .toMap
+    readSink(spark).map {
+      // driver-sized: one aggregated row per token range
+      _.where(col("range_id").isin(rangeIds: _*))
+        .groupBy("range_id").agg(count(lit(1)).as("a"))
+        .collect()
+        .map(r => r.getAs[Number]("range_id").longValue() -> r.getAs[Long]("a"))
+        .toMap
+    }.getOrElse(Map.empty)
 
   def totalCount(spark: SparkSession): Long = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-      spark.read.parquet(path).count()
+      readSink(spark).map(_.count()).getOrElse(0L)
     else 0L
   }
 }

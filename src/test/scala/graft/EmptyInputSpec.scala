@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every registered query must execute — not just plan — against a
+  * schema-correct but EMPTY fixture. At 100 TB, empty inputs are
+  * routine (a filter matching nothing, an empty partition, a new
+  * tenant); the sf-scaled oracles can never catch an operator that
+  * crashes on them. The first sweep of this pin found five real
+  * classes: ANSI division by a zero count (a9/a15), head() of an empty
+  * stats collect (v6), schema inference over a dataless partitioned
+  * layout (s10 and the t2 parquet sink), and a convergence check that
+  * spun to its iteration cap because sum-over-empty is NULL (the
+  * dupClusters family).
+  */
+class EmptyInputSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("all registered queries execute on an empty fixture") {
+    val dst = java.nio.file.Files.createTempDirectory("graft_empty_spec").toString
+    graft.tools.EmptyInputProbe.writeEmptyFixture(spark, SparkTestBase.Sf0001, dst)
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val r = try { fn(spark, dst).collect(); None } catch {
+        case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" | "))
+      }
+      graft.ops.PipelineCache.release()
+      spark.sharedState.cacheManager.clearCache()
+      r
+    }
+    assert(failures.isEmpty,
+      s"queries crashing on empty input:\n  ${failures.mkString("\n  ")}")
+  }
+}
