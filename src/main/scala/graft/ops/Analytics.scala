@@ -1080,15 +1080,22 @@ object Analytics {
                sum(x * x).cast("double").as("sxx"),
                sum(x * y).cast("double").as("sxy"),
                sum(y * y).cast("double").as("syy"))
+        // degenerate groups (one point, constant x or y) zero these
+        // denominators; slope/r are then UNDEFINED — NULL in both
+        // engines via nullif, not an ANSI divide-by-zero crash
         st.withColumn("slope",
             (col("n") * col("sxy") - col("sx") * col("sy")) /
-              (col("n") * col("sxx") - col("sx") * col("sx")))
+              nullif(col("n") * col("sxx") - col("sx") * col("sx"), lit(0.0)))
           .withColumn("intercept",
             (col("sy") / col("n")) - col("slope") * (col("sx") / col("n")))
+          .withColumn("rden",
+            sqrt(greatest((col("n") * col("sxx") - col("sx") * col("sx")) *
+                          (col("n") * col("syy") - col("sy") * col("sy")), lit(0.0))))
           .withColumn("pearson_r",
-            (col("n") * col("sxy") - col("sx") * col("sy")) /
-              sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-                   (col("n") * col("syy") - col("sy") * col("sy"))))
+            when(col("rden") === 0.0, lit(null).cast("double"))
+              .otherwise(least(greatest(
+                (col("n") * col("sxy") - col("sx") * col("sy")) / col("rden"),
+                lit(-1.0)), lit(1.0))))
           // emit micro-integers: the sufficient stats are exact, but the
           // final double expression is 1-ulp sensitive to FMA contraction
           // (C++ engines contract a*b-c; the JVM never does) — observed
@@ -1111,9 +1118,9 @@ object Analytics {
                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
           FROM lineitem GROUP BY l_returnflag)
         SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
-               CAST(round(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1e6) AS BIGINT) AS slope_micro,
-               CAST(round(((sy / n) - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n)) * 1e6) AS BIGINT) AS intercept_micro,
-               CAST(round(((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) * 1e6) AS BIGINT) AS r_micro
+               CAST(round(((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0)) * 1e6) AS BIGINT) AS slope_micro,
+               CAST(round(((sy / n) - ((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0)) * (sx / n)) * 1e6) AS BIGINT) AS intercept_micro,
+               CAST(round((CASE WHEN sqrt(greatest((n * sxx - sx * sx) * (n * syy - sy * sy), 0)) = 0 THEN NULL ELSE least(greatest((n * sxy - sx * sy) / sqrt(greatest((n * sxx - sx * sx) * (n * syy - sy * sy), 0)), -1), 1) END) * 1e6) AS BIGINT) AS r_micro
         FROM st ORDER BY l_returnflag"""),
       doc = "closed-form OLS + Pearson r from exact sufficient statistics"
     ),
@@ -1346,9 +1353,21 @@ object Analytics {
           sum(dc * dc).cast("double").as("sdd"),
           sum(q * p).cast("double").as("sqp"), sum(q * dc).cast("double").as("sqd"),
           sum(p * dc).cast("double").as("spd"))
-        def r(sx: Column, sy: Column, sxx: Column, syy: Column, sxy: Column) =
-          (col("n") * sxy - sx * sy) /
-            sqrt((col("n") * sxx - sx * sx) * (col("n") * syy - sy * sy))
+        // Zero-variance pairs (single row, constant column) make r
+        // undefined — NULL in both engines, not an ANSI crash. The
+        // variance terms mix exact-decimal sums cast to double with
+        // double*double squares, so a TRUE zero variance can compute as
+        // an ulp-sized NEGATIVE (sqrt -> NaN -> micro-cast overflow):
+        // greatest(.,0) floors the noise, and the [-1,1] clamp (a
+        // mathematical no-op under Cauchy-Schwarz) bounds any ulp
+        // spill-over so the micro cast stays total.
+        def r(sx: Column, sy: Column, sxx: Column, syy: Column, sxy: Column) = {
+          val num = col("n") * sxy - sx * sy
+          val den = sqrt(greatest(
+            (col("n") * sxx - sx * sx) * (col("n") * syy - sy * sy), lit(0.0)))
+          when(den === 0.0, lit(null).cast("double"))
+            .otherwise(least(greatest(num / den, lit(-1.0)), lit(1.0)))
+        }
         st.select(col("n"), explode(array(
             struct(lit("quantity").as("var_a"), lit("price").as("var_b"),
                    r(col("sq"), col("sp"), col("sqq"), col("spp"), col("sqp")).as("pearson_r")),
@@ -1381,15 +1400,15 @@ object Analytics {
         SELECT var_a, var_b, CAST(n AS BIGINT) AS n_rows,
                CAST(round(pearson_r * 1e6) AS BIGINT) AS r_micro FROM (
           SELECT 'quantity' AS var_a, 'price' AS var_b, n,
-                 (n * sqp - sq * sp) / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)) AS pearson_r
+                 CASE WHEN sqrt(greatest((n * sqq - sq * sq) * (n * spp - sp * sp), 0)) = 0 THEN NULL ELSE least(greatest((n * sqp - sq * sp) / sqrt(greatest((n * sqq - sq * sq) * (n * spp - sp * sp), 0)), -1), 1) END AS pearson_r
           FROM st
           UNION ALL
           SELECT 'quantity', 'discount', n,
-                 (n * sqd - sq * sd) / sqrt((n * sqq - sq * sq) * (n * sdd - sd * sd))
+                 CASE WHEN sqrt(greatest((n * sqq - sq * sq) * (n * sdd - sd * sd), 0)) = 0 THEN NULL ELSE least(greatest((n * sqd - sq * sd) / sqrt(greatest((n * sqq - sq * sq) * (n * sdd - sd * sd), 0)), -1), 1) END
           FROM st
           UNION ALL
           SELECT 'price', 'discount', n,
-                 (n * spd - sp * sd) / sqrt((n * spp - sp * sp) * (n * sdd - sd * sd))
+                 CASE WHEN sqrt(greatest((n * spp - sp * sp) * (n * sdd - sd * sd), 0)) = 0 THEN NULL ELSE least(greatest((n * spd - sp * sd) / sqrt(greatest((n * spp - sp * sp) * (n * sdd - sd * sd), 0)), -1), 1) END
           FROM st)
         ORDER BY var_a, var_b"""),
       doc = "pairwise correlation matrix from one sufficient-stats pass"

@@ -221,10 +221,14 @@ object Events {
         val m = st.select(col("event_type"), col("n"),
           (col("s1") / col("n")).as("mean"),
           sqrt(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n"))).as("std"))
+        // zero std (single event, constant values) leaves the z-score
+        // undefined: nullif makes the comparison NULL -> not an anomaly
+        // in both engines, instead of an ANSI divide-by-zero crash
         ev.join(broadcast(m), Seq("event_type"))
           .groupBy("event_type")
           .agg(max(col("n")).as("n"),
-               sum(when(abs((col("value") - col("mean")) / col("std")) > 3.0, 1L)
+               sum(when(abs((col("value") - col("mean")) /
+                            nullif(col("std"), lit(0.0))) > 3.0, 1L)
                      .otherwise(0L)).as("n_anomalies"))
           .orderBy("event_type")
       },
@@ -239,7 +243,7 @@ object Events {
                  sqrt(s2 / n - (s1 / n) * (s1 / n)) AS std
           FROM st)
         SELECT e.event_type, max(m.n) AS n,
-               CAST(sum(CASE WHEN abs((e.value - m.mean) / m.std) > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+               CAST(sum(CASE WHEN abs((e.value - m.mean) / nullif(m.std, 0)) > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
         FROM events e JOIN m ON e.event_type = m.event_type
         GROUP BY e.event_type ORDER BY e.event_type"""),
       doc = "two-pass z-score anomalies per event type (exact moments, broadcast stats)"

@@ -15,15 +15,21 @@ object EmptyInputProbe {
   val Tables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Write limit(0) copies of every fixture table (raw read, so the
+  /** Write limit(n) copies of every fixture table (raw read, so the
     * physical schema — including events' NTZ drift — is preserved).
+    * n = 0 is the empty-fixture case; n = 1 is the degenerate-statistics
+    * case (zero variance, a single group, no pairs).
     */
-  def writeEmptyFixture(spark: SparkSession, srcDir: String, dstDir: String): Unit =
+  def writeTruncatedFixture(spark: SparkSession, srcDir: String, dstDir: String,
+                            n: Int): Unit =
     Tables.foreach { t =>
       spark.read.parquet(s"$srcDir/$t.parquet")
-        .limit(0).coalesce(1)
+        .limit(n).coalesce(1)
         .write.mode("overwrite").parquet(s"$dstDir/$t.parquet")
     }
+
+  def writeEmptyFixture(spark: SparkSession, srcDir: String, dstDir: String): Unit =
+    writeTruncatedFixture(spark, srcDir, dstDir, 0)
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -37,8 +43,9 @@ object EmptyInputProbe {
       .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val n = args.lift(1).map(_.toInt).getOrElse(0)
     val dst = java.nio.file.Files.createTempDirectory("graft_empty").toString
-    writeEmptyFixture(spark, src, dst)
+    writeTruncatedFixture(spark, src, dst, n)
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val n = fn(spark, dst).collect().length

@@ -16,10 +16,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class EmptyInputSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
 
-  test("all registered queries execute on an empty fixture") {
-    val dst = java.nio.file.Files.createTempDirectory("graft_empty_spec").toString
-    graft.tools.EmptyInputProbe.writeEmptyFixture(spark, SparkTestBase.Sf0001, dst)
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+  private def sweep(n: Int): Seq[String] = {
+    val dst = java.nio.file.Files.createTempDirectory(s"graft_trunc${n}_spec").toString
+    graft.tools.EmptyInputProbe.writeTruncatedFixture(spark, SparkTestBase.Sf0001, dst, n)
+    SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val r = try { fn(spark, dst).collect(); None } catch {
         case e: Throwable =>
           Some(s"$name: ${e.getClass.getSimpleName}: " +
@@ -29,7 +29,21 @@ class EmptyInputSpec extends AnyFunSuite {
       spark.sharedState.cacheManager.clearCache()
       r
     }
+  }
+
+  test("all registered queries execute on an empty fixture") {
+    val failures = sweep(0)
     assert(failures.isEmpty,
       s"queries crashing on empty input:\n  ${failures.mkString("\n  ")}")
+  }
+
+  test("all registered queries execute on a single-row fixture") {
+    // one row per table = the degenerate-statistics case: zero variance
+    // (ulp-negative under mixed decimal/double arithmetic -> sqrt NaN),
+    // a single group, no join partners, no pairs. First sweep caught
+    // a19/a21 (undefined slope/r) and e8 (undefined z-score).
+    val failures = sweep(1)
+    assert(failures.isEmpty,
+      s"queries crashing on single-row input:\n  ${failures.mkString("\n  ")}")
   }
 }
