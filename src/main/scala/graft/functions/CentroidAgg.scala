@@ -27,6 +27,10 @@ class CentroidAgg(dim: Int)(
 
   override def reduce(b: CentroidBuf, a: (Int, Array[Float])): CentroidBuf = {
     val vec = a._2
+    // a NULL embedding carries no signal: skip it (no count increment)
+    // instead of NPEing the task — nullable vectors are routine in
+    // scraped corpora and the fixture schema declares them nullable
+    if (vec == null) return b
     val m = math.min(dim, vec.length)
     var i = 0
     while (i < m) { b.sums(i) += q(vec(i).toDouble * 10000); i += 1 }

@@ -45,6 +45,10 @@ object Multimodal {
       : org.apache.spark.sql.Dataset[MediaFeatures] = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
+      // a record with no payload (null text/metadata) is undecodable and
+      // skipped — the same contract a real decoder applies; without the
+      // filter the non-nullable Long fields of MediaRow throw on NULLs
+      .where(col("text").isNotNull && col("n_chars").isNotNull)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
               decodeStubWidth(col("n_chars")).as("width"),
               decodeStubHeight(col("doc_id")).as("height"))
@@ -73,7 +77,9 @@ object Multimodal {
                CAST(list_sum(list_transform(range(1, length(text) + 1),
                     i -> unicode(text[i]))) AS DOUBLE) / strlen(text) AS mean_byte,
                CAST(least(8, strlen(text) // 64 + 1) AS BIGINT) AS n_frames
-        FROM documents ORDER BY doc_id LIMIT 500"""),
+        FROM documents
+        WHERE text IS NOT NULL AND n_chars IS NOT NULL
+        ORDER BY doc_id LIMIT 500"""),
       doc = "typed mapPartitions media decode (stubbed decode body)"
     ),
 

@@ -1110,15 +1110,25 @@ object Relational {
     "s15_text_roundtrip" -> Q(
       fn = (s, d) => {
         val out = java.nio.file.Files.createTempDirectory("graft_s15").toString
+        // Hive text-format null sentinel: concat_ws SKIPS null args, so a
+        // null field would silently SHIFT every later column one slot
+        // left (and the ANSI read-back indexing then throws). Serializing
+        // nulls as \N keeps the line positional and the round trip total.
+        val nullTok = "\\N"
+        def ser(c: Column) = coalesce(c.cast("string"), lit(nullTok))
         Tables.documents(s, d)
-          .select(concat_ws("\t", col("doc_id"), col("lang"),
-                            md5(encode(col("text"), "UTF-8"))).as("value"))
+          .select(concat_ws("\t", ser(col("doc_id")), ser(col("lang")),
+                            ser(md5(encode(col("text"), "UTF-8")))).as("value"))
           .write.mode("overwrite").text(s"$out/docs_txt")
+        def de(f: Column, i: Int) = {
+          val raw = get(f, lit(i)) // total: NULL on a malformed short line
+          when(raw === nullTok, lit(null)).otherwise(raw)
+        }
         s.read.text(s"$out/docs_txt")
           .select(split(col("value"), "\t").as("f"))
-          .select(col("f").getItem(0).cast("long").as("doc_id"),
-                  col("f").getItem(1).as("lang"),
-                  col("f").getItem(2).as("content_md5"))
+          .select(de(col("f"), 0).cast("long").as("doc_id"),
+                  de(col("f"), 1).as("lang"),
+                  de(col("f"), 2).as("content_md5"))
           .orderBy("doc_id")
       },
       oracle = Some("""

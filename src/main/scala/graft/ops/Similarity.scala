@@ -316,7 +316,10 @@ object Similarity {
   def annIvf(spark: SparkSession, sfDir: String, nProbes: Int, k: Int,
              nCells: Int = 16, iters: Int = 2, nProbeCells: Int = 2): DataFrame = {
     graft.GraftExtensions.register(spark)
+    // null vectors carry no position in the space: they can neither train
+    // a centroid nor be assigned to one — skip them (oracle CTE mirrors)
     val e = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      .where(col("embedding").isNotNull)
     val cents = ivfCentroids(e, nCells, iters)
     val inverted = assignCells(e, cents)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("cell"))
@@ -474,7 +477,7 @@ object Similarity {
           SELECT vec_id,
                  list_transform(range(1, ${Dim + 1}),
                    i -> ${qElemSql("embedding[i]")}) AS q
-          FROM embeddings),
+          FROM embeddings WHERE embedding IS NOT NULL),
         n AS (
           SELECT vec_id, q,
                  CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2
@@ -518,7 +521,11 @@ object Similarity {
   def labelCentroids(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ds = Tables.embeddings(spark, sfDir)
-      .select(col("label"), col("embedding")).as[(Int, Array[Float])]
+      .select(col("label"), col("embedding"))
+      // unlabeled rows cannot contribute to a per-label centroid — and
+      // the non-nullable Int side of the typed encoder throws on them
+      .where(col("label").isNotNull)
+      .as[(Int, Array[Float])]
     val agg = new graft.functions.CentroidAgg(Dim)
     ds.groupByKey(_._1).agg(agg.toColumn.name("q_centroid"))
       .toDF("label", "q_centroid")
@@ -540,6 +547,7 @@ object Similarity {
                CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)) AS DOUBLE)
                  / count(*) AS qc
         FROM embeddings, range(1, 9) t(i)
+        WHERE label IS NOT NULL
         GROUP BY label, i ORDER BY label, dim"""),
       doc = "typed Aggregator (UDAF): per-label vector centroids"
     ),
@@ -587,6 +595,7 @@ object Similarity {
       fn = (s, d) => {
         graft.GraftExtensions.register(s)
         val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+          .where(col("embedding").isNotNull) // see annIvf: null vecs skip
         val cents = ivfCentroids(e, nCells = 16, iters = 2)
         val assigned = assignCells(e, cents)
           .withColumn("n2", call_function("qnorm2", col("embedding")))
@@ -614,6 +623,7 @@ object Similarity {
       fn = (s, d) => {
         graft.GraftExtensions.register(s)
         val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+          .where(col("embedding").isNotNull) // see annIvf: null vecs skip
         val cents = ivfCentroids(e, nCells = 16, iters = 2)
         val assigned = assignCellsCoarse(e, cents)
           .withColumn("n2", call_function("qnorm2", col("embedding")))

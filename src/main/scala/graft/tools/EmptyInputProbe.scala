@@ -31,6 +31,22 @@ object EmptyInputProbe {
   def writeEmptyFixture(spark: SparkSession, srcDir: String, dstDir: String): Unit =
     writeTruncatedFixture(spark, srcDir, dstDir, 0)
 
+  /** Keep each table's leading id column on a handful of rows and NULL
+    * every other column (all fixture columns are declared nullable, so a
+    * total engine must not crash on them — null text, null timestamps,
+    * null embeddings are routine in scraped corpora).
+    */
+  def writeNulledFixture(spark: SparkSession, srcDir: String, dstDir: String): Unit =
+    Tables.foreach { t =>
+      import org.apache.spark.sql.functions.{col, lit}
+      val df = spark.read.parquet(s"$srcDir/$t.parquet").limit(5)
+      val cols = df.schema.fields.zipWithIndex.map { case (f, i) =>
+        if (i == 0) col(f.name) else lit(null).cast(f.dataType).as(f.name)
+      }
+      df.select(cols.toSeq: _*).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dstDir/$t.parquet")
+    }
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -43,9 +59,10 @@ object EmptyInputProbe {
       .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val n = args.lift(1).map(_.toInt).getOrElse(0)
+    val mode = args.lift(1).getOrElse("0")
     val dst = java.nio.file.Files.createTempDirectory("graft_empty").toString
-    writeTruncatedFixture(spark, src, dst, n)
+    if (mode == "null") writeNulledFixture(spark, src, dst)
+    else writeTruncatedFixture(spark, src, dst, mode.toInt)
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val n = fn(spark, dst).collect().length

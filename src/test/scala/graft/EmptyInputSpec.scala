@@ -16,9 +16,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class EmptyInputSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
 
-  private def sweep(n: Int): Seq[String] = {
-    val dst = java.nio.file.Files.createTempDirectory(s"graft_trunc${n}_spec").toString
-    graft.tools.EmptyInputProbe.writeTruncatedFixture(spark, SparkTestBase.Sf0001, dst, n)
+  private def sweepDir(dst: String): Seq[String] =
     SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val r = try { fn(spark, dst).collect(); None } catch {
         case e: Throwable =>
@@ -29,6 +27,11 @@ class EmptyInputSpec extends AnyFunSuite {
       spark.sharedState.cacheManager.clearCache()
       r
     }
+
+  private def sweep(n: Int): Seq[String] = {
+    val dst = java.nio.file.Files.createTempDirectory(s"graft_trunc${n}_spec").toString
+    graft.tools.EmptyInputProbe.writeTruncatedFixture(spark, SparkTestBase.Sf0001, dst, n)
+    sweepDir(dst)
   }
 
   test("all registered queries execute on an empty fixture") {
@@ -45,5 +48,19 @@ class EmptyInputSpec extends AnyFunSuite {
     val failures = sweep(1)
     assert(failures.isEmpty,
       s"queries crashing on single-row input:\n  ${failures.mkString("\n  ")}")
+  }
+
+  test("all registered queries execute on an all-NULL-values fixture") {
+    // every fixture column is declared nullable; ids kept, all other
+    // values NULL — null text, null timestamps, null embeddings are
+    // routine in scraped corpora. First sweep caught a typed-encoder
+    // assert (c1, m3), an aggregator NPE + 0/0-NaN micro-cast overflow
+    // (CentroidAgg: d46/d46b/v4), and concat_ws's null-skipping
+    // silently SHIFTING columns in s15's line format.
+    val dst = java.nio.file.Files.createTempDirectory("graft_null_spec").toString
+    graft.tools.EmptyInputProbe.writeNulledFixture(spark, SparkTestBase.Sf0001, dst)
+    val failures = sweepDir(dst)
+    assert(failures.isEmpty,
+      s"queries crashing on null-valued input:\n  ${failures.mkString("\n  ")}")
   }
 }
