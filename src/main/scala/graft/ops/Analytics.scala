@@ -1302,6 +1302,9 @@ object Analytics {
         val qv = transform(col("embedding"), x => Similarity.qElem(x))
         val top = sort_array(col("qv"), asc = false)
         Tables.embeddings(s, d).where(col("vec_id") < 100)
+          // quantized space: malformed vectors (null element, NaN/Inf) have
+          // no int64 image — skip, same contract as the ANN family
+          .where(Similarity.wellFormedVec(col("embedding")))
           .withColumn("qv", qv)
           .select(
             col("vec_id"),
@@ -1315,12 +1318,13 @@ object Analytics {
             element_at(top, 3).as("top3"))
           .orderBy("vec_id")
       },
-      oracle = Some("""
+      oracle = Some(s"""
         WITH q AS (
           SELECT vec_id,
                  list_transform(embedding,
                    x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
-          FROM embeddings WHERE vec_id < 100)
+          FROM embeddings WHERE vec_id < 100
+            AND ${Similarity.wellFormedVecSql("embedding")})
         SELECT vec_id,
                CAST(len(qv) AS BIGINT) AS dim,
                CAST(len(list_filter(qv, x -> x > 0)) AS BIGINT) AS n_pos,
@@ -1587,8 +1591,10 @@ object Analytics {
           .select(col("month"),
                   col("rev").cast("double").as("revenue"),
                   col("prev_rev").cast("double").as("prev_revenue"),
+                  // nullif: growth off a zero-revenue month is undefined
+                  // (NULL), not an ANSI divide-by-zero crash
                   ((col("rev") - col("prev_rev")).cast("double") /
-                     col("prev_rev").cast("double")).as("growth"))
+                     nullif(col("prev_rev").cast("double"), lit(0.0))).as("growth"))
           .orderBy("month")
       },
       oracle = Some("""
@@ -1602,7 +1608,7 @@ object Analytics {
           SELECT month, rev, lag(rev, 1) OVER (ORDER BY month) AS prev_rev FROM m)
         SELECT month, CAST(rev AS DOUBLE) AS revenue,
                CAST(prev_rev AS DOUBLE) AS prev_revenue,
-               CAST(rev - prev_rev AS DOUBLE) / CAST(prev_rev AS DOUBLE) AS growth
+               CAST(rev - prev_rev AS DOUBLE) / NULLIF(CAST(prev_rev AS DOUBLE), 0) AS growth
         FROM l ORDER BY month"""),
       doc = "month-over-month revenue growth via lag over the aggregate-sized series"
     ),
@@ -1623,9 +1629,16 @@ object Analytics {
         val expected = benfordMicro.zipWithIndex
           .map { case (m, i) => ((i + 1).toLong, m) }
           .toDF("digit", "benford_micro")
+        // FIRST SIGNIFICANT digit of |amount| — on positive >= 1 amounts
+        // (the fixture) this is the leading character, but refunds
+        // (negative) and zero/sub-1 amounts are routine: '-' and '0' are
+        // not Benford digits, so extract the first [1-9] and drop rows
+        // with none (zero amounts), per Benford convention.
         val digits = Tables.orders(s, d)
-          .select(substring(col("o_totalprice").cast(DecimalType(18, 2)).cast("string"), 1, 1)
-            .cast("long").as("digit"))
+          .select(nullif(regexp_extract(
+              abs(col("o_totalprice")).cast(DecimalType(18, 2)).cast("string"),
+              "[1-9]", 0), lit("")).cast("long").as("digit"))
+          .where(col("digit").isNotNull)
           .groupBy("digit").agg(count(lit(1)).as("n"))
         val tot = digits.agg(sum("n").as("total"))
         digits.crossJoin(broadcast(tot))
@@ -1641,9 +1654,12 @@ object Analytics {
           (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
           (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
         d AS (
-          SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
-                 count(*) AS n
-          FROM orders GROUP BY digit),
+          SELECT digit, count(*) AS n FROM (
+            SELECT CAST(NULLIF(regexp_extract(
+                     CAST(CAST(abs(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+                     '[1-9]', 0), '') AS BIGINT) AS digit
+            FROM orders)
+          WHERE digit IS NOT NULL GROUP BY digit),
         t AS (SELECT sum(n) AS total FROM d)
         SELECT d.digit, d.n,
                CAST(d.n * 1000000 // t.total AS BIGINT) AS observed_micro,

@@ -202,11 +202,19 @@ object Dedup {
                  list_transform(range(1, len(x)+1), i -> ascii(substr(x, i, 1))::BIGINT)),
                (acc, c) -> (acc * 31 + c) % $HashP) * $Lehmer) % $SigP) * $Lehmer) % $SigP)"""
 
-  /** Portable shingle hashes: 3-word rolling combine of the word hashes. */
+  /** Portable shingle hashes: 3-word rolling combine of the word hashes.
+    * The size guard matters for totality: Spark's sequence(1, n) DESCENDS
+    * when n < 1 (sequence(1, -2) = [1, 0, -1, -2]), so a sub-3-word doc
+    * (empty, whitespace-only, punctuation blob) would index positions 0
+    * and below and crash under ANSI. DuckDB's half-open range(1, n) is
+    * already empty there, so the oracle mirror needs no guard.
+    */
   private def portableShingleHashes(whCol: String): Column = expr(
-    s"""array_distinct(transform(sequence(1, size($whCol) - 2), i ->
-          ((((element_at($whCol, i) * $Mul + element_at($whCol, i + 1)) % $SigP)
-             * $Mul + element_at($whCol, i + 2)) % $SigP)))""")
+    s"""CASE WHEN size($whCol) >= 3 THEN
+          array_distinct(transform(sequence(1, size($whCol) - 2), i ->
+            ((((element_at($whCol, i) * $Mul + element_at($whCol, i + 1)) % $SigP)
+               * $Mul + element_at($whCol, i + 2)) % $SigP)))
+        ELSE array() END""")
 
   private def shingleHashesSql(whExpr: String): String =
     s"""list_distinct(list_transform(range(1, len($whExpr) - 1), i ->
@@ -624,8 +632,11 @@ object Dedup {
         a.join(b, col("doc_a") < col("doc_b"))
           .select(col("doc_a"), col("doc_b"),
                   levenshtein(col("ta"), col("tb")).cast("long").as("dist"),
+                  // nullif guard: two empty strings have max length 0 and
+                  // similarity 0/0 — undefined, NULL in both engines
                   (lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
-                    greatest(length(col("ta")), length(col("tb")))).as("sim_ratio"),
+                    nullif(greatest(length(col("ta")), length(col("tb"))), lit(0)))
+                    .as("sim_ratio"),
                   (col("doc_b") - col("doc_a") === 1000000L).as("is_planted"))
           .orderBy("doc_a", "doc_b")
       },
@@ -638,7 +649,7 @@ object Dedup {
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
                  1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
-                   greatest(length(a.text), length(b.text)) AS sim_ratio,
+                   NULLIF(greatest(length(a.text), length(b.text)), 0) AS sim_ratio,
                  b.doc_id - a.doc_id = 1000000 AS is_planted
           FROM base a JOIN base b ON a.doc_id < b.doc_id
           WHERE a.doc_id < 10)

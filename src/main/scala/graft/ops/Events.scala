@@ -213,7 +213,13 @@ object Events {
     "e8_anomaly_zscore" -> Q(
       fn = (s, d) => {
         val ev = Tables.events(s, d).select("event_type", "value")
-        val dv = col("value").cast(DecimalType(18, 6))
+        // try_cast: the exact-moment envelope is DECIMAL(18,6) (|v|<1e12).
+        // Metric streams routinely carry garbage magnitudes and NaN/Inf;
+        // those fall OUT of the moment estimate as NULL (NaN/Inf->decimal
+        // is already NULL) instead of crashing — but they are still
+        // SCORED below against the well-formed moments, so a 1e12 spike
+        // is flagged as the anomaly it is rather than poisoning the mean.
+        val dv = expr("try_cast(value AS DECIMAL(18,6))")
         val st = ev.groupBy("event_type").agg(
           count(lit(1)).as("n"),
           sum(dv).cast("double").as("s1"),
@@ -235,8 +241,8 @@ object Events {
       oracle = Some("""
         WITH st AS (
           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
-                 CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+                 CAST(sum(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+                 CAST(sum(TRY_CAST(value AS DECIMAL(18,6)) * TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
           FROM events GROUP BY event_type),
         m AS (
           SELECT event_type, n, s1 / n AS mean,
@@ -280,12 +286,16 @@ object Events {
     "e4_json_extract" -> Q(
       fn = (s, d) =>
         Tables.events(s, d)
-          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          // try_cast: event props are free-form — a wrong-typed field
+          // ({"k":"oops"}) is routine in a stream and must group under
+          // NULL, not crash the ANSI cast (malformed JSON already
+          // extracts as NULL)
+          .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS LONG)"))
           .groupBy("k")
           .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
           .orderBy("k"),
       oracle = Some("""
-        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
                count(*) AS n,
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY k ORDER BY k"""),

@@ -1010,13 +1010,17 @@ object Relational {
         s.read.schema(ev.schema).parquet(s"$out/events_by_type")
           .where(col("event_type") === "purchase")
           .groupBy("user_id")
+          // try_cast: metric values outside the DECIMAL(18,6) exactness
+          // envelope (|v| >= 1e12, NaN/Inf) sum as NULL-skipped, same
+          // contract as e8 — a stream's garbage must not crash the scan
           .agg(count(lit(1)).as("n_events"),
-               dsum(col("value"), 6).as("total_value"))
+               sum(expr("try_cast(value AS DECIMAL(18,6))")).cast("double")
+                 .as("total_value"))
           .orderBy("user_id")
       },
       oracle = Some("""
         SELECT user_id, count(*) AS n_events,
-               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+               CAST(sum(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         FROM events WHERE event_type = 'purchase'
         GROUP BY user_id ORDER BY user_id"""),
       doc = "hive-partitioned layout + planning-time partition pruning (S10)"

@@ -28,9 +28,19 @@ object Similarity {
     * quantization rule every integer-exact consumer shares (f4's array
     * surface included); keep it single-sourced so the quantized spaces
     * can never diverge.
+    *
+    * TOTAL on non-finite input (NULL image): every consumer filters
+    * malformed vectors at the entry, but Catalyst can still evaluate the
+    * quantizing transform on unfiltered rows — InferFiltersFromConstraints
+    * adds isnotnull(transform(...)) predicates whose subexpression-
+    * eliminated transform runs EAGERLY, before the entry filter's own
+    * conjunct (observed on v6). A raw cast would ANSI-crash there; the
+    * guarded branch never produces NULL on the filtered data the
+    * consumers actually aggregate.
     */
   private[ops] def qElem(x: Column): Column =
-    round(x.cast("double") * lit(Scale)).cast("long")
+    when(isnan(x) || abs(x) > lit(Float.MaxValue), lit(null).cast("long"))
+      .otherwise(round(x.cast("double") * lit(Scale)).cast("long"))
 
   // The former HOF dot/norm helpers are gone: every consumer now uses the
   // codegen expressions (qcosine, qdot_long, qnorm2 — graft.functions),
@@ -54,6 +64,38 @@ object Similarity {
 
   private def qElemSql(x: String): String =
     s"CAST(round(CAST($x AS DOUBLE) * 10000) AS BIGINT)"
+
+  /** A vector participates in the quantized space only if it is
+    * WELL-FORMED: present, with every component a finite non-null float.
+    * Scraped corpora routinely carry NaN/Inf/null-element vectors (a
+    * failed encoder batch, a truncated row); they have no usable position
+    * in the space, and their quantization round(x*1e4) -> int64 is an
+    * ANSI CAST_OVERFLOW crash. Skip them at every vector-space entry that
+    * quantizes (the same contract as the null-vector skip), mirrored in
+    * oracles via wellFormedVecSql.
+    */
+  private[ops] def wellFormedVec(c: Column): Column =
+    c.isNotNull &&
+      !exists(c, x => x.isNull || isnan(x) || abs(x) > lit(Float.MaxValue))
+
+  private[ops] def wellFormedVecSql(e: String): String =
+    s"($e IS NOT NULL AND len(list_filter($e, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0)"
+
+  /** Membership in the quantized COSINE space: well-formed, corpus
+    * dimension, and a non-zero quantized norm — a zero (or sub-quantum)
+    * vector has no direction, so cosine assignment would divide by zero,
+    * and a wrong-dimension vector has no position at all (qdot_long is
+    * strict about lengths by design). The norm test uses the exact
+    * quantization rule (round half away from zero in both engines), so
+    * engine and oracle agree on the boundary bit-for-bit.
+    */
+  private[ops] def inQSpace(c: Column): Column =
+    wellFormedVec(c) && size(c) === lit(Dim) &&
+      exists(c, x => round(x.cast("double") * lit(Scale)) =!= lit(0.0))
+
+  private[ops] def inQSpaceSql(e: String): String =
+    s"(${wellFormedVecSql(e)} AND len($e) = $Dim" +
+      s" AND len(list_filter($e, x -> round(CAST(x AS DOUBLE) * 10000) <> 0)) > 0)"
 
   private def dotSql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(range(1, ${Dim + 1}), i -> ${qElemSql(s"$a[i]")} * ${qElemSql(s"$b[i]")})) AS BIGINT)"
@@ -316,10 +358,11 @@ object Similarity {
   def annIvf(spark: SparkSession, sfDir: String, nProbes: Int, k: Int,
              nCells: Int = 16, iters: Int = 2, nProbeCells: Int = 2): DataFrame = {
     graft.GraftExtensions.register(spark)
-    // null vectors carry no position in the space: they can neither train
-    // a centroid nor be assigned to one — skip them (oracle CTE mirrors)
+    // malformed vectors (null, null element, NaN/Inf component) carry no
+    // position in the space: they can neither train a centroid nor be
+    // assigned to one — skip them (oracle CTE mirrors)
     val e = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
-      .where(col("embedding").isNotNull)
+      .where(inQSpace(col("embedding")))
     val cents = ivfCentroids(e, nCells, iters)
     val inverted = assignCells(e, cents)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("cell"))
@@ -477,7 +520,7 @@ object Similarity {
           SELECT vec_id,
                  list_transform(range(1, ${Dim + 1}),
                    i -> ${qElemSql("embedding[i]")}) AS q
-          FROM embeddings WHERE embedding IS NOT NULL),
+          FROM embeddings WHERE ${inQSpaceSql("embedding")}),
         n AS (
           SELECT vec_id, q,
                  CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2
@@ -523,8 +566,11 @@ object Similarity {
     val ds = Tables.embeddings(spark, sfDir)
       .select(col("label"), col("embedding"))
       // unlabeled rows cannot contribute to a per-label centroid — and
-      // the non-nullable Int side of the typed encoder throws on them
-      .where(col("label").isNotNull)
+      // the non-nullable Int side of the typed encoder throws on them.
+      // Malformed vectors (null element, NaN/Inf) are likewise skipped:
+      // the Array[Float] encoder asserts non-null elements, and a
+      // non-finite component has no quantized position (oracle mirrors).
+      .where(col("label").isNotNull && wellFormedVec(col("embedding")))
       .as[(Int, Array[Float])]
     val agg = new graft.functions.CentroidAgg(Dim)
     ds.groupByKey(_._1).agg(agg.toColumn.name("q_centroid"))
@@ -542,12 +588,12 @@ object Similarity {
           .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
                   col("col").as("qc"))
           .orderBy("label", "dim"),
-      oracle = Some("""
+      oracle = Some(s"""
         SELECT label, i AS dim,
                CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)) AS DOUBLE)
                  / count(*) AS qc
         FROM embeddings, range(1, 9) t(i)
-        WHERE label IS NOT NULL
+        WHERE label IS NOT NULL AND ${wellFormedVecSql("embedding")}
         GROUP BY label, i ORDER BY label, dim"""),
       doc = "typed Aggregator (UDAF): per-label vector centroids"
     ),
@@ -595,7 +641,7 @@ object Similarity {
       fn = (s, d) => {
         graft.GraftExtensions.register(s)
         val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-          .where(col("embedding").isNotNull) // see annIvf: null vecs skip
+          .where(inQSpace(col("embedding"))) // see annIvf: cosine-space membership
         val cents = ivfCentroids(e, nCells = 16, iters = 2)
         val assigned = assignCells(e, cents)
           .withColumn("n2", call_function("qnorm2", col("embedding")))
@@ -623,7 +669,7 @@ object Similarity {
       fn = (s, d) => {
         graft.GraftExtensions.register(s)
         val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-          .where(col("embedding").isNotNull) // see annIvf: null vecs skip
+          .where(inQSpace(col("embedding"))) // see annIvf: cosine-space membership
         val cents = ivfCentroids(e, nCells = 16, iters = 2)
         val assigned = assignCellsCoarse(e, cents)
           .withColumn("n2", call_function("qnorm2", col("embedding")))
@@ -914,6 +960,7 @@ object Similarity {
     "v6_centered_cosine" -> Q(
       fn = (s, d) => {
         val e = Tables.embeddings(s, d)
+          .where(wellFormedVec(col("embedding")) && size(col("embedding")) === lit(Dim))
         val q = e.select(col("vec_id"), transform(col("embedding"), x => qElem(x)).as("q"))
         // driver-sized: one row per embedding dimension (Dim = 64)
         val statRows = q.select(posexplode(col("q")))
@@ -934,8 +981,12 @@ object Similarity {
         val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
         centered.select(col("vec_id").as("neighbor_id"), col("c"), col("n2"))
           .join(broadcast(probes), col("query_id") =!= col("neighbor_id"))
+          // nullif: an all-identical corpus centers every vector to the
+          // ZERO vector (c = n*q - s = 0) — cosine is then undefined, not
+          // an ANSI divide-by-zero crash
           .withColumn("sim", ldot(col("qc"), col("c")).cast("double") /
-            (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))))
+            nullif(sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double")),
+                   lit(0.0)))
           .withColumn("rnk", row_number().over(w).cast("long"))
           .where(col("rnk") <= 3)
           .select("query_id", "neighbor_id", "rnk", "sim")
@@ -945,7 +996,7 @@ object Similarity {
         s"""WITH q AS (
               SELECT vec_id, list_transform(range(1, ${Dim + 1}),
                        i -> ${qElemSql("embedding[i]")}) AS q
-              FROM embeddings),
+              FROM embeddings WHERE ${wellFormedVecSql("embedding")} AND len(embedding) = $Dim),
             dimsum AS (
               SELECT i, CAST(sum(q[i]) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
               FROM q, range(1, ${Dim + 1}) t(i)
@@ -963,7 +1014,7 @@ object Similarity {
               SELECT pr.vec_id AS query_id, nb.vec_id AS neighbor_id,
                      CAST(list_sum(list_transform(range(1, ${Dim + 1}),
                             i -> pr.c[i] * nb.c[i])) AS BIGINT)::DOUBLE /
-                       (sqrt(pr.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)) AS sim
+                       NULLIF(sqrt(pr.n2::DOUBLE) * sqrt(nb.n2::DOUBLE), 0) AS sim
               FROM cn pr JOIN cn nb ON pr.vec_id < 5 AND pr.vec_id <> nb.vec_id),
             r AS (
               SELECT query_id, neighbor_id, sim,
@@ -1198,6 +1249,9 @@ object Similarity {
         val NSub = 8; val SubDim = 8; val NCode = 16; val NProbes = 10; val K = 5
         graft.GraftExtensions.register(s)
         val q = Tables.embeddings(s, d)
+          // PQ's L2 space: malformed or wrong-dimension vectors skip (a
+          // zero vector is a legal L2 point, so no norm test here)
+          .where(wellFormedVec(col("embedding")) && size(col("embedding")) === lit(Dim))
           .select(col("vec_id"), transform(col("embedding"), x => qElem(x)).as("qv"))
         // one row per (vector, subspace): the 8-d integer subvector
         val subs = q.select(col("vec_id"),
@@ -1248,7 +1302,7 @@ object Similarity {
         WITH q AS (
           SELECT vec_id, list_transform(embedding,
                    x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
-          FROM embeddings),
+          FROM embeddings WHERE ${wellFormedVecSql("embedding")} AND len(embedding) = $Dim),
         subs AS (
           SELECT vec_id, sub, qv[sub*8+1 : sub*8+8] AS svec
           FROM q, (SELECT unnest(range(0, 8)) AS sub)),

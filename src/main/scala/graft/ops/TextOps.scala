@@ -147,9 +147,11 @@ object TextOps {
             length(col("text")).cast("long").as("n_chars_calc"),
             bigramHits.as("en_bigrams"),
             punct.as("n_punct"))
+          // nullif: rates are undefined (NULL) on a zero-length text
           .withColumn("bigram_per_100",
-            col("en_bigrams").cast("double") * 100.0 / col("n_chars_calc"))
-          .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_chars_calc"))
+            col("en_bigrams").cast("double") * 100.0 / nullif(col("n_chars_calc"), lit(0L)))
+          .withColumn("punct_ratio",
+            col("n_punct").cast("double") / nullif(col("n_chars_calc"), lit(0L)))
           .withColumn("lang_guess", when(col("bigram_per_100") >= 2.0, "en").otherwise("other"))
           .withColumn("lang_match", col("lang_guess") === col("lang"))
           .orderBy("doc_id")
@@ -160,8 +162,8 @@ object TextOps {
                (CASE WHEN bigram_per_100 >= 2.0 THEN 'en' ELSE 'other' END) = lang AS lang_match
         FROM (
           SELECT *,
-                 CAST(en_bigrams AS DOUBLE) * 100.0 / n_chars_calc AS bigram_per_100,
-                 CAST(n_punct AS DOUBLE) / n_chars_calc AS punct_ratio
+                 CAST(en_bigrams AS DOUBLE) * 100.0 / NULLIF(n_chars_calc, 0) AS bigram_per_100,
+                 CAST(n_punct AS DOUBLE) / NULLIF(n_chars_calc, 0) AS punct_ratio
           FROM (
             SELECT doc_id, lang,
                    CAST(length(text) AS BIGINT) AS n_chars_calc,

@@ -47,6 +47,116 @@ object EmptyInputProbe {
         .write.mode("overwrite").parquet(s"$dstDir/$t.parquet")
     }
 
+  /** Hot-key skew fixture: ONE user owns every event, one language every
+    * document, one customer every order, one part/supplier every line —
+    * the 100 TB skew case the two-level windows and MaxBucket caps exist
+    * for. Row counts are capped so hot-key join fan-out stays spec-sized
+    * while the skew-handling code paths (bucket boundary stitches, caps,
+    * per-key sorts over a single giant key) actually execute. Documents
+    * additionally share a first word, so prefix/first-token blocking
+    * (entity resolution, sorted-neighborhood sort keys) sees a hot block.
+    */
+  def writeSkewedFixture(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val overrides: Map[String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = Map(
+      "events" -> (df => df.withColumn("user_id", lit(1L))),
+      "documents" -> (df => df
+        .withColumn("lang", lit("xx"))
+        .withColumn("source", lit("hot"))
+        .withColumn("text", concat(lit("the "), coalesce(col("text"), lit(""))))
+        .withColumn("n_chars", length(col("text")).cast("long"))),
+      "orders" -> (df => df.withColumn("o_custkey", lit(1L))),
+      "lineitem" -> (df => df
+        .withColumn("l_partkey", lit(1L))
+        .withColumn("l_suppkey", lit(1L))),
+      "customer" -> (df => df.withColumn("c_nationkey", lit(0L))),
+      "embeddings" -> (df => df.withColumn("label", lit(0)))
+    )
+    Tables.foreach { t =>
+      val base = spark.read.parquet(s"$srcDir/$t.parquet").limit(400)
+      overrides.getOrElse(t, identity[org.apache.spark.sql.DataFrame] _)(base)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dstDir/$t.parquet")
+    }
+  }
+
+  /** Adversarial-values fixture for the scraped-data tables: garbage is
+    * ROUTINE in an LLM-scale corpus, so the engine must stay total on it.
+    * documents.text cycles empty/whitespace/huge/emoji/RTL/control-char
+    * strings; events.value cycles NaN/±Inf/0 with malformed-JSON props;
+    * embeddings cycle zero/NaN/Inf vectors, a null element, and a
+    * truncated (wrong-dimension) vector. TPC-H numerics stay finite
+    * (zero/negative — refunds are routine; NaN prices are a contract
+    * violation the s17 quality suite exists to catch, not a totality
+    * requirement).
+    */
+  def writeAdversarialFixture(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val texts = Seq(
+      "",                                     // empty
+      " \t\n ",                               // whitespace + embedded framing chars
+      "a" * 10000,                            // one huge token
+      "éñ 😀🎉 世界 مرحبا", // accents, emoji, CJK, RTL
+      "!!! ??? ... ---",                      // punctuation-only
+      "tab\there\nnewline\"quote\\backslash", // serializer-hostile
+      "\u0001\u0002 control \u0007 chars", // control characters
+      null                                    // covered by the null sweep, kept in the mix
+    )
+    val textCase = texts.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (t, i)) =>
+        when(pmod(col("doc_id"), lit(texts.size)) === i,
+             Option(t).map(lit(_)).getOrElse(lit(null).cast("string"))).otherwise(acc)
+    }
+    val props = Seq(
+      "{",                                    // malformed JSON
+      """{"k":"notanumber"}""",               // wrong-typed field (ANSI cast trap)
+      """{"k":9223372036854775807}""",        // long max
+      "",                                     // empty string
+      """{"k":3}"""                           // well-formed
+    )
+    val propsCase = props.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (p, i)) =>
+        when(pmod(col("event_id"), lit(props.size)) === i, lit(p)).otherwise(acc)
+    }
+    val valueCase = expr(
+      """CASE CAST(event_id % 6 AS INT)
+           WHEN 0 THEN CAST('NaN' AS DOUBLE)
+           WHEN 1 THEN CAST('Infinity' AS DOUBLE)
+           WHEN 2 THEN CAST('-Infinity' AS DOUBLE)
+           WHEN 3 THEN 0.0D
+           WHEN 4 THEN -1e12D
+           ELSE value END""")
+    val embCase = expr(
+      """CASE CAST(vec_id % 6 AS INT)
+           WHEN 0 THEN transform(embedding, x -> CAST(0.0 AS FLOAT))
+           WHEN 1 THEN transform(embedding, x -> CAST('NaN' AS FLOAT))
+           WHEN 2 THEN transform(embedding, x -> CAST('Infinity' AS FLOAT))
+           WHEN 3 THEN transform(embedding, (x, i) -> IF(i = 0, CAST(NULL AS FLOAT), x))
+           WHEN 4 THEN slice(embedding, 2, size(embedding) - 1)
+           ELSE embedding END""")
+    val overrides: Map[String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = Map(
+      "documents" -> (df => df
+        .withColumn("text", textCase)
+        .withColumn("n_chars", coalesce(length(col("text")).cast("long"), lit(0L)))),
+      "events" -> (df => df
+        .withColumn("value", valueCase)
+        .withColumn("props", propsCase)),
+      "embeddings" -> (df => df.withColumn("embedding", embCase)),
+      "lineitem" -> (df => df
+        .withColumn("l_quantity",
+          expr("CASE CAST(l_orderkey % 3 AS INT) WHEN 0 THEN 0.0D WHEN 1 THEN -1.0D ELSE l_quantity END"))
+        .withColumn("l_extendedprice",
+          expr("CASE CAST(l_orderkey % 3 AS INT) WHEN 0 THEN -999.99D ELSE l_extendedprice END"))),
+      "orders" -> (df => df
+        .withColumn("o_totalprice",
+          expr("CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 0.0D WHEN 1 THEN -1.0D ELSE o_totalprice END")))
+    )
+    Tables.foreach { t =>
+      val base = spark.read.parquet(s"$srcDir/$t.parquet").limit(120)
+      overrides.getOrElse(t, identity[org.apache.spark.sql.DataFrame] _)(base)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dstDir/$t.parquet")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -61,8 +171,12 @@ object EmptyInputProbe {
     spark.sparkContext.setLogLevel("WARN")
     val mode = args.lift(1).getOrElse("0")
     val dst = java.nio.file.Files.createTempDirectory("graft_empty").toString
-    if (mode == "null") writeNulledFixture(spark, src, dst)
-    else writeTruncatedFixture(spark, src, dst, mode.toInt)
+    mode match {
+      case "null" => writeNulledFixture(spark, src, dst)
+      case "skew" => writeSkewedFixture(spark, src, dst)
+      case "adv"  => writeAdversarialFixture(spark, src, dst)
+      case n      => writeTruncatedFixture(spark, src, dst, n.toInt)
+    }
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val n = fn(spark, dst).collect().length

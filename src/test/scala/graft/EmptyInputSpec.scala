@@ -50,6 +50,40 @@ class EmptyInputSpec extends AnyFunSuite {
       s"queries crashing on single-row input:\n  ${failures.mkString("\n  ")}")
   }
 
+  test("all registered queries execute on a hot-key skew fixture") {
+    // ONE user owns every event, one language every document, one
+    // customer every order — the 100 TB skew case the two-level windows
+    // and MaxBucket caps exist for. This exercises the bucket boundary
+    // stitches (one user's events span many time buckets), the hot-block
+    // caps, and per-key sorts over a single giant key.
+    val dst = java.nio.file.Files.createTempDirectory("graft_skew_spec").toString
+    graft.tools.EmptyInputProbe.writeSkewedFixture(spark, SparkTestBase.Sf0001, dst)
+    val failures = sweepDir(dst)
+    assert(failures.isEmpty,
+      s"queries crashing on hot-key-skew input:\n  ${failures.mkString("\n  ")}")
+  }
+
+  test("all registered queries execute on an adversarial-values fixture") {
+    // scraped-corpus garbage is ROUTINE: NaN/Inf/huge metric values,
+    // malformed JSON props, empty/whitespace/emoji/control-char texts,
+    // zero/NaN/Inf/null-element/wrong-dimension embeddings, negative
+    // amounts. First sweep caught 15 failures in 8 classes: zero-length
+    // division (d13/d14), Spark's DESCENDING sequence(1, n<1) indexing
+    // empty arrays (shingles of sub-3-word docs), ANSI casts of
+    // non-numeric JSON (e4) and out-of-envelope metrics (e8/s10),
+    // NaN->int64 quantization across the ANN/centroid family (fixed via
+    // a total qElem + cosine-space membership filters: Catalyst's
+    // inferred isnotnull(transform(...)) constraints evaluate the
+    // quantizer EAGERLY, before entry-filter conjuncts), zero-vector
+    // cosine (v4/d46), PQ's strict subvector lengths (v10), Benford's
+    // leading '-' on refunds (a24), and zero-revenue growth (q23).
+    val dst = java.nio.file.Files.createTempDirectory("graft_adv_spec").toString
+    graft.tools.EmptyInputProbe.writeAdversarialFixture(spark, SparkTestBase.Sf0001, dst)
+    val failures = sweepDir(dst)
+    assert(failures.isEmpty,
+      s"queries crashing on adversarial-values input:\n  ${failures.mkString("\n  ")}")
+  }
+
   test("all registered queries execute on an all-NULL-values fixture") {
     // every fixture column is declared nullable; ids kept, all other
     // values NULL — null text, null timestamps, null embeddings are
