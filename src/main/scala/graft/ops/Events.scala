@@ -20,6 +20,65 @@ object Events {
   private def dsum(c: Column, scale: Int): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
+  /** Parallelism dial for the two-level user-keyed windows: one day of
+    * microseconds. A per-(user, day) window task holds one user-DAY of
+    * events regardless of corpus size, so a hot key (a bot with a
+    * billion-event stream) distributes across its days instead of
+    * serializing into one task — w5's proven shape, shared here by every
+    * lag/prefix rewrite below.
+    */
+  private val BucketUs = 86400000000L
+
+  /** EXACT lag-1 over (user_id ORDER BY us, event_id), computed
+    * two-level: the lag window runs within (user_id, us-day bucket) —
+    * bucket is a function of the primary sort key, so it is order-aligned
+    * with the sort — and each bucket's FIRST row recovers its predecessor
+    * from the boundary set (first/last row per bucket, lag'd in per-user
+    * order). Exactness: a bucket-first row's full-order predecessor is
+    * the LAST row of the previous non-empty bucket; both are in the
+    * boundary set and ADJACENT in it (nothing lies between them in the
+    * full order, and the subsequence preserves order), so the boundary
+    * lag returns exactly the full-order lag there. Tie rows (equal us at
+    * a bucket edge) share a bucket by construction, and the event_id
+    * tie-break is identical in both windows. Pinned against the plain
+    * single-window lag on a crafted corpus in TwoLevelWindowSpec.
+    *
+    * Returns the input plus `prev_<c>` for each requested column and the
+    * `bucket`/`rn_asc` bookkeeping columns (callers may reuse them for
+    * follow-up two-level passes); the input frame is persisted via
+    * PipelineCache (two consumers: the within pass and the boundary set).
+    */
+  private def twoLevelLag(df: org.apache.spark.sql.DataFrame,
+                          cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val wIn = Window.partitionBy("user_id", "bucket").orderBy("us", "event_id")
+    val marked0 = df.withColumn("bucket", expr(s"us div $BucketUs"))
+      .withColumn("rn_asc", row_number().over(wIn))
+      // "last of bucket" via the unordered count — a desc row_number
+      // would re-sort every partition descending (w5's measured 2x)
+      .withColumn("rn_desc",
+        count(lit(1)).over(Window.partitionBy("user_id", "bucket"))
+          - col("rn_asc") + 1)
+    val marked = cols.foldLeft(marked0) { (d, c) =>
+      d.withColumn(s"prev_$c", lag(col(c), 1).over(wIn))
+    }.persist()
+    PipelineCache.retain(marked)
+    val wB = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val cross0 = marked
+      .where(col("rn_asc") === 1 || col("rn_desc") === 1)
+      .select((Seq("user_id", "bucket", "rn_asc", "us", "event_id") ++ cols)
+        .map(col): _*)
+    val cross = cols.foldLeft(cross0) { (d, c) =>
+      d.withColumn(s"cross_$c", lag(col(c), 1).over(wB))
+    }
+      .where(col("rn_asc") === 1)
+      .select((Seq("user_id", "bucket") ++ cols.map(c => s"cross_$c")).map(col): _*)
+    cols.foldLeft(marked.join(cross, Seq("user_id", "bucket"), "left")) { (d, c) =>
+      d.withColumn(s"prev_$c",
+        when(col("rn_asc") === 1, col(s"cross_$c")).otherwise(col(s"prev_$c")))
+        .drop(s"cross_$c")
+    }
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Tumbling 1h windows per event type. Spark's window() generalizes to
@@ -67,15 +126,38 @@ object Events {
     // session_window / flatMapGroupsWithState.
     "e3_sessionization" -> Q(
       fn = (s, d) => {
-        val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-        Tables.events(s, d)
-          .withColumn("us", unix_micros(col("ts")))
-          .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+        // TWO-LEVEL: the gap flags come from twoLevelLag (per-(user, day)
+        // windows + boundary stitch), and the running session counter
+        // decomposes as within-bucket running sum + exclusive per-user
+        // prefix of bucket totals (d16's proven prefix-sum shape) — so a
+        // hot user's sessionization distributes across days, never one
+        // window task. Ids equal the single-window formulation exactly:
+        // the flags are identical and offset+within is the same prefix.
+        val lagged = twoLevelLag(
+            Tables.events(s, d)
+              .select(col("user_id"), col("event_id"), col("ts"),
+                      unix_micros(col("ts")).as("us")),
+            Seq("us"))
           .withColumn("new_s",
             when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L)
               .otherwise(0L))
-          .withColumn("session_id",
-            sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .persist() // two consumers: bucket totals + the main running sum
+        PipelineCache.retain(lagged)
+        val wIn = Window.partitionBy("user_id", "bucket").orderBy("us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wOff = Window.partitionBy("user_id").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        // (user x active-day)-sized — bounded by the time span, not the
+        // event count, so NOT broadcast: an equi-join on the window's own
+        // (user, bucket) distribution
+        val offsets = lagged.groupBy("user_id", "bucket")
+          .agg(sum("new_s").as("tot"))
+          .withColumn("offset", coalesce(sum("tot").over(wOff), lit(0L)))
+          .select("user_id", "bucket", "offset")
+        lagged
+          .withColumn("within", sum("new_s").over(wIn))
+          .join(offsets, Seq("user_id", "bucket"))
+          .withColumn("session_id", col("offset") + col("within"))
           .groupBy("user_id", "session_id")
           .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
                count(lit(1)).as("n_events"))
@@ -107,19 +189,19 @@ object Events {
     // per (from, to) pair. The transition matrix is
     // event-type^2-bounded — tiny output from any volume of input.
     "e7_transition_matrix" -> Q(
-      fn = (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("us"), col("event_id"))
-        Tables.events(s, d)
-          .select(col("user_id"), col("event_id"),
-                  unix_micros(col("ts")).as("us"), col("event_type"))
-          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-          .where(col("prev_type").isNotNull)
-          .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+      fn = (s, d) =>
+        // two-level lag (see twoLevelLag): the bigram's left element comes
+        // from per-(user, day) windows plus the boundary stitch
+        twoLevelLag(
+          Tables.events(s, d)
+            .select(col("user_id"), col("event_id"),
+                    unix_micros(col("ts")).as("us"), col("event_type")),
+          Seq("event_type"))
+          .where(col("prev_event_type").isNotNull)
+          .groupBy(col("prev_event_type").as("from_type"),
+                   col("event_type").as("to_type"))
           .agg(count(lit(1)).as("n"))
-          .orderBy("from_type", "to_type")
-      },
+          .orderBy("from_type", "to_type"),
       oracle = Some("""
         WITH seq AS (
           SELECT user_id, event_type,
@@ -434,16 +516,41 @@ object Events {
     // count grouping trick; all time math in integer microseconds.
     "e12_attribution" -> Q(
       fn = (s, d) => {
+        // TWO-LEVEL running last-non-null: the last touch at-or-before a
+        // purchase is either (a) the within-(user, day) last touch up to
+        // the row, or — when the purchase's day has no earlier touch —
+        // (b) the latest touch of any PRIOR day, carried via a per-user
+        // exclusive window over the (user x active-day)-sized bucket
+        // summary (e11's running-max shape generalized to last-non-null).
+        // A hot user's attribution therefore distributes across days.
         val isTouch = col("event_type").isin("click", "view")
-        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.events(s, d)
+        val base = Tables.events(s, d)
           .select(col("user_id"), col("event_id"), col("event_type"),
                   unix_micros(col("ts")).as("us"))
-          .withColumn("touch_us",
-            last(when(isTouch, col("us")), ignoreNulls = true).over(w))
-          .withColumn("touch_type",
-            last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+          .withColumn("bucket", expr(s"us div $BucketUs"))
+          .persist() // two consumers: within windows + the bucket summary
+        PipelineCache.retain(base)
+        val wIn = Window.partitionBy("user_id", "bucket").orderBy("us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wOff = Window.partitionBy("user_id").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        // latest touch per (user, day): max of the (us, event_id, type)
+        // struct over touch rows (lexicographic = event order); NULL for
+        // touchless days, skipped by the carry's ignoreNulls
+        val carry = base.groupBy("user_id", "bucket")
+          .agg(max(when(isTouch,
+                 struct(col("us"), col("event_id"), col("event_type")))).as("lt"))
+          .withColumn("cl", last(col("lt"), ignoreNulls = true).over(wOff))
+          .select(col("user_id"), col("bucket"),
+                  col("cl.us").as("c_us"), col("cl.event_type").as("c_ty"))
+        base
+          .withColumn("w_us",
+            last(when(isTouch, col("us")), ignoreNulls = true).over(wIn))
+          .withColumn("w_ty",
+            last(when(isTouch, col("event_type")), ignoreNulls = true).over(wIn))
+          .join(carry, Seq("user_id", "bucket"))
+          .withColumn("touch_us", coalesce(col("w_us"), col("c_us")))
+          .withColumn("touch_type", coalesce(col("w_ty"), col("c_ty")))
           .where(col("event_type") === "purchase")
           .withColumn("channel",
             when(col("touch_us").isNotNull &&
@@ -568,11 +675,14 @@ object Events {
     // when exact ordering stops being affordable.
     "e13_dwell_percentiles" -> Q(
       fn = (s, d) => {
-        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-        Tables.events(s, d)
-          .select(col("user_id"), col("event_id"), col("event_type"),
-                  unix_micros(col("ts")).as("us"))
-          .withColumn("gap_us", col("us") - lag("us", 1).over(w))
+        // two-level lag (see twoLevelLag): a hot user's gaps distribute
+        // across (user, day) tasks instead of one serialized window
+        twoLevelLag(
+          Tables.events(s, d)
+            .select(col("user_id"), col("event_id"), col("event_type"),
+                    unix_micros(col("ts")).as("us")),
+          Seq("us"))
+          .withColumn("gap_us", col("us") - col("prev_us"))
           .where(col("gap_us").isNotNull)
           .groupBy("event_type")
           .agg(count(lit(1)).as("n_gaps"),

@@ -241,4 +241,119 @@ class TwoLevelWindowSpec extends AnyFunSuite {
       s"crafted aa stratum's top-5 sits in one h bucket ($aaBuckets) — edge untested")
     cleanup()
   }
+
+  test("two-level lag family (e3/e7/e12/e13) equals the single-window formulations") {
+    import spark.implicits._
+    // One corpus, every boundary edge the per-(user, day) rewrites must
+    // survive:
+    //  u1: three rows in one bucket (within-pass baseline; one session)
+    //  u2: rows at day-1 / day / day+1 — adjacent ACROSS the bucket edge
+    //      with tiny gaps, so the session must MERGE across buckets and
+    //      the cross-bucket lag is exercised at distance 1
+    //  u3: two rows separated by an EMPTY day bucket — the boundary
+    //      subsequence must bridge non-adjacent buckets, and e12's carry
+    //      must skip the touchless gap
+    //  u4: a lone row (lag null; 1-session; purchase with no touch)
+    //  u5: us TIE exactly at the bucket edge, broken by event_id
+    //  u6: purchase whose only touch lies in the PREVIOUS day (carry) but
+    //      outside the 1h lookback — touch found, yet unattributed; then
+    //      a same-day click+purchase pair that attributes
+    //  u7: gap of exactly 30min straddling the edge (== threshold is NOT
+    //      a session break; pins the > vs >= boundary under the rewrite)
+    val day = 86400000000L
+    val t0 = 1700000000000000L - (1700000000000000L % day)
+    val evs = Seq(
+      (1L, 10L, "view", t0 + 1000000L), (1L, 11L, "click", t0 + 2000000L),
+      (1L, 12L, "purchase", t0 + 3000000L),
+      (2L, 20L, "view", t0 + day - 1L), (2L, 21L, "click", t0 + day),
+      (2L, 22L, "purchase", t0 + day + 1L),
+      (3L, 30L, "click", t0 + 100L), (3L, 31L, "purchase", t0 + 2 * day + 5L),
+      (4L, 40L, "purchase", t0 + 50L),
+      (5L, 50L, "view", t0 + day), (5L, 51L, "purchase", t0 + day),
+      (6L, 60L, "view", t0 + day - 7200000000L), // 2h before its purchase
+      (6L, 61L, "purchase", t0 + day + 10L),
+      (6L, 62L, "click", t0 + day + 100L), (6L, 63L, "purchase", t0 + day + 200L),
+      (7L, 70L, "view", t0 + day - 900000000L), (7L, 71L, "view", t0 + day + 900000000L)
+    )
+    val dir = java.nio.file.Files.createTempDirectory("twolevel_lag").toString
+    evs.toDF("user_id", "event_id", "event_type", "us")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+              col("user_id"), col("event_type"),
+              lit(0.0).as("value"), lit("").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def base = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+              col("ts"), unix_micros(col("ts")).as("us"))
+
+    // e13 reference: single-window inter-arrival gaps
+    val e13Exp = base
+      .withColumn("gap_us", col("us") - lag("us", 1).over(w))
+      .where(col("gap_us").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max("gap_us").as("mx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val e13Got = graft.SparkEntry.queries("e13_dwell_percentiles")(spark, dir)
+      .select("event_type", "n_gaps", "max_us")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    cleanup()
+    assert(e13Got == e13Exp, s"e13: expected $e13Exp got $e13Got")
+
+    // e7 reference: single-window bigrams
+    val e7Exp = base
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val e7Got = graft.SparkEntry.queries("e7_transition_matrix")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    cleanup()
+    assert(e7Got == e7Exp, s"e7: expected $e7Exp got $e7Got")
+
+    // e3 reference: single-window sessionization
+    val e3Exp = base
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_s").over(wCum))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("st"), max("ts").as("en"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2).toString,
+                           r.get(3).toString, r.getLong(4))).toSet
+    val e3Got = graft.SparkEntry.queries("e3_sessionization")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2).toString,
+                           r.get(3).toString, r.getLong(4))).toSet
+    cleanup()
+    assert(e3Got == e3Exp, s"e3: expected $e3Exp got $e3Got")
+    // u2's session must SPAN the bucket edge (3 events, one session), and
+    // u7's ==30min gap must not split
+    assert(e3Exp.exists(s => s._1 == 2L && s._5 == 3L), s"u2 session split: $e3Exp")
+    assert(e3Exp.count(_._1 == 7L) == 1, s"u7 ==threshold gap split a session: $e3Exp")
+    assert(e3Exp.count(_._1 == 3L) == 2, s"u3 empty-day gap must split: $e3Exp")
+
+    // e12 reference: single-window last-touch attribution
+    val isTouch = col("event_type").isin("click", "view")
+    val e12Exp = base
+      .withColumn("touch_us", last(when(isTouch, col("us")), ignoreNulls = true).over(wCum))
+      .withColumn("touch_type", last(when(isTouch, col("event_type")), ignoreNulls = true).over(wCum))
+      .where(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("touch_us").isNotNull &&
+             col("us") - col("touch_us") <= 3600000000L, col("touch_type"))
+          .otherwise("unattributed"))
+      .groupBy("channel").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val e12Got = graft.SparkEntry.queries("e12_attribution")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    cleanup()
+    assert(e12Got == e12Exp, s"e12: expected $e12Exp got $e12Got")
+    // the corpus must exercise both the carry (u3: cross-empty-day click)
+    // and the carried-but-stale edge (u6's first purchase): attributed and
+    // unattributed channels both present
+    assert(e12Exp.exists(_._1 == "unattributed") && e12Exp.exists(_._1 != "unattributed"),
+      s"crafted corpus lost an attribution class: $e12Exp")
+  }
 }
