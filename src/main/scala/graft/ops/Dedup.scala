@@ -621,8 +621,11 @@ object Dedup {
         // ~20-row sample consumed by both join sides: persist once so the
         // pair enumeration reads the cache, not documents 4x (the union
         // inside withPlantedDups doubles every downstream scan).
+        // Narrow persist: the pair join reads only (doc_id, text) — caching
+        // lang/source/n_chars too was a read-width audit find.
         val base = withPlantedDups(s, d)
           .where(col("doc_id") < 10 || (col("doc_id") >= 1000000L && col("doc_id") < 1000010L))
+          .select("doc_id", "text")
           .persist()
         PipelineCache.retain(base)
         val a = base.where(col("doc_id") < 10)
@@ -731,10 +734,12 @@ object Dedup {
         graft.GraftExtensions.register(s)
         // ~75-row fingerprinted sample read by both join sides: persist so
         // the Hamming all-pairs reads the cache, not documents 4x.
+        // Narrow persist: only (doc_id, simhash) survive to the all-pairs
+        // join — see d7's read-width note.
         val sample = withPlantedDups(s, d)
           .where(col("doc_id") < 50 || col("doc_id") >= 1000000L)
           .withColumn("wh", portableWordHashes("text"))
-          .withColumn("simhash", portableSimhash("wh"))
+          .select(col("doc_id"), portableSimhash("wh").as("simhash"))
           .persist()
         PipelineCache.retain(sample)
         val a = sample.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
@@ -780,10 +785,13 @@ object Dedup {
     // SimHash near-dup pairs on a sample incl. planted variants.
     "d7_simhash" -> Q(
       fn = (s, d) => {
+        // Persist only (doc_id, simhash): caching the pre-projection frame
+        // materialized text + lang + source + n_chars + the whash array for
+        // a consumer that reads two columns (read-width audit find).
         val sample = Dedup.withPlantedDups(s, d)
           .where(col("doc_id") < 50 || col("doc_id") >= 1000000L)
           .withColumn("whash", expr("transform(split(text, ' '), w -> xxhash64(w))"))
-          .withColumn("simhash", simhash32("whash"))
+          .select(col("doc_id"), simhash32("whash").as("simhash"))
           .persist()
         PipelineCache.retain(sample)
         val a = sample.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))

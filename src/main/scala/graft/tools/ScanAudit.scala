@@ -71,6 +71,42 @@ object ScanAudit {
     self ++ (children ++ plan.subqueries).flatMap(exchangeKeys)
   }
 
+  /** Per-relation READ WIDTH: for every parquet scan under `plan`, the
+    * number of top-level fields Spark actually reads from the file
+    * (`requiredSchema` — the post-column-pruning schema, what appears as
+    * ReadSchema in explain output), reduced to the MAX per relation.
+    * Same traversal contract as [[relationScans]]. A query that projects
+    * 3 columns but scans all 16 of lineitem ships a 5x I/O bug that is
+    * invisible at test scale and dominant at 100 TB; the width census is
+    * pinned per query so a refactor that defeats pruning (an opaque UDF
+    * over the whole row, a `select *` feeding a cache, a union forcing
+    * schema widening) fails the build naming the query and relation.
+    */
+  def readWidths(plan: SparkPlan): Map[String, Int] = {
+    def walk(p: SparkPlan): Seq[(String, Int)] = {
+      val self = p match {
+        case f: FileSourceScanExec =>
+          Seq(f.relation.location.rootPaths.map(_.getName).sorted.mkString(",")
+            -> f.requiredSchema.size)
+        case _ => Seq.empty
+      }
+      val children: Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        // A cached subtree's scans DO run (once, at cache build) — the
+        // width of what they read matters at scale just as much, so the
+        // walk descends into InMemoryTableScan's cached plan, unlike the
+        // scan-count audit (which de-duplicates executions, not bytes).
+        case m: InMemoryTableScanExec =>
+          Seq(m.relation.cachedPlan)
+        case _: ReusedExchangeExec    => Seq.empty
+        case other                    => other.children
+      }
+      self ++ (children ++ p.subqueries).flatMap(walk)
+    }
+    walk(plan).groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+  }
+
   /** Count of RANGE-partitioned shuffle exchanges under `plan` (same
     * traversal contract as [[exchangeKeys]]). A query's final orderBy
     * legitimately contributes one; a SECOND range exchange is a mid-plan
@@ -143,13 +179,17 @@ object ScanAudit {
         // an aggregate. ExchangeBudgetSpec pins these per query.
         val nShuffle = exchangeKeys(df.queryExecution.executedPlan).size
         val nRange = rangeExchanges(df.queryExecution.executedPlan)
+        // Read-width census (post-pruning ReadSchema field count per
+        // relation, cached subtrees included) — ExchangeBudgetSpec pins it.
+        val widths = readWidths(df.queryExecution.executedPlan).toSeq.sorted
+          .map { case (r, w) => s"$r=$w" }.mkString(",")
         // Same relation executed 3+ times with nothing cached: the
         // multi-consumer rebuild class. 2 scans of one table is normal
         // (self-joins: a/b sides of a pair enumeration).
         if (worst._2 >= 3 && cached == 0)
-          println(s"SCANAUDIT SUSPECT $name max=${worst._2} cached=$cached shuffles=$nShuffle ranges=$nRange [$detail]")
+          println(s"SCANAUDIT SUSPECT $name max=${worst._2} cached=$cached shuffles=$nShuffle ranges=$nRange [$detail] widths[$widths]")
         else
-          println(s"SCANAUDIT ok $name max=${worst._2} cached=$cached shuffles=$nShuffle ranges=$nRange [$detail]")
+          println(s"SCANAUDIT ok $name max=${worst._2} cached=$cached shuffles=$nShuffle ranges=$nRange [$detail] widths[$widths]")
       } catch { case e: Exception =>
         println(s"SCANAUDIT ERROR $name ${e.getClass.getSimpleName}: " +
           Option(e.getMessage).getOrElse("").linesIterator.take(3).mkString(" | "))
