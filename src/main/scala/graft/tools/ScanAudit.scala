@@ -107,6 +107,35 @@ object ScanAudit {
     walk(plan).groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
   }
 
+  /** Widest SHUFFLED ROW under `plan`: max over every shuffle exchange
+    * (hash AND range) of the exchange output row's Catalyst defaultSize
+    * in bytes. Same traversal contract as [[exchangeKeys]]. This is the
+    * shuffle-BYTES companion of [[readWidths]]'s scan-bytes budget: the
+    * exchange-count audit bounds how often data moves, this bounds how
+    * WIDE each moved row is — the class it catches is a heavy column
+    * (document text, the props JSON blob, a hash array) riding a shuffle
+    * whose consumer needs two ids, which multiplies network + spill
+    * volume at 100 TB while local fixtures barely notice. defaultSize is
+    * a static proxy (strings count 20 regardless of content), which is
+    * exactly what a deterministic pin needs: adding a column to a
+    * shuffle moves the number, data growth does not.
+    */
+  def maxShuffleRowBytes(plan: SparkPlan): Int = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val self = plan match {
+      case e: ShuffleExchangeExec => e.output.map(_.dataType.defaultSize).sum
+      case _ => 0
+    }
+    val children: Seq[SparkPlan] = plan match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case _: InMemoryTableScanExec => Seq.empty
+      case _: ReusedExchangeExec    => Seq.empty
+      case p                        => p.children
+    }
+    (self +: (children ++ plan.subqueries).map(maxShuffleRowBytes)).max
+  }
+
   /** Count of RANGE-partitioned shuffle exchanges under `plan` (same
     * traversal contract as [[exchangeKeys]]). A query's final orderBy
     * legitimately contributes one; a SECOND range exchange is a mid-plan
@@ -183,13 +212,14 @@ object ScanAudit {
         // relation, cached subtrees included) — ExchangeBudgetSpec pins it.
         val widths = readWidths(df.queryExecution.executedPlan).toSeq.sorted
           .map { case (r, w) => s"$r=$w" }.mkString(",")
+        val shBytes = maxShuffleRowBytes(df.queryExecution.executedPlan)
         // Same relation executed 3+ times with nothing cached: the
         // multi-consumer rebuild class. 2 scans of one table is normal
         // (self-joins: a/b sides of a pair enumeration).
         if (worst._2 >= 3 && cached == 0)
-          println(s"SCANAUDIT SUSPECT $name max=${worst._2} cached=$cached shuffles=$nShuffle ranges=$nRange [$detail] widths[$widths]")
+          println(s"SCANAUDIT SUSPECT $name max=${worst._2} cached=$cached shuffles=$nShuffle ranges=$nRange shbytes=$shBytes [$detail] widths[$widths]")
         else
-          println(s"SCANAUDIT ok $name max=${worst._2} cached=$cached shuffles=$nShuffle ranges=$nRange [$detail] widths[$widths]")
+          println(s"SCANAUDIT ok $name max=${worst._2} cached=$cached shuffles=$nShuffle ranges=$nRange shbytes=$shBytes [$detail] widths[$widths]")
       } catch { case e: Exception =>
         println(s"SCANAUDIT ERROR $name ${e.getClass.getSimpleName}: " +
           Option(e.getMessage).getOrElse("").linesIterator.take(3).mkString(" | "))
