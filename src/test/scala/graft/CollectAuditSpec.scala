@@ -82,4 +82,43 @@ class CollectAuditSpec extends AnyFunSuite {
         s"within 6 lines above, or cap the group first):\n  " +
         offenders.mkString("\n  "))
   }
+
+  test("no nondeterministic expressions in the engine layers") {
+    // Retry-safety: at cluster scale tasks are RE-EXECUTED (failure
+    // retry, speculative execution, stage re-run after fetch failure)
+    // and rand()/monotonically_increasing_id()/uuid() produce DIFFERENT
+    // values on the retry. Anything derived from them — a sample
+    // membership, a salted key, a generated id — silently changes
+    // between attempts, so the same query can emit rows that were
+    // filtered differently on different executors. Every sampling/
+    // salting site in the engine uses deterministic hash surrogates
+    // (xxhash64 of the row key) instead; this lint keeps it that way.
+    // A site that genuinely needs nondeterminism must carry a
+    // `retry-safe:` justification comment within 6 lines.
+    import scala.jdk.CollectionConverters._
+    val pat = java.util.regex.Pattern.compile(
+      "\\brand\\(|\\brandn\\(|monotonically_increasing_id|\\buuid\\(\\)")
+    val offenders = auditedDirs.flatMap { dir =>
+      val root = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.isDirectory(root)) Seq.empty
+      else java.nio.file.Files.walk(root).iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .flatMap { f =>
+          val lines = java.nio.file.Files.readAllLines(f).asScala.toVector
+          lines.zipWithIndex.collect {
+            case (line, i)
+                if pat.matcher(line).find() && !line.trim.startsWith("//") && {
+                  val windowStart = math.max(0, i - 6)
+                  !(windowStart to i).exists(j => lines(j).contains("retry-safe"))
+                } =>
+              s"$f:${i + 1}"
+          }
+        }.toSeq
+    }
+    assert(offenders.isEmpty,
+      "nondeterministic expression in the engine layers (task retries and " +
+        "speculative execution re-evaluate it with different results; use a " +
+        "deterministic hash surrogate, or justify with a 'retry-safe:' comment " +
+        s"within 6 lines above):\n  " + offenders.mkString("\n  "))
+  }
 }
