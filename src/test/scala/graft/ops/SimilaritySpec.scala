@@ -163,4 +163,18 @@ class SimilaritySpec extends AnyFunSuite {
       .where(col("ed") =!= col("hd") || col("en") =!= col("hn"))
     assert(bad.isEmpty, "codegen expressions diverged from the HOF math")
   }
+
+  test("adaptive band width switches at the measured 12.8k-vector knee") {
+    // The knee is MEASURED, not arbitrary (DedupScaleProbe: at 50k
+    // vectors 8-bit bands emit 448 candidates/vector — quadratic regime —
+    // vs 3.3 for 16-bit; at the salted 100x corpus the 16-bit choice is
+    // 2.5M candidates/1.4s vs 187M/45s). d22's judged path AND its
+    // oracle's size-guarded union both dispatch on this function, so a
+    // drive-by edit to the threshold would silently desynchronize query
+    // and oracle at exactly one corpus size — pin the boundary.
+    assert(Similarity.scaledBandBits(1L) == 8)
+    assert(Similarity.scaledBandBits(50L << 8) == 8)       // 12,800: last 8-bit size
+    assert(Similarity.scaledBandBits((50L << 8) + 1) == 16)
+    assert(Similarity.scaledBandBits(200000L) == 16)       // the probed 100x corpus
+  }
 }
