@@ -167,10 +167,12 @@ object Bench {
       val outDir = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out"))
       java.nio.file.Files.createDirectories(outDir)
-      // bench_latest.json is the durable FULL-SURFACE artifact; a targeted
-      // SPARK_GRAFT_ONLY probe must not clobber it with a 5-query subset —
-      // subset runs land only in the history log, marked as such.
-      if (only.isEmpty)
+      // bench_latest.json is the durable FULL-SURFACE artifact at the
+      // JUDGED fixtures; neither a targeted SPARK_GRAFT_ONLY probe nor a
+      // full-surface sweep over a synthesized scale corpus (/tmp/sf10
+      // etc.) may clobber it — those land only in the history log, which
+      // carries the sf field for attribution.
+      if (only.isEmpty && sfDir.startsWith("/root/testdata/"))
         java.nio.file.Files.write(outDir.resolve("bench_latest.json"),
           (fullLine + "\n").getBytes("UTF-8"))
       val subsetTag = if (only.isEmpty) "" else "\"subset\":true,"
