@@ -41,13 +41,22 @@ object Dedup {
 
   /** Word 3-gram shingles (distinct), via try_element_at so short docs
     * yield null-free behavior identical to SQL `||` null propagation.
+    *
+    * The split is bound ONCE as the outer transform's input (a
+    * one-element array the lambda receives as `ws`): writing
+    * `try_element_at(split(text), i)` inside the index lambda re-ran the
+    * full split PER TRIGRAM — ArrayTransform is CodegenFallback, so
+    * nothing hoists it — which is O(n_words x n_chars) per document:
+    * invisible on 200-word fixtures, 20+ minutes on one 2M-char document
+    * (the monster-doc sweep's second find, after d47's Generate carry).
     */
   def shingles(textCol: String): Column =
     array_distinct(expr(
-      s"""transform(sequence(1, greatest(size(split($textCol, ' ')) - 2, 1)),
-         i -> concat(try_element_at(split($textCol, ' '), i), ' ',
-                     try_element_at(split($textCol, ' '), i + 1), ' ',
-                     try_element_at(split($textCol, ' '), i + 2)))"""))
+      s"""flatten(transform(array(split($textCol, ' ')), ws ->
+            transform(sequence(1, greatest(size(ws) - 2, 1)),
+              i -> concat(try_element_at(ws, i), ' ',
+                          try_element_at(ws, i + 1), ' ',
+                          try_element_at(ws, i + 2)))))"""))
 
   /** Positive shingle hashes: xxhash64 mod P, computed ONCE per row (the
     * k permutations below reuse this array — hashing the strings k times
@@ -547,10 +556,19 @@ object Dedup {
     */
   private[graft] def substringDedup(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // n_words is computed BELOW the explode on purpose: written in the
+    // same select as posexplode, size(ws) lands in the Project ABOVE the
+    // Generate node, which forces the whole ws array into Generate's
+    // requiredChildOutput — and GenerateExec then copies the full word
+    // array into EVERY emitted window row (n_windows x n_words bytes =
+    // quadratic per document; a single 5M-char document ground one core
+    // for 20+ minutes, found by the monster-doc probe). With n_words
+    // materialized first, the Generate carries only (doc_id, n_words).
     val wins = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .where(size(col("ws")) >= k)
-      .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"), col("ws"))
+      .select(col("doc_id"), col("n_words"),
               posexplode(expr(
                 s"transform(sequence(0, size(ws)-$k), i -> concat_ws(' ', slice(ws, i+1, $k)))"))
                 .as(Seq("pos", "win")))
@@ -628,10 +646,18 @@ object Dedup {
           .select("doc_id", "text")
           .persist()
         PipelineCache.retain(base)
+        // Edit distance over the first 10k chars of each side (a no-op on
+        // the fixtures — max text 577 chars — proven by the unchanged
+        // oracle hash): Levenshtein DP is O(len_a x len_b), so a single
+        // web-scale outlier document (one 500k-char doc in the monster
+        // sweep) costs 10^10+ cells per pair with no cap. 10k chars is
+        // dedup-grade signal; the contract is documented here and
+        // mirrored in the oracle's substr.
+        val LevCap = 10000
         val a = base.where(col("doc_id") < 10)
-          .select(col("doc_id").as("doc_a"), col("text").as("ta"))
+          .select(col("doc_id").as("doc_a"), substring(col("text"), 1, LevCap).as("ta"))
         val b = base
-          .select(col("doc_id").as("doc_b"), col("text").as("tb"))
+          .select(col("doc_id").as("doc_b"), substring(col("text"), 1, LevCap).as("tb"))
         a.join(b, col("doc_a") < col("doc_b"))
           .select(col("doc_a"), col("doc_b"),
                   levenshtein(col("ta"), col("tb")).cast("long").as("dist"),
@@ -648,13 +674,14 @@ object Dedup {
           SELECT doc_id, text FROM documents WHERE doc_id < 10
           UNION ALL
           SELECT doc_id + 1000000, text || ' planted near dup' FROM documents WHERE doc_id < 10),
+        c AS (SELECT doc_id, substr(text, 1, 10000) AS text FROM base),
         p AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
                  1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
                    NULLIF(greatest(length(a.text), length(b.text)), 0) AS sim_ratio,
                  b.doc_id - a.doc_id = 1000000 AS is_planted
-          FROM base a JOIN base b ON a.doc_id < b.doc_id
+          FROM c a JOIN c b ON a.doc_id < b.doc_id
           WHERE a.doc_id < 10)
         SELECT * FROM p ORDER BY doc_a, doc_b"""),
       doc = "exact Levenshtein near-dup on a bounded pair set"

@@ -465,7 +465,18 @@ object TextOps {
     // residual count that the oracle confirms is zero after scrubbing.
     "d19_pii_scrub" -> Q(
       fn = (s, d) => {
-        val pat = "[a-z0-9]+@[a-z0-9.]+[a-z]"
+        // RFC-BOUNDED repetitions, not open-ended `+`: with `[a-z0-9]+@`,
+        // java.util.regex re-consumes an unbroken alnum run from EVERY
+        // start position (possessive quantifiers stop backtracking but
+        // not the per-position restart), so one degenerate 300k-char
+        // token costs O(len^2) = ~10^11 char reads across the four regex
+        // evaluations — the monster-doc sweep's find. Bounding the local
+        // part at RFC 5321's 64 chars and the domain at 253 makes each
+        // position O(64) — linear overall — and is the semantics a PII
+        // scrubber wants anyway (only valid-shaped emails are PII). The
+        // same bounded pattern runs verbatim in the DuckDB oracle, so
+        // both engines scrub identically by construction.
+        val pat = "[a-z0-9]{1,64}@[a-z0-9.]{1,253}[a-z]"
         val withPii = when(col("doc_id") % 10 === 0,
           concat(col("text"), lit(" contact user"), col("doc_id"), lit("@example.com")))
           .otherwise(col("text"))
@@ -487,11 +498,11 @@ object TextOps {
                       ELSE text END AS t
           FROM documents)
         SELECT doc_id,
-               CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9.]+[a-z]')) AS BIGINT) AS n_pii,
-               md5(regexp_replace(t, '[a-z0-9]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g')) AS scrubbed_md5,
+               CAST(len(regexp_extract_all(t, '[a-z0-9]{1,64}@[a-z0-9.]{1,253}[a-z]')) AS BIGINT) AS n_pii,
+               md5(regexp_replace(t, '[a-z0-9]{1,64}@[a-z0-9.]{1,253}[a-z]', '<EMAIL>', 'g')) AS scrubbed_md5,
                CAST(len(regexp_extract_all(
-                 regexp_replace(t, '[a-z0-9]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
-                 '[a-z0-9]+@[a-z0-9.]+[a-z]')) AS BIGINT) AS n_residual
+                 regexp_replace(t, '[a-z0-9]{1,64}@[a-z0-9.]{1,253}[a-z]', '<EMAIL>', 'g'),
+                 '[a-z0-9]{1,64}@[a-z0-9.]{1,253}[a-z]')) AS BIGINT) AS n_residual
         FROM p ORDER BY doc_id LIMIT 1000"""),
       doc = "PII scrubbing: planted emails redacted, zero residual proven"
     ),

@@ -157,6 +157,58 @@ object EmptyInputProbe {
     }
   }
 
+  /** Monster-document fixture: one ~500k-char document (75k words) and
+    * one ~300k-char single WORD (no spaces — the per-word char-loop
+    * stressor), plus a ~100k-char JSON props blob on one event, over an
+    * otherwise tiny (40-row) corpus. The class this catches is PER-ROW state that
+    * is super-linear in document length — the d47 find: a Generate node
+    * carrying the exploded word array into every emitted window row
+    * turned one 5M-char document into 20+ minutes of single-core memcpy
+    * (n_windows x n_words bytes). Linear per-row work on 500k chars is
+    * well under a second; anything quadratic (~4e10 char ops) blows the
+    * sweep's per-query timeout. The document is deliberately NOT bigger:
+    * a cancelled quadratic task ignores interrupts and grinds to
+    * completion, and at 2M chars four leaked offenders generated enough
+    * allocation pressure to wedge the whole local[32] JVM (driver RPCs
+    * timing out) — at 500k chars a leaked task dies off in ~a minute.
+    * Only doc 0 is monstrous so bounded all-pairs samples (d13
+    * levenshtein) pair the monster with NORMAL docs — monster x monster
+    * edit distance is legitimately quadratic and not a totality claim.
+    */
+  def writeMonsterFixture(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    // deterministic LCG over an 8-word vocabulary; ~75k words ~ 480k chars
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    val sb = new StringBuilder(512 * 1024)
+    var st = 42L
+    var i = 0
+    while (i < 75000) {
+      st = (st * 6364136223846793005L + 1442695040888963407L)
+      if (i > 0) sb.append(' ')
+      sb.append(vocab(((st >>> 33) % vocab.length).toInt))
+      i += 1
+    }
+    val monsterText = sb.toString
+    val monsterWord = "z" * 300000
+    val monsterProps = """{"k":3,"blob":"""" + ("x" * 100000) + """"}"""
+    val overrides: Map[String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = Map(
+      "documents" -> (df => df
+        .withColumn("text",
+          when(col("doc_id") === 0, lit(monsterText))
+            .when(col("doc_id") === 1, lit(monsterWord))
+            .otherwise(col("text")))
+        .withColumn("n_chars", length(col("text")).cast("long"))),
+      "events" -> (df => df
+        .withColumn("props",
+          when(col("event_id") === 0, lit(monsterProps)).otherwise(col("props"))))
+    )
+    Tables.foreach { t =>
+      val base = spark.read.parquet(s"$srcDir/$t.parquet").limit(40)
+      overrides.getOrElse(t, identity[org.apache.spark.sql.DataFrame] _)(base)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dstDir/$t.parquet")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -172,10 +224,11 @@ object EmptyInputProbe {
     val mode = args.lift(1).getOrElse("0")
     val dst = java.nio.file.Files.createTempDirectory("graft_empty").toString
     mode match {
-      case "null" => writeNulledFixture(spark, src, dst)
-      case "skew" => writeSkewedFixture(spark, src, dst)
-      case "adv"  => writeAdversarialFixture(spark, src, dst)
-      case n      => writeTruncatedFixture(spark, src, dst, n.toInt)
+      case "null"    => writeNulledFixture(spark, src, dst)
+      case "skew"    => writeSkewedFixture(spark, src, dst)
+      case "adv"     => writeAdversarialFixture(spark, src, dst)
+      case "monster" => writeMonsterFixture(spark, src, dst)
+      case n         => writeTruncatedFixture(spark, src, dst, n.toInt)
     }
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -136,6 +136,41 @@ object ScanAudit {
     (self +: (children ++ plan.subqueries).map(maxShuffleRowBytes)).max
   }
 
+  /** Variable-width columns carried through a Generate (explode) node:
+    * for every GenerateExec under `plan`, the names of requiredChildOutput
+    * attributes with variable-length types (string/array/map/struct).
+    * GenerateExec copies requiredChildOutput into EVERY emitted row, so a
+    * big array or text column riding an explode multiplies as
+    * n_generated x sizeof(column) per input row — quadratic per document
+    * when the carried column is the very array being exploded over. This
+    * is the d47 bug class (size(ws) computed in the select ABOVE the
+    * posexplode forced the whole word array into the carry; one 5M-char
+    * document ground a core for 20+ minutes). Fixed-width carries (ids,
+    * counts) are free; variable-width ones must be justified.
+    */
+  def generateCarries(plan: SparkPlan): Seq[(String, String)] = {
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.types.{ArrayType, MapType, StringType, StructType, BinaryType}
+    def variable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case StringType | BinaryType | _: ArrayType | _: MapType | _: StructType => true
+      case _ => false
+    }
+    val self = plan match {
+      case g: GenerateExec =>
+        g.requiredChildOutput.filter(a => variable(a.dataType))
+          .map(a => a.name -> a.dataType.simpleString)
+      case _ => Seq.empty
+    }
+    val children: Seq[SparkPlan] = plan match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case m: InMemoryTableScanExec => Seq(m.relation.cachedPlan)
+      case _: ReusedExchangeExec    => Seq.empty
+      case p                        => p.children
+    }
+    self ++ (children ++ plan.subqueries).flatMap(generateCarries)
+  }
+
   /** Count of RANGE-partitioned shuffle exchanges under `plan` (same
     * traversal contract as [[exchangeKeys]]). A query's final orderBy
     * legitimately contributes one; a SECOND range exchange is a mid-plan
@@ -213,13 +248,15 @@ object ScanAudit {
         val widths = readWidths(df.queryExecution.executedPlan).toSeq.sorted
           .map { case (r, w) => s"$r=$w" }.mkString(",")
         val shBytes = maxShuffleRowBytes(df.queryExecution.executedPlan)
+        val gcarry = generateCarries(df.queryExecution.executedPlan)
+          .map { case (n, t) => s"$n:$t" }.distinct.sorted.mkString(",")
         // Same relation executed 3+ times with nothing cached: the
         // multi-consumer rebuild class. 2 scans of one table is normal
         // (self-joins: a/b sides of a pair enumeration).
         if (worst._2 >= 3 && cached == 0)
-          println(s"SCANAUDIT SUSPECT $name max=${worst._2} cached=$cached shuffles=$nShuffle ranges=$nRange shbytes=$shBytes [$detail] widths[$widths]")
+          println(s"SCANAUDIT SUSPECT $name max=${worst._2} cached=$cached shuffles=$nShuffle ranges=$nRange shbytes=$shBytes [$detail] widths[$widths] gencarry[$gcarry]")
         else
-          println(s"SCANAUDIT ok $name max=${worst._2} cached=$cached shuffles=$nShuffle ranges=$nRange shbytes=$shBytes [$detail] widths[$widths]")
+          println(s"SCANAUDIT ok $name max=${worst._2} cached=$cached shuffles=$nShuffle ranges=$nRange shbytes=$shBytes [$detail] widths[$widths] gencarry[$gcarry]")
       } catch { case e: Exception =>
         println(s"SCANAUDIT ERROR $name ${e.getClass.getSimpleName}: " +
           Option(e.getMessage).getOrElse("").linesIterator.take(3).mkString(" | "))

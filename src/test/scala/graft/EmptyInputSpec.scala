@@ -97,4 +97,46 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(failures.isEmpty,
       s"queries crashing on null-valued input:\n  ${failures.mkString("\n  ")}")
   }
+
+  test("all registered queries execute on a monster-document fixture within the time budget") {
+    // One ~500k-char document (and one ~300k-char single word, one
+    // ~100k-char props blob) over a tiny corpus. Totality here is about TIME, not
+    // just crashes: per-row state that is super-linear in document length
+    // works at fixture scale and grinds forever on the web-scale outlier
+    // document every real corpus contains. The probe that seeded this
+    // sweep found d47 copying the exploded word array into every window
+    // row (Generate requiredChildOutput — 20+ minutes of memcpy for one
+    // 5M-char doc); linear engines finish this sweep in seconds per
+    // query, so a generous per-query timeout separates the classes. The
+    // timed-out query's Spark jobs are cancelled via its job group so one
+    // offender cannot wedge the suite.
+    import scala.concurrent.{Await, Future, TimeoutException}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dst = java.nio.file.Files.createTempDirectory("graft_monster_spec").toString
+    graft.tools.EmptyInputProbe.writeMonsterFixture(spark, SparkTestBase.Sf0001, dst)
+    val budget = 90.seconds
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val group = s"monster-$name"
+      val fut = Future {
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+        try fn(spark, dst).collect()
+        finally spark.sparkContext.clearJobGroup()
+      }
+      val r = try { Await.result(fut, budget); None } catch {
+        case _: TimeoutException =>
+          spark.sparkContext.cancelJobGroup(group)
+          Some(s"$name: exceeded ${budget.toSeconds}s on a 500k-char document " +
+            "(super-linear per-row state? check Generate carries / per-char loops)")
+        case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" | "))
+      }
+      graft.ops.PipelineCache.release()
+      spark.sharedState.cacheManager.clearCache()
+      r
+    }
+    assert(failures.isEmpty,
+      s"queries failing the monster-document sweep:\n  ${failures.mkString("\n  ")}")
+  }
 }
