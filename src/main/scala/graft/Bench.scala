@@ -20,11 +20,76 @@ import org.apache.spark.sql.SparkSession
   *  - a warm-up pass exercises codegen, parquet reader, shuffle and
   *    broadcast machinery once, so per-query numbers measure the engine,
   *    not first-use JIT/classloading.
+  *
+  * Contention honesty (round-10): the judged BENCH_r09 headline came in
+  * 66% above the same HEAD's quiet-box sweeps because the driver's
+  * capture ran alongside other heavy processes and the artifact recorded
+  * nothing about machine state. The artifact now carries (a) host load
+  * average + this process's CPU share before/after, (b) an explicit
+  * "contended" verdict derived from the EXTERNAL load (host load minus
+  * our own average core usage) that is re-emitted on the short trailer
+  * line so no capture truncation can lose it, and (c) an isolated
+  * re-measure extended from "top-5 slowest" to every query whose sweep
+  * time exceeds 2x its bench_history median — so a contended sweep
+  * self-documents and self-corrects inside the same JSON.
   */
 object Bench {
+
+  /** Per-query median seconds from prior FULL-surface history lines at
+    * the same fixtures (subset probes and other-sf sweeps excluded) —
+    * the baseline that decides which queries earn an isolated re-measure.
+    * json4s is Spark's own bundled JSON library. Total: unreadable or
+    * malformed history yields an empty map (first round, fresh clone).
+    */
+  private def historyMedians(histFile: java.nio.file.Path, sfDir: String): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    import scala.util.Try
+    if (!java.nio.file.Files.isReadable(histFile)) return Map.empty
+    val perQuery = scala.collection.mutable.Map.empty[String, List[Double]]
+    java.nio.file.Files.readAllLines(histFile).asScala.foreach { line =>
+      Try {
+        val j = org.json4s.jackson.JsonMethods.parse(line)
+        val subset = (j \ "subset") match {
+          case org.json4s.JBool(b) => b
+          case _ => false
+        }
+        val sf = (j \ "sf") match {
+          case org.json4s.JString(s) => s
+          case _ => ""
+        }
+        if (!subset && sf == sfDir) {
+          (j \ "queries").values match {
+            case m: Map[_, _] => m.foreach { case (k, v) =>
+              val d = v.toString.toDouble
+              if (!d.isNaN) perQuery.updateWith(k.toString)(o => Some(d :: o.getOrElse(Nil)))
+            }
+            case _ => ()
+          }
+        }
+      }
+    }
+    perQuery.view.mapValues { xs =>
+      val s = xs.sorted
+      s(s.size / 2)
+    }.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+    // Machine-state capture brackets the whole timed region. Load average
+    // includes THIS process, so the contention signal is external load =
+    // host 1-min load minus our own average busy cores over the sweep.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val sunBean = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None
+    }
+    val hostCores = osBean.getAvailableProcessors
+    val loadBefore = osBean.getSystemLoadAverage // -1.0 when unsupported
+    val procCpuT0 = sunBean.map(_.getProcessCpuTime).getOrElse(-1L)
+    val wallT0 = System.nanoTime()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -113,13 +178,34 @@ object Bench {
       name -> best
     }
 
-    // Post-hoc isolated re-measure of the 5 slowest successful queries:
-    // the full single-JVM sweep accumulates GC/codegen-cache pressure
-    // that bills the alphabetically-late block (round-4's q16/q17/q18
-    // scare); a GC'd min-of-2 re-run at the end separates real
-    // regressions from harness contention, in the same artifact.
+    // Post-hoc isolated re-measure: the full single-JVM sweep accumulates
+    // GC/codegen-cache pressure that bills the alphabetically-late block
+    // (round-4's q16/q17/q18 scare), and a contended box inflates
+    // arbitrary queries (round-9's 128.7s artifact). A GC'd min-of-2
+    // re-run at the end separates real regressions from harness
+    // contention, in the same artifact. Coverage = the 5 slowest PLUS
+    // every query whose sweep time exceeds 2x its bench_history median
+    // (floor 0.15s so sub-100ms jitter doesn't earn re-runs), capped at
+    // 40 by descending time with the overflow logged — so a badly
+    // contended sweep re-measures everything that looks regressed, not
+    // just the top of the list.
+    val outDir = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out"))
     val isolated = if (only.isEmpty) {
-      val slowest = results.filter(_._2.error.isEmpty).sortBy(-_._2.secs).take(5)
+      val medians = historyMedians(outDir.resolve("bench_history.jsonl"), sfDir)
+      val ok = results.filter(_._2.error.isEmpty)
+      val top5 = ok.sortBy(-_._2.secs).take(5)
+      val overMedian = ok.filter { case (n, r) =>
+        medians.get(n).exists(m => m >= 0.15 && r.secs > 2 * m)
+      }
+      val wanted = (top5 ++ overMedian).distinctBy(_._1).sortBy(-_._2.secs)
+      val slowest = wanted.take(40)
+      if (wanted.size > slowest.size)
+        System.err.println(s"[bench] isolated re-measure capped at 40 of ${wanted.size} " +
+          s"candidates (dropped: ${wanted.drop(40).map(_._1).mkString(",")})")
+      if (overMedian.nonEmpty)
+        System.err.println(s"[bench] ${overMedian.size} queries over 2x history median: " +
+          overMedian.map(_._1).sorted.mkString(","))
       // Actually isolated: drop every cache entry the sweep left behind
       // (System.gc() alone does not touch Spark's cache manager), so the
       // re-measure sees the same cold-cache state a standalone run would.
@@ -151,12 +237,31 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2.secs).sum else 0.0
     val failed = results.count(_._2.error.isDefined)
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"isolated":$iso,"cache_build":$cb,"failed":$failed,"runs":2,"sf":"$sfDir"}"""
+
+    // Contention verdict: external load = host 1-min load average minus
+    // this process's own average busy cores over the whole timed region.
+    // Using max(before, after) catches both a sweep that STARTED next to
+    // heavy neighbors and one that picked them up mid-run; load average
+    // is a 1-min EWMA so it cannot clear faster than the sweep ends. The
+    // threshold (external > max(2 cores, 25% of the host)) is coarse on
+    // purpose — every raw input is in the JSON for re-adjudication.
+    val loadAfter = osBean.getSystemLoadAverage
+    val wallSec = (System.nanoTime() - wallT0) / 1e9
+    val procCpuSec = sunBean.map(b => (b.getProcessCpuTime - procCpuT0) / 1e9).getOrElse(-1.0)
+    val procAvgCores = if (procCpuSec >= 0 && wallSec > 0) procCpuSec / wallSec else -1.0
+    val externalLoad =
+      if (procAvgCores < 0 || (loadBefore < 0 && loadAfter < 0)) -1.0
+      else math.max(0.0, math.max(loadBefore, loadAfter) - procAvgCores)
+    val contended = externalLoad > math.max(2.0, 0.25 * hostCores)
+    val machine = f"""{"host_cores":$hostCores,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"proc_cpu_sec":$procCpuSec%.1f,"wall_sec":$wallSec%.1f,"proc_avg_cores":$procAvgCores%.2f,"external_load":$externalLoad%.2f}"""
+
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"isolated":$iso,"cache_build":$cb,"failed":$failed,"runs":2,"contended":$contended,"machine":$machine,"sf":"$sfDir"}"""
     println(fullLine)
     // Short trailer AFTER the full line: capture tools that keep only the
     // tail of the output can truncate the per-query map away, so the
-    // headline numbers are re-emitted in a line that always fits.
-    println(s"""{"metric":"total_only","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed}""")
+    // headline numbers AND the contention verdict are re-emitted in a
+    // line that always fits.
+    println(s"""{"metric":"total_only","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"contended":$contended,"machine":$machine}""")
     // Durable copy: three rounds of driver artifacts (r06-r08) lost the
     // per-query map to stdout tail truncation. Write the complete JSON to
     // a repo file so the artifact is self-contained regardless of how much
@@ -164,17 +269,30 @@ object Bench {
     // timestamped history line is appended so successive sweeps in one
     // round remain distinguishable.
     try {
-      val outDir = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out"))
       java.nio.file.Files.createDirectories(outDir)
       // bench_latest.json is the durable FULL-SURFACE artifact at the
       // JUDGED fixtures; neither a targeted SPARK_GRAFT_ONLY probe nor a
       // full-surface sweep over a synthesized scale corpus (/tmp/sf10
       // etc.) may clobber it — those land only in the history log, which
-      // carries the sf field for attribution.
-      if (only.isEmpty && sfDir.startsWith("/root/testdata/"))
+      // carries the sf field for attribution. The judged-fixture test
+      // canonicalizes the path (symlinks/relative paths must not silently
+      // stop the refresh), and a skip is LOGGED so a stale
+      // bench_latest.json is always attributable.
+      val canonicalSf =
+        try java.nio.file.Paths.get(sfDir).toRealPath().toString
+        catch { case _: Exception => sfDir }
+      if (only.isEmpty && canonicalSf.startsWith("/root/testdata/"))
         java.nio.file.Files.write(outDir.resolve("bench_latest.json"),
           (fullLine + "\n").getBytes("UTF-8"))
+      else {
+        val why =
+          (if (only.nonEmpty) Seq("SPARK_GRAFT_ONLY subset run") else Seq.empty) ++
+          (if (!canonicalSf.startsWith("/root/testdata/"))
+            Seq(s"sf=$sfDir (canonical=$canonicalSf) not under /root/testdata/")
+          else Seq.empty)
+        System.err.println("[bench] bench_latest.json NOT refreshed (" +
+          why.mkString("; ") + ") — history line appended only")
+      }
       val subsetTag = if (only.isEmpty) "" else "\"subset\":true,"
       val stamped =
         s"""{"ts":"${java.time.Instant.now()}",$subsetTag""" + fullLine.drop(1) + "\n"

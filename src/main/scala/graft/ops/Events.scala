@@ -301,9 +301,12 @@ object Events {
         // is already NULL) instead of crashing — but they are still
         // SCORED below against the well-formed moments, so a 1e12 spike
         // is flagged as the anomaly it is rather than poisoning the mean.
+        // n = count(dv), NOT count(*): the moments must be computed over
+        // the same well-formed population as the sums, or every garbage
+        // row deflates mean and variance.
         val dv = expr("try_cast(value AS DECIMAL(18,6))")
         val st = ev.groupBy("event_type").agg(
-          count(lit(1)).as("n"),
+          count(dv).as("n"),
           sum(dv).cast("double").as("s1"),
           sum(dv * dv).cast("double").as("s2"))
         val m = st.select(col("event_type"), col("n"),
@@ -322,7 +325,7 @@ object Events {
       },
       oracle = Some("""
         WITH st AS (
-          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          SELECT event_type, CAST(count(TRY_CAST(value AS DECIMAL(18,6))) AS BIGINT) AS n,
                  CAST(sum(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
                  CAST(sum(TRY_CAST(value AS DECIMAL(18,6)) * TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
           FROM events GROUP BY event_type),

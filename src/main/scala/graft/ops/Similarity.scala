@@ -24,6 +24,18 @@ object Similarity {
   private val Dim = 64
   private val Scale = 10000.0
 
+  /** Largest |x| whose quantization round(x * Scale) stays inside int64.
+    * Long.MaxValue/Scale ≈ 9.2234e14 — a FINITE float beyond this (1e20f
+    * is routine encoder garbage) still overflows the CAST even though it
+    * passes an Inf/NaN check, so the well-formedness boundary must sit at
+    * the int64 image, not at Float.MaxValue. The float grid near this
+    * magnitude is ~2^26 apart, so the largest float below the bound
+    * quantizes to ≤ ~9.22337e18 − 6.7e11 < Long.MaxValue: strictly-greater
+    * is a safe total guard in both engines (the comparison is the same
+    * double-vs-double in Spark and DuckDB).
+    */
+  private val MaxQuantizable: Double = Long.MaxValue / Scale
+
   /** Integer-quantized component: round(x * 10^4) as long — the ONE
     * quantization rule every integer-exact consumer shares (f4's array
     * surface included); keep it single-sourced so the quantized spaces
@@ -39,7 +51,7 @@ object Similarity {
     * consumers actually aggregate.
     */
   private[ops] def qElem(x: Column): Column =
-    when(isnan(x) || abs(x) > lit(Float.MaxValue), lit(null).cast("long"))
+    when(isnan(x) || abs(x) > lit(MaxQuantizable), lit(null).cast("long"))
       .otherwise(round(x.cast("double") * lit(Scale)).cast("long"))
 
   // The former HOF dot/norm helpers are gone: every consumer now uses the
@@ -76,10 +88,11 @@ object Similarity {
     */
   private[ops] def wellFormedVec(c: Column): Column =
     c.isNotNull &&
-      !exists(c, x => x.isNull || isnan(x) || abs(x) > lit(Float.MaxValue))
+      !exists(c, x => x.isNull || isnan(x) || abs(x) > lit(MaxQuantizable))
 
   private[ops] def wellFormedVecSql(e: String): String =
-    s"($e IS NOT NULL AND len(list_filter($e, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0)"
+    s"($e IS NOT NULL AND len(list_filter($e, x -> x IS NULL OR isnan(x)" +
+      s" OR abs(CAST(x AS DOUBLE)) > $MaxQuantizable)) = 0)"
 
   /** Membership in the quantized COSINE space: well-formed, corpus
     * dimension, and a non-zero quantized norm — a zero (or sub-quantum)

@@ -83,8 +83,9 @@ object EmptyInputProbe {
     * ROUTINE in an LLM-scale corpus, so the engine must stay total on it.
     * documents.text cycles empty/whitespace/huge/emoji/RTL/control-char
     * strings; events.value cycles NaN/±Inf/0 with malformed-JSON props;
-    * embeddings cycle zero/NaN/Inf vectors, a null element, and a
-    * truncated (wrong-dimension) vector. TPC-H numerics stay finite
+    * embeddings cycle zero/NaN/Inf vectors, a null element, a truncated
+    * (wrong-dimension) vector, and a finite-but-unquantizable component
+    * (1e20f: passes any Inf/NaN check yet overflows round(x*1e4)→int64). TPC-H numerics stay finite
     * (zero/negative — refunds are routine; NaN prices are a contract
     * violation the s17 quality suite exists to catch, not a totality
     * requirement).
@@ -126,12 +127,13 @@ object EmptyInputProbe {
            WHEN 4 THEN -1e12D
            ELSE value END""")
     val embCase = expr(
-      """CASE CAST(vec_id % 6 AS INT)
+      """CASE CAST(vec_id % 7 AS INT)
            WHEN 0 THEN transform(embedding, x -> CAST(0.0 AS FLOAT))
            WHEN 1 THEN transform(embedding, x -> CAST('NaN' AS FLOAT))
            WHEN 2 THEN transform(embedding, x -> CAST('Infinity' AS FLOAT))
            WHEN 3 THEN transform(embedding, (x, i) -> IF(i = 0, CAST(NULL AS FLOAT), x))
            WHEN 4 THEN slice(embedding, 2, size(embedding) - 1)
+           WHEN 5 THEN transform(embedding, (x, i) -> IF(i = 0, CAST(1e20 AS FLOAT), x))
            ELSE embedding END""")
     val overrides: Map[String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = Map(
       "documents" -> (df => df
@@ -175,22 +177,27 @@ object EmptyInputProbe {
     * levenshtein) pair the monster with NORMAL docs — monster x monster
     * edit distance is legitimately quadratic and not a totality claim.
     */
-  def writeMonsterFixture(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+  def writeMonsterFixture(spark: SparkSession, srcDir: String, dstDir: String,
+                          nWords: Int = 75000): Unit = {
     import org.apache.spark.sql.functions._
-    // deterministic LCG over an 8-word vocabulary; ~75k words ~ 480k chars
+    // deterministic LCG over an 8-word vocabulary; default ~75k words
+    // ~ 480k chars. nWords parameterizes the document size so the
+    // monstercurve mode can fit a measured per-document cost exponent
+    // from a 3-point size sweep instead of a single pass/fail point —
+    // the huge-word and props-blob monsters scale by the same factor.
     val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
-    val sb = new StringBuilder(512 * 1024)
+    val sb = new StringBuilder(8 * nWords)
     var st = 42L
     var i = 0
-    while (i < 75000) {
+    while (i < nWords) {
       st = (st * 6364136223846793005L + 1442695040888963407L)
       if (i > 0) sb.append(' ')
       sb.append(vocab(((st >>> 33) % vocab.length).toInt))
       i += 1
     }
     val monsterText = sb.toString
-    val monsterWord = "z" * 300000
-    val monsterProps = """{"k":3,"blob":"""" + ("x" * 100000) + """"}"""
+    val monsterWord = "z" * (4 * nWords)
+    val monsterProps = """{"k":3,"blob":"""" + ("x" * (nWords * 4 / 3)) + """"}"""
     val overrides: Map[String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = Map(
       "documents" -> (df => df
         .withColumn("text",
@@ -222,6 +229,35 @@ object EmptyInputProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val mode = args.lift(1).getOrElse("0")
+    // monstercurve: the totality sweep's measured twin — run every query
+    // against monster fixtures at THREE document sizes (~100k/250k/480k
+    // chars) and print min-of-2 seconds per (query, size), so per-query
+    // growth is a fitted exponent (t ~ size^e), catching O(n^1.5) creep
+    // the single 480k pass/fail point cannot. Queries are expected
+    // ~linear-per-document except the documented monster x normal
+    // pairings (d13 levenshtein is capped, not linear).
+    if (mode == "monstercurve") {
+      Seq(15000, 37500, 75000).foreach { n =>
+        val d2 = java.nio.file.Files.createTempDirectory(s"graft_monster_$n").toString
+        writeMonsterFixture(spark, src, d2, n)
+        graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+          def once: Double = {
+            val t0 = System.nanoTime(); fn(spark, d2).collect(); (System.nanoTime() - t0) / 1e9
+          }
+          try {
+            val t = math.min(once, once)
+            println(f"MONSTERCURVE ok $name words=$n sec=$t%.3f")
+          } catch { case e: Throwable =>
+            println(s"MONSTERCURVE FAIL $name words=$n ${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" | "))
+          }
+          graft.ops.PipelineCache.release()
+          spark.sharedState.cacheManager.clearCache()
+        }
+      }
+      spark.stop()
+      return
+    }
     val dst = java.nio.file.Files.createTempDirectory("graft_empty").toString
     mode match {
       case "null"    => writeNulledFixture(spark, src, dst)

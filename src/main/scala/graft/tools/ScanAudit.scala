@@ -129,7 +129,11 @@ object ScanAudit {
     val children: Seq[SparkPlan] = plan match {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
       case q: QueryStageExec        => Seq(q.plan)
-      case _: InMemoryTableScanExec => Seq.empty
+      // A cache-build shuffle EXECUTES (once, at materialization) and its
+      // rows ride the network at full width — same bytes-vs-executions
+      // contract as readWidths/generateCarries: descend into the cached
+      // plan so a wide row on a cache-build exchange is still budgeted.
+      case m: InMemoryTableScanExec => Seq(m.relation.cachedPlan)
       case _: ReusedExchangeExec    => Seq.empty
       case p                        => p.children
     }
@@ -207,9 +211,19 @@ object ScanAudit {
     // runtime SMJ->BHJ conversion can drop a shuffle or not depending on
     // measured stage sizes (q5 flips 2<->3 at sf0.001), so the budget is
     // pinned on the STATIC shape with runtime conversion off.
-    val spark = (if (sys.env.contains("SPARK_GRAFT_NO_AQE_BROADCAST"))
+    // SPARK_GRAFT_NO_AQE goes further: AQE fully off, so the census is a
+    // pure static planner shape — byte-identical across runs (the
+    // 4<->5 e6 oscillation was AQE stage-size replanning surviving even
+    // with runtime broadcast conversion disabled). ExchangeBudgetSpec
+    // pins are taken in THIS mode so every pin is an exact shape, not an
+    // observed upper bound.
+    val b2 = if (sys.env.contains("SPARK_GRAFT_NO_AQE"))
+      builder.config("spark.sql.adaptive.enabled", "false")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    else if (sys.env.contains("SPARK_GRAFT_NO_AQE_BROADCAST"))
       builder.config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    else builder).getOrCreate()
+    else builder
+    val spark = b2.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Optional subset (same contract as Bench/Verify's SPARK_GRAFT_ONLY).
     val only = sys.env.get("SPARK_GRAFT_ONLY")

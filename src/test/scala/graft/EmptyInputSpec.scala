@@ -66,7 +66,10 @@ class EmptyInputSpec extends AnyFunSuite {
   test("all registered queries execute on an adversarial-values fixture") {
     // scraped-corpus garbage is ROUTINE: NaN/Inf/huge metric values,
     // malformed JSON props, empty/whitespace/emoji/control-char texts,
-    // zero/NaN/Inf/null-element/wrong-dimension embeddings, negative
+    // zero/NaN/Inf/null-element/wrong-dimension embeddings, a
+    // finite-but-unquantizable 1e20f component (passes any Inf/NaN
+    // check, overflows round(x*1e4)->int64 — the well-formedness bound
+    // sits at Long.MaxValue/Scale, not Float.MaxValue), negative
     // amounts. First sweep caught 15 failures in 8 classes: zero-length
     // division (d13/d14), Spark's DESCENDING sequence(1, n<1) indexing
     // empty arrays (shingles of sub-3-word docs), ANSI casts of

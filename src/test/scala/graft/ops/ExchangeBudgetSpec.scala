@@ -6,26 +6,34 @@ import graft.SparkTestBase
 import graft.tools.ScanAudit
 
 /** Full-surface shuffle + read-width budget: every registered query's
-  * executed plan (sf0.001, AQE runtime broadcast conversion off for
-  * determinism) must not exceed its pinned count of shuffle exchanges,
-  * must contain at most ONE range-partitioned exchange (the final
-  * orderBy), and must not read MORE top-level fields from any parquet
-  * relation than its pinned ReadSchema width. A refactor that
-  * un-broadcasts a join, splits an aggregate, introduces a mid-plan
-  * global sort, or defeats column pruning (an opaque expression over the
-  * whole row, a wide persist feeding a narrow consumer, a select-star
-  * creeping into a pipeline) trips this spec naming the exact query; a
-  * change that REMOVES a shuffle or NARROWS a scan passes (re-pin
-  * opportunistically). At 100 TB the width pin is an I/O budget: one
-  * extra materialized column of documents.text-scale data is tens of
-  * terabytes of extra scan.
+  * executed plan (sf0.001, AQE fully OFF for determinism) must not exceed
+  * its pinned count of shuffle exchanges, must contain at most ONE
+  * range-partitioned exchange (the final orderBy), and must not read MORE
+  * top-level fields from any parquet relation than its pinned ReadSchema
+  * width. A refactor that un-broadcasts a join, splits an aggregate,
+  * introduces a mid-plan global sort, or defeats column pruning (an
+  * opaque expression over the whole row, a wide persist feeding a narrow
+  * consumer, a select-star creeping into a pipeline) trips this spec
+  * naming the exact query; a change that REMOVES a shuffle or NARROWS a
+  * scan passes (re-pin opportunistically). At 100 TB the width pin is an
+  * I/O budget: one extra materialized column of documents.text-scale
+  * data is tens of terabytes of extra scan.
   *
-  * Counting contract = ScanAudit.exchangeKeys/rangeExchanges: post-AQE
-  * executed plan, recursing through AQE wrappers and subqueries, stopping
-  * at cache and reused-exchange boundaries (work that runs once is not
-  * attributed per consumer). Pins generated by two identical
-  * `SPARK_GRAFT_NO_AQE_BROADCAST=1 runMain graft.tools.ScanAudit` sweeps
-  * (diff-identical).
+  * Counting contract = ScanAudit.exchangeKeys/rangeExchanges over the
+  * executed plan, recursing through subqueries, stopping at cache and
+  * reused-exchange boundaries for COUNTS (work that runs once is not
+  * attributed per consumer) while the byte/width walks descend into
+  * cached subtrees (bytes moved at cache build are still bytes moved).
+  * Pins are taken with spark.sql.adaptive.enabled=false — the round-9
+  * census (runtime broadcast conversion off but AQE otherwise on) still
+  * oscillated 4<->5 on e6_cohort_retention across identical binaries via
+  * stage-size-dependent replanning, so those pins were observed upper
+  * bounds; the static-planner shape is a pure function of the query and
+  * fixture stats, and two full `SPARK_GRAFT_NO_AQE=1 runMain
+  * graft.tools.ScanAudit` sweeps are diff-identical (r10, modulo d6c's
+  * random sigtable name, which normRel normalizes). Production runs keep
+  * AQE on — it can only merge/convert away from the static shape, and
+  * the budget guards the DECLARED plan, not AQE's runtime improvements.
   */
 class ExchangeBudgetSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
@@ -46,17 +54,17 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "a21_corr_matrix" -> (1, 0),
     "a22_welch_ttest" -> (1, 0),
     "a23_chi_square" -> (4, 0),
-    "a24_benford" -> (4, 1),
+    "a24_benford" -> (3, 1),
     "a25_gini" -> (2, 0),
     "a25b_gini_bucketed" -> (4, 0),
-    "a26_market_basket" -> (7, 0),
+    "a26_market_basket" -> (5, 0),
     "a6_checkpoint_states" -> (2, 0),
     "a8_rollup" -> (2, 1),
     "a9_approx_distinct" -> (2, 0),
     "c1_label_centroids" -> (2, 1),
     "d10_embedding_neardup" -> (0, 0),
     "d11_rolling_fingerprint" -> (0, 0),
-    "d12_dataprep_pipeline" -> (9, 0),
+    "d12_dataprep_pipeline" -> (8, 0),
     "d13_levenshtein" -> (1, 1),
     "d14_langid_ngram" -> (1, 1),
     "d15_decontaminate" -> (3, 1),
@@ -71,7 +79,7 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "d22b_embedding_lsh_wide" -> (2, 0),
     "d23_repetition" -> (1, 1),
     "d24_oov_ratio" -> (3, 1),
-    "d25_minhash_est_error" -> (4, 1),
+    "d25_minhash_est_error" -> (3, 1),
     "d26_bigram_lm" -> (2, 0),
     "d27_heavy_hitters_cms" -> (2, 0),
     "d28_hash_sample" -> (2, 1),
@@ -85,25 +93,25 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "d36_bpe_merges" -> (3, 0),
     "d37_lm_coverage" -> (3, 1),
     "d38_snm_neardup" -> (2, 1),
-    "d39_entity_resolution" -> (6, 1),
+    "d39_entity_resolution" -> (4, 1),
     "d3_text_stats" -> (0, 0),
-    "d40_cross_corpus_dedup" -> (4, 1),
+    "d40_cross_corpus_dedup" -> (3, 1),
     "d41_bpe_encode" -> (3, 1),
     "d42_domain_cap" -> (2, 1),
-    "d43_quality_mix" -> (4, 1),
-    "d44_leakage_safe_split" -> (8, 1),
+    "d43_quality_mix" -> (3, 1),
+    "d44_leakage_safe_split" -> (6, 1),
     "d45_chunking" -> (2, 1),
     "d46_semdedup" -> (6, 1),
     "d46b_semdedup_coarse" -> (6, 1),
     "d47_substring_dedup" -> (3, 1),
-    "d48_unimax_epochs" -> (8, 0),
-    "d49_quality_keep_dedup" -> (4, 1),
+    "d48_unimax_epochs" -> (3, 0),
+    "d49_quality_keep_dedup" -> (3, 1),
     "d4_lang_quality" -> (1, 1),
     "d50_bm25_retrieval" -> (3, 0),
     "d51_priority_sample" -> (0, 0),
     "d5_fingerprint" -> (0, 0),
-    "d6_minhash_lsh" -> (4, 1),
-    "d6b_minhash_portable" -> (4, 1),
+    "d6_minhash_lsh" -> (3, 1),
+    "d6b_minhash_portable" -> (3, 1),
     "d6c_minhash_sigtable" -> (3, 1),
     "d7_simhash" -> (1, 1),
     "d7b_simhash_portable" -> (1, 1),
@@ -111,16 +119,13 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "d9_token_counts" -> (0, 0),
     "e10_gap_fill" -> (2, 1),
     "e11_late_data_audit" -> (5, 1),
-    "e12_attribution" -> (5, 1), // two-level carry: bucket-summary window + equi-join
+    "e12_attribution" -> (5, 1),
     "e13_dwell_percentiles" -> (3, 1),
     "e1_tumbling_counts" -> (2, 1),
     "e2_sliding_counts" -> (2, 1),
-    "e3_sessionization" -> (2, 1),
+    "e3_sessionization" -> (4, 1),
     "e4_json_extract" -> (2, 1),
     "e5_funnel" -> (3, 0),
-    // oscillates 4<->5 across identical-binary runs (AQE stage-size-
-    // dependent replanning, observed both ways in same-day censuses even
-    // with runtime broadcast conversion off); pinned at the upper bound
     "e6_cohort_retention" -> (5, 1),
     "e7_transition_matrix" -> (3, 1),
     "e8_anomaly_zscore" -> (3, 1),
@@ -131,7 +136,7 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "f4_array_ops" -> (1, 1),
     "j10_bloom_prune" -> (1, 0),
     "j11_pagerank" -> (3, 0),
-    "j12_triangle_count" -> (4, 1),
+    "j12_triangle_count" -> (5, 1),
     "j1_missing_ids" -> (1, 1),
     "j2_range_completion" -> (3, 1),
     "j3_semi_join" -> (0, 0),
@@ -169,14 +174,14 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "q18_large_orders" -> (1, 0),
     "q19_disjunctive" -> (1, 0),
     "q1_pricing_summary" -> (2, 1),
-    "q20_excess_shipments" -> (5, 1),
+    "q20_excess_shipments" -> (6, 1),
     "q21_waiting_supplier" -> (3, 0),
     "q22_dormant_customers" -> (3, 1),
     "q23_mom_growth" -> (2, 0),
     "q2_min_per_group" -> (2, 1),
     "q3_shipping_priority" -> (1, 0),
     "q4_priority_exists" -> (2, 1),
-    "q5_region_revenue" -> (3, 0),
+    "q5_region_revenue" -> (4, 1),
     "q6_forecast_revenue" -> (1, 0),
     "q7_volume_shipping" -> (4, 1),
     "q8_market_share" -> (2, 1),
@@ -206,12 +211,12 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "u1_set_except" -> (2, 1),
     "u2_intersect" -> (2, 1),
     "u3_except_all" -> (2, 1),
-    "v10_pq_ann" -> (8, 1),
+    "v10_pq_ann" -> (7, 1),
     "v1_cosine_topk" -> (2, 1),
     "v2_sim_histogram" -> (2, 1),
     "v3_ann_lsh" -> (2, 1),
     "v4_ann_ivf" -> (4, 1),
-    "v5_crossmodal_curation" -> (2, 1),
+    "v5_crossmodal_curation" -> (3, 1),
     "v6_centered_cosine" -> (2, 1),
     "v7_knn_classify" -> (2, 1),
     "v8_hamming_topk" -> (2, 1),
@@ -359,10 +364,10 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "q13_custorder_dist" -> Map("customer.parquet" -> 1, "orders.parquet" -> 3),
     "q14_promo_ratio" -> Map("lineitem.parquet" -> 4, "part.parquet" -> 2),
     "q15_top_supplier" -> Map("lineitem.parquet" -> 4, "supplier.parquet" -> 2),
-    "q16_supplier_counts" -> Map("lineitem.parquet" -> 2, "part.parquet" -> 3),
+    "q16_supplier_counts" -> Map("lineitem.parquet" -> 2, "part.parquet" -> 3, "supplier.parquet" -> 2),
     "q17_small_quantity" -> Map("lineitem.parquet" -> 3, "part.parquet" -> 2),
     "q18_large_orders" -> Map("customer.parquet" -> 2, "lineitem.parquet" -> 2, "orders.parquet" -> 4),
-    "q19_disjunctive" -> Map(),
+    "q19_disjunctive" -> Map("lineitem.parquet" -> 4, "part.parquet" -> 3),
     "q1_pricing_summary" -> Map("lineitem.parquet" -> 7),
     "q20_excess_shipments" -> Map("lineitem.parquet" -> 4, "part.parquet" -> 2, "supplier.parquet" -> 2),
     "q21_waiting_supplier" -> Map("lineitem.parquet" -> 3, "orders.parquet" -> 2, "supplier.parquet" -> 2),
@@ -406,7 +411,7 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "v2_sim_histogram" -> Map("embeddings.parquet" -> 2),
     "v3_ann_lsh" -> Map("embeddings.parquet" -> 2),
     "v4_ann_ivf" -> Map("embeddings.parquet" -> 2),
-    "v5_crossmodal_curation" -> Map("documents.parquet" -> 2),
+    "v5_crossmodal_curation" -> Map("documents.parquet" -> 2, "embeddings.parquet" -> 2),
     "v6_centered_cosine" -> Map("embeddings.parquet" -> 2),
     "v7_knn_classify" -> Map("embeddings.parquet" -> 3),
     "v8_hamming_topk" -> Map("embeddings.parquet" -> 2),
@@ -462,7 +467,7 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "a20_equidepth_hist" -> 100,
     "a21_corr_matrix" -> 161,
     "a22_welch_ttest" -> 84,
-    "a23_chi_square" -> 28,
+    "a23_chi_square" -> 48,
     "a24_benford" -> 40,
     "a25_gini" -> 25,
     "a25b_gini_bucketed" -> 25,
@@ -473,7 +478,7 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "c1_label_centroids" -> 104,
     "d10_embedding_neardup" -> 0,
     "d11_rolling_fingerprint" -> 0,
-    "d12_dataprep_pipeline" -> 24,
+    "d12_dataprep_pipeline" -> 36,
     "d13_levenshtein" -> 33,
     "d14_langid_ngram" -> 89,
     "d15_decontaminate" -> 16,
@@ -511,12 +516,12 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "d44_leakage_safe_split" -> 44,
     "d45_chunking" -> 48,
     "d46_semdedup" -> 40,
-    "d46b_semdedup_coarse" -> 40,
+    "d46b_semdedup_coarse" -> 50,
     "d47_substring_dedup" -> 48,
     "d48_unimax_epochs" -> 36,
     "d49_quality_keep_dedup" -> 48,
     "d4_lang_quality" -> 101,
-    "d50_bm25_retrieval" -> 28,
+    "d50_bm25_retrieval" -> 44,
     "d51_priority_sample" -> 0,
     "d5_fingerprint" -> 0,
     "d6_minhash_lsh" -> 25,
@@ -526,15 +531,15 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "d7b_simhash_portable" -> 25,
     "d8_ngram_jaccard" -> 0,
     "d9_token_counts" -> 0,
-    "e10_gap_fill" -> 33,
+    "e10_gap_fill" -> 41,
     "e11_late_data_audit" -> 44,
     "e12_attribution" -> 60,
     "e13_dwell_percentiles" -> 236,
     "e1_tumbling_counts" -> 61,
     "e2_sliding_counts" -> 24,
-    "e3_sessionization" -> 40,
+    "e3_sessionization" -> 44,
     "e4_json_extract" -> 33,
-    "e5_funnel" -> 8,
+    "e5_funnel" -> 16,
     "e6_cohort_retention" -> 24,
     "e7_transition_matrix" -> 56,
     "e8_anomaly_zscore" -> 62,
@@ -573,7 +578,7 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "p6_point_lookup" -> 24,
     "p7_sanitize_nulls" -> 0,
     "q10_returned_revenue" -> 73,
-    "q11_value_share" -> 32,
+    "q11_value_share" -> 33,
     "q12_shipmode_priority" -> 36,
     "q13_custorder_dist" -> 16,
     "q14_promo_ratio" -> 34,
@@ -654,12 +659,16 @@ class ExchangeBudgetSpec extends AnyFunSuite {
   }
 
   test("no query exceeds its pinned shuffle budget; at most one global sort each") {
-    // Same static-shape determinism knob as the census sweeps: without it
-    // AQE's runtime SMJ->BHJ conversion drops a shuffle or not per run
-    // (q5 flips 2<->3 at sf0.001) and the pin would flake.
-    val key = "spark.sql.adaptive.autoBroadcastJoinThreshold"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "-1")
+    // Same full-determinism knobs as the census sweeps: AQE off entirely
+    // (stage-size-dependent replanning flipped e6 4<->5 across identical
+    // binaries even with only runtime broadcast conversion disabled), so
+    // every measured count is the static planner shape — exact, not an
+    // observed upper bound.
+    val keys = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prevs = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
     final case class Measured(shuffles: Int, ranges: Int,
                               widths: Map[String, Int], shuffleBytes: Int,
                               genCarries: Seq[(String, String)])
@@ -703,12 +712,11 @@ class ExchangeBudgetSpec extends AnyFunSuite {
             m.shuffleBytes <= maxBytes && widthViolations(name, m.widths).isEmpty &&
             carryViolations(name, m.genCarries).isEmpty) None
         else {
-          // Re-measure once before failing: even with runtime broadcast
-          // conversion pinned off, AQE's stage-size-dependent replanning
-          // has produced one-off count variations in long suite runs that
-          // never reproduce in isolation. A REAL plan regression is
-          // deterministic and survives the re-measure; a transient
-          // variation does not (and is logged, not failed).
+          // Re-measure once before failing. With AQE fully off the plan
+          // shape is deterministic and this should never trigger; it
+          // stays as belt-and-braces so that if a future knob regresses
+          // determinism, a transient variation is LOGGED (visible in the
+          // suite output) rather than silently absorbed or flaked.
           val m2 = measure(name)
           val over = Seq(
             if (m2.shuffles > maxSh) Some(s"$name: ${m2.shuffles} shuffle exchanges > pinned $maxSh") else None,
@@ -725,7 +733,10 @@ class ExchangeBudgetSpec extends AnyFunSuite {
       assert(violations.isEmpty, violations.mkString("\n"))
     } finally {
       spark.sharedState.cacheManager.clearCache()
-      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+      prevs.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
     }
   }
 }
