@@ -992,10 +992,22 @@ object Dedup {
         val labSplit = labels.withColumn("split",
           when(((col("cluster_rep") * 2654435761L).bitwiseAND(Long.MaxValue)) % 10 < 8,
             "train").otherwise("val"))
+        // ONE labels probe, not one per pair side: explode each pair into
+        // its two members, join the member ids against the split map once,
+        // and re-assemble per pair with min/max (two split values per
+        // pair; they differ iff the pair is cross-split). The two-join
+        // form probed the labels frame twice and shuffled the pair list
+        // twice (doc_a then doc_b); this is one member-keyed join plus
+        // one pair-keyed aggregation — 3 exchanges down from 4, and the
+        // labels frame is read once. The explode carries only two longs
+        // (fixed width — no Generate-carry concern).
         val cross = pairs
-          .join(labSplit.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
-          .join(labSplit.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
-          .agg(coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)), lit(0L))
+          .select(col("doc_a"), col("doc_b"),
+                  explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .join(labSplit.select("doc_id", "split"), Seq("doc_id"))
+          .groupBy("doc_a", "doc_b")
+          .agg((min(col("split")) =!= max(col("split"))).as("is_cross"))
+          .agg(coalesce(sum(when(col("is_cross"), 1L).otherwise(0L)), lit(0L))
             .as("cross_split_dup_pairs"))
         rep.groupBy("split")
           .agg(count(lit(1)).as("n_docs"),

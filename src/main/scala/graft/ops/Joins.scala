@@ -297,18 +297,35 @@ object Joins {
         // deg feeds both the edge annotation and the rank init — cache it
         // so the N-row degree aggregation runs once, not per consumer
         val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).persist()
-        val edgesD = edges.join(deg, "src").select("src", "dst", "d")
-          .repartition(col("src")).persist()
+        // Repartition BEFORE the degree join, not after: the join's own
+        // src-distribution requirement is then satisfied by this exchange
+        // and its output partitioning carries through the projection into
+        // the cache — the former join-then-repartition form moved the
+        // full 2E-row edge list through TWO src-keyed exchanges at cache
+        // build (the join's and the explicit repartition's) whenever the
+        // planner didn't broadcast deg, which at cluster scale it never
+        // does.
+        val edgesD = edges.repartition(col("src")).join(deg, "src")
+          .select("src", "dst", "d").persist()
         PipelineCache.retain(edges, deg, edgesD)
         var rank = deg.select(col("src").as("node"), lit(unit).as("rank"))
-        for (_ <- 1 to 3) {
-          rank = edgesD
+        for (i <- 1 to 3) {
+          val next = edgesD
             .join(rank, col("src") === col("node"))
             .select(col("dst"), expr("rank div d").as("contrib"))
             .groupBy("dst")
             .agg(sum(col("contrib")).as("in_sum"))
             .select(col("dst").as("node"),
                     (lit(base) + expr(s"($damp * in_sum) div $unit")).as("rank"))
+          // Truncate lineage between supersteps (same device as
+          // clusterLabels): each iteration materializes the N-row rank
+          // table and the next plans against a LogicalRDD leaf — plan
+          // size stays constant in the iteration count, the supersteps
+          // execute as separate jobs instead of one deep pipeline under
+          // peak memory, and the materialized partitioning (hash(node),
+          // preserved by localCheckpoint) still lines up with the cached
+          // edge partitioning so the join needs no rank-side exchange.
+          rank = if (i < 3) next.localCheckpoint(true) else next
         }
         rank
           .withColumn("kind", when(col("node") % 2 === 1, "supplier").otherwise("customer"))

@@ -135,7 +135,12 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "f3_date_parts" -> (2, 1),
     "f4_array_ops" -> (1, 1),
     "j10_bloom_prune" -> (1, 0),
-    "j11_pagerank" -> (3, 0),
+    // 1, not 3: supersteps 1-2 are localCheckpoint-materialized during
+    // construction (lineage truncation), so only the final superstep's
+    // aggregation exchange appears in the walked plan — each superstep's
+    // shape is identical, and PlanQualitySpec pins the no-src-exchange
+    // property on that final superstep
+    "j11_pagerank" -> (1, 0),
     "j12_triangle_count" -> (5, 1),
     "j1_missing_ids" -> (1, 1),
     "j2_range_completion" -> (3, 1),
@@ -513,7 +518,7 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "d41_bpe_encode" -> 48,
     "d42_domain_cap" -> 52,
     "d43_quality_mix" -> 52,
-    "d44_leakage_safe_split" -> 44,
+    "d44_leakage_safe_split" -> 56,
     "d45_chunking" -> 48,
     "d46_semdedup" -> 40,
     "d46b_semdedup_coarse" -> 50,
