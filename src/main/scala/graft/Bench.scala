@@ -45,6 +45,14 @@ object Bench {
     import scala.jdk.CollectionConverters._
     import scala.util.Try
     if (!java.nio.file.Files.isReadable(histFile)) return Map.empty
+    // Compare CANONICAL paths: the bench_latest refresh canonicalizes the
+    // judged-fixture path, so a sweep invoked via a symlink writes history
+    // under the alias — raw string equality would then fragment the median
+    // baseline across spellings of the same fixtures.
+    def canonPath(p: String): String =
+      try java.nio.file.Paths.get(p).toRealPath().toString
+      catch { case _: Exception => p }
+    val canonSf = canonPath(sfDir)
     val perQuery = scala.collection.mutable.Map.empty[String, List[Double]]
     java.nio.file.Files.readAllLines(histFile).asScala.foreach { line =>
       Try {
@@ -57,7 +65,7 @@ object Bench {
           case org.json4s.JString(s) => s
           case _ => ""
         }
-        if (!subset && sf == sfDir) {
+        if (!subset && canonPath(sf) == canonSf) {
           (j \ "queries").values match {
             case m: Map[_, _] => m.foreach { case (k, v) =>
               val d = v.toString.toDouble
@@ -195,8 +203,12 @@ object Bench {
       val medians = historyMedians(outDir.resolve("bench_history.jsonl"), sfDir)
       val ok = results.filter(_._2.error.isEmpty)
       val top5 = ok.sortBy(-_._2.secs).take(5)
+      // Floor applies to the TRIGGER (observed time), not the median: a
+      // query with a 0.05s median that inflates to 12s on a contended box
+      // is exactly what the re-measure exists for, so only sub-0.15s
+      // observations are treated as jitter and exempted.
       val overMedian = ok.filter { case (n, r) =>
-        medians.get(n).exists(m => m >= 0.15 && r.secs > 2 * m)
+        medians.get(n).exists(m => r.secs > math.max(0.15, 2 * m))
       }
       val wanted = (top5 ++ overMedian).distinctBy(_._1).sortBy(-_._2.secs)
       val slowest = wanted.take(40)
@@ -247,13 +259,23 @@ object Bench {
     // purpose — every raw input is in the JSON for re-adjudication.
     val loadAfter = osBean.getSystemLoadAverage
     val wallSec = (System.nanoTime() - wallT0) / 1e9
-    val procCpuSec = sunBean.map(b => (b.getProcessCpuTime - procCpuT0) / 1e9).getOrElse(-1.0)
+    // getProcessCpuTime returns -1 when unsupported even on a com.sun
+    // bean; propagating that as "we used 0 cores" would bill the sweep's
+    // own load as external and mislabel quiet runs contended.
+    val procCpuSec =
+      if (procCpuT0 >= 0) sunBean.map(b => (b.getProcessCpuTime - procCpuT0) / 1e9).getOrElse(-1.0)
+      else -1.0
     val procAvgCores = if (procCpuSec >= 0 && wallSec > 0) procCpuSec / wallSec else -1.0
     val externalLoad =
       if (procAvgCores < 0 || (loadBefore < 0 && loadAfter < 0)) -1.0
       else math.max(0.0, math.max(loadBefore, loadAfter) - procAvgCores)
     val contended = externalLoad > math.max(2.0, 0.25 * hostCores)
-    val machine = f"""{"host_cores":$hostCores,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"proc_cpu_sec":$procCpuSec%.1f,"wall_sec":$wallSec%.1f,"proc_avg_cores":$procAvgCores%.2f,"external_load":$externalLoad%.2f}"""
+    // Double.toString via s-interpolation is locale-independent; the f
+    // interpolator formats %.2f with the DEFAULT locale, which on a
+    // decimal-comma locale (de_DE etc.) would emit invalid JSON that
+    // historyMedians' Try then silently drops, emptying the baseline.
+    def r2(x: Double): Double = math.rint(x * 100) / 100
+    val machine = s"""{"host_cores":$hostCores,"load_before":${r2(loadBefore)},"load_after":${r2(loadAfter)},"proc_cpu_sec":${r2(procCpuSec)},"wall_sec":${r2(wallSec)},"proc_avg_cores":${r2(procAvgCores)},"external_load":${r2(externalLoad)}}"""
 
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"isolated":$iso,"cache_build":$cb,"failed":$failed,"runs":2,"contended":$contended,"machine":$machine,"sf":"$sfDir"}"""
     println(fullLine)

@@ -325,6 +325,12 @@ object Joins {
           // peak memory, and the materialized partitioning (hash(node),
           // preserved by localCheckpoint) still lines up with the cached
           // edge partitioning so the join needs no rank-side exchange.
+          // Audit note: the truncation hides iterations 1-2's exchanges
+          // from the plan walkers, so the shuffle-count/row-bytes pins
+          // cover only the FINAL superstep — which is a faithful
+          // representative, because all three iterations execute this
+          // one loop body: any widened column or extra exchange appears
+          // in the audited iteration too.
           rank = if (i < 3) next.localCheckpoint(true) else next
         }
         rank

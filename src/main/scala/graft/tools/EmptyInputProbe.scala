@@ -216,6 +216,14 @@ object EmptyInputProbe {
     }
   }
 
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -238,15 +246,20 @@ object EmptyInputProbe {
     // pairings (d13 levenshtein is capped, not linear).
     if (mode == "monstercurve") {
       Seq(15000, 37500, 75000).foreach { n =>
-        val d2 = java.nio.file.Files.createTempDirectory(s"graft_monster_$n").toString
+        val d2p = java.nio.file.Files.createTempDirectory(s"graft_monster_$n")
+        val d2 = d2p.toString
         writeMonsterFixture(spark, src, d2, n)
         graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           def once: Double = {
             val t0 = System.nanoTime(); fn(spark, d2).collect(); (System.nanoTime() - t0) / 1e9
           }
           try {
-            val t = math.min(once, once)
-            println(f"MONSTERCURVE ok $name words=$n sec=$t%.3f")
+            // rint/toString, not %.3f: the f interpolator is locale-
+            // sensitive and a decimal-comma locale would print sec=0,123,
+            // which monstercurve_fit.py's [0-9.]+ regex reads as 0 —
+            // silently flattening every exponent.
+            val t = math.rint(math.min(once, once) * 1000) / 1000
+            println(s"MONSTERCURVE ok $name words=$n sec=$t")
           } catch { case e: Throwable =>
             println(s"MONSTERCURVE FAIL $name words=$n ${e.getClass.getSimpleName}: " +
               Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" | "))
@@ -254,11 +267,15 @@ object EmptyInputProbe {
           graft.ops.PipelineCache.release()
           spark.sharedState.cacheManager.clearCache()
         }
+        // three fixture dirs per run (10 parquet tables each) must not
+        // accumulate in /tmp across rounds
+        deleteRecursively(d2p)
       }
       spark.stop()
       return
     }
-    val dst = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    val dstP = java.nio.file.Files.createTempDirectory("graft_empty")
+    val dst = dstP.toString
     mode match {
       case "null"    => writeNulledFixture(spark, src, dst)
       case "skew"    => writeSkewedFixture(spark, src, dst)
@@ -277,6 +294,7 @@ object EmptyInputProbe {
       graft.ops.PipelineCache.release()
       spark.sharedState.cacheManager.clearCache()
     }
+    deleteRecursively(dstP)
     spark.stop()
   }
 }

@@ -41,9 +41,11 @@ def main() -> None:
 
     fitted = []
     flat = 0
+    incomplete = 0
     for q, pts in sorted(times.items()):
         if len(pts) < 3:
             print(f"  INCOMPLETE {q}: only sizes {sorted(pts)}")
+            incomplete += 1
             continue
         sizes = sorted(pts)
         tmax = pts[sizes[-1]]
@@ -68,6 +70,10 @@ def main() -> None:
         print(f"| {q} | {ts[0]:.2f} | {ts[1]:.2f} | {ts[2]:.2f} | {e:.2f}{mark} |")
     worst = fitted[0][0] if fitted else 0.0
     print(f"\nworst exponent: {worst:.2f}")
+    # A crashed or partially-run query is a totality regression, not a
+    # fit-table footnote — it must fail the gate, not just print.
+    if fails or incomplete:
+        sys.exit(1)
     if any(e > args.warn for e, _, _ in fitted):
         sys.exit(2)
 
