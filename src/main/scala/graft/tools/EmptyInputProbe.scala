@@ -219,8 +219,12 @@ object EmptyInputProbe {
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      // Files.walk holds open DirectoryStreams until closed — Using, so
+      // the helper doesn't leak descriptors if ever called in a loop
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { s =>
+        s.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     }
   }
 
@@ -248,53 +252,56 @@ object EmptyInputProbe {
       Seq(15000, 37500, 75000).foreach { n =>
         val d2p = java.nio.file.Files.createTempDirectory(s"graft_monster_$n")
         val d2 = d2p.toString
-        writeMonsterFixture(spark, src, d2, n)
-        graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-          def once: Double = {
-            val t0 = System.nanoTime(); fn(spark, d2).collect(); (System.nanoTime() - t0) / 1e9
+        // finally, not a tail call: three fixture dirs per run (10
+        // parquet tables each) must not accumulate in /tmp across
+        // rounds even when a fixture write or cache release throws
+        try {
+          writeMonsterFixture(spark, src, d2, n)
+          graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+            def once: Double = {
+              val t0 = System.nanoTime(); fn(spark, d2).collect(); (System.nanoTime() - t0) / 1e9
+            }
+            try {
+              // Locale.ROOT, not the f interpolator: a decimal-comma
+              // locale would print sec=0,123, which monstercurve_fit.py's
+              // [0-9.]+ regex reads as 0 — silently flattening exponents.
+              val t = String.format(java.util.Locale.ROOT, "%.3f",
+                Double.box(math.min(once, once)))
+              println(s"MONSTERCURVE ok $name words=$n sec=$t")
+            } catch { case e: Throwable =>
+              println(s"MONSTERCURVE FAIL $name words=$n ${e.getClass.getSimpleName}: " +
+                Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" | "))
+            }
+            graft.ops.PipelineCache.release()
+            spark.sharedState.cacheManager.clearCache()
           }
-          try {
-            // rint/toString, not %.3f: the f interpolator is locale-
-            // sensitive and a decimal-comma locale would print sec=0,123,
-            // which monstercurve_fit.py's [0-9.]+ regex reads as 0 —
-            // silently flattening every exponent.
-            val t = math.rint(math.min(once, once) * 1000) / 1000
-            println(s"MONSTERCURVE ok $name words=$n sec=$t")
-          } catch { case e: Throwable =>
-            println(s"MONSTERCURVE FAIL $name words=$n ${e.getClass.getSimpleName}: " +
-              Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" | "))
-          }
-          graft.ops.PipelineCache.release()
-          spark.sharedState.cacheManager.clearCache()
-        }
-        // three fixture dirs per run (10 parquet tables each) must not
-        // accumulate in /tmp across rounds
-        deleteRecursively(d2p)
+        } finally deleteRecursively(d2p)
       }
       spark.stop()
       return
     }
     val dstP = java.nio.file.Files.createTempDirectory("graft_empty")
     val dst = dstP.toString
-    mode match {
-      case "null"    => writeNulledFixture(spark, src, dst)
-      case "skew"    => writeSkewedFixture(spark, src, dst)
-      case "adv"     => writeAdversarialFixture(spark, src, dst)
-      case "monster" => writeMonsterFixture(spark, src, dst)
-      case n         => writeTruncatedFixture(spark, src, dst, n.toInt)
-    }
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val n = fn(spark, dst).collect().length
-        println(s"EMPTYPROBE ok $name rows=$n")
-      } catch { case e: Throwable =>
-        println(s"EMPTYPROBE FAIL $name ${e.getClass.getSimpleName}: " +
-          Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" | "))
+    try {
+      mode match {
+        case "null"    => writeNulledFixture(spark, src, dst)
+        case "skew"    => writeSkewedFixture(spark, src, dst)
+        case "adv"     => writeAdversarialFixture(spark, src, dst)
+        case "monster" => writeMonsterFixture(spark, src, dst)
+        case n         => writeTruncatedFixture(spark, src, dst, n.toInt)
       }
-      graft.ops.PipelineCache.release()
-      spark.sharedState.cacheManager.clearCache()
-    }
-    deleteRecursively(dstP)
+      graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try {
+          val n = fn(spark, dst).collect().length
+          println(s"EMPTYPROBE ok $name rows=$n")
+        } catch { case e: Throwable =>
+          println(s"EMPTYPROBE FAIL $name ${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" | "))
+        }
+        graft.ops.PipelineCache.release()
+        spark.sharedState.cacheManager.clearCache()
+      }
+    } finally deleteRecursively(dstP)
     spark.stop()
   }
 }

@@ -34,6 +34,12 @@ def main() -> None:
         elif m := FAIL.search(line):
             fails.append(f"{m.group(1)} words={m.group(2)} {m.group(3)}")
 
+    if not times and not fails:
+        # a probe that died before emitting a single MONSTERCURVE line
+        # (fixture-write OOM, bad path) must not gate green
+        print("no MONSTERCURVE lines found — probe produced no output")
+        sys.exit(1)
+
     if fails:
         print(f"FAILURES ({len(fails)}):")
         for f in fails:
