@@ -58,8 +58,8 @@ object Bench {
     * unreadable or malformed history yields empty maps (first round,
     * fresh clone).
     */
-  private def historyMedians(histFile: java.nio.file.Path,
-                             sfDir: String): (Map[String, Double], Map[String, Double]) = {
+  private[graft] def historyMedians(histFile: java.nio.file.Path,
+                                    sfDir: String): (Map[String, Double], Map[String, Double]) = {
     import scala.jdk.CollectionConverters._
     import scala.util.Try
     if (!java.nio.file.Files.isReadable(histFile)) return (Map.empty, Map.empty)
