@@ -87,12 +87,20 @@ object Bench {
           case _ => ""
         }
         if (!subset && canonPath(sf) == canonSf) {
+          // a failed query's recorded time is time-to-exception (an OOM
+          // cascade logged 8ms "timings" for 115 killed queries) — it is
+          // not a measurement and must not enter the baseline
+          val failedQs: Set[String] = (j \ "errors").values match {
+            case m: Map[_, _] => m.keysIterator.map(_.toString).toSet
+            case _ => Set.empty
+          }
           def collectInto(field: String,
                           into: scala.collection.mutable.Map[String, List[Double]]): Unit =
             (j \ field).values match {
               case m: Map[_, _] => m.foreach { case (k, v) =>
                 val d = v.toString.toDouble
-                if (!d.isNaN) into.updateWith(k.toString)(o => Some(d :: o.getOrElse(Nil)))
+                if (!d.isNaN && !failedQs.contains(k.toString))
+                  into.updateWith(k.toString)(o => Some(d :: o.getOrElse(Nil)))
               }
               case _ => ()
             }
@@ -361,7 +369,12 @@ object Bench {
     // emits decimal commas on de_DE-style hosts — invalid JSON that
     // historyMedians' Try then silently drops, emptying the baseline.
     def r2(x: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
-    val machine = s"""{"host_cores":$hostCores,"load_before":${r2(loadBefore)},"load_after":${r2(loadAfter)},"proc_cpu_sec":${r2(procCpuSec)},"wall_sec":${r2(wallSec)},"proc_avg_cores":${r2(procAvgCores)},"external_load":${r2(externalLoad)},"cpu_canary_ms_before":${r2(canaryBefore)},"cpu_canary_ms_after":${r2(canaryAfter)},"psi_cpu":[${r2(psiBefore._1)},${r2(psiAfter._1)}],"psi_mem":[${r2(psiBefore._2)},${r2(psiAfter._2)}],"psi_io":[${r2(psiBefore._3)},${r2(psiAfter._3)}],"iso_over_median":${r2(isoOverMedian)}}"""
+    // max heap too: a 100x sweep under the default 8g fork heap OOM'd
+    // where the same sweep at 64g completes — without this field the
+    // artifact cannot attribute GC-thrash slowness or an OOM cascade to
+    // the JVM sizing it ran under.
+    val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+    val machine = s"""{"host_cores":$hostCores,"heap_max_gb":${r2(heapGb)},"load_before":${r2(loadBefore)},"load_after":${r2(loadAfter)},"proc_cpu_sec":${r2(procCpuSec)},"wall_sec":${r2(wallSec)},"proc_avg_cores":${r2(procAvgCores)},"external_load":${r2(externalLoad)},"cpu_canary_ms_before":${r2(canaryBefore)},"cpu_canary_ms_after":${r2(canaryAfter)},"psi_cpu":[${r2(psiBefore._1)},${r2(psiAfter._1)}],"psi_mem":[${r2(psiBefore._2)},${r2(psiAfter._2)}],"psi_io":[${r2(psiBefore._3)},${r2(psiAfter._3)}],"iso_over_median":${r2(isoOverMedian)}}"""
 
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"isolated":$iso,"cache_build":$cb,"failed":$failed,"runs":2,"contended":$contended,"slow_box":$slowBox,"machine":$machine,"sf":"$sfDir"}"""
     println(fullLine)

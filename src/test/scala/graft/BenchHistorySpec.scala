@@ -28,11 +28,13 @@ class BenchHistorySpec extends AnyFunSuite {
 
   private def line(sf: String, qs: Map[String, Double],
                    iso: Map[String, Double] = Map.empty,
-                   subset: Boolean = false): String = {
+                   subset: Boolean = false,
+                   errors: Set[String] = Set.empty): String = {
     val q = qs.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val i = iso.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val e = errors.map(k => s""""$k":"boom"""").mkString("{", ",", "}")
     val sub = if (subset) """"subset":true,""" else ""
-    s"""{"ts":"2026-08-15T00:00:00Z",$sub"metric":"total","value":1.0,"queries":$q,"isolated":$i,"sf":"$sf"}"""
+    s"""{"ts":"2026-08-15T00:00:00Z",$sub"metric":"total","value":1.0,"queries":$q,"isolated":$i,"errors":$e,"sf":"$sf"}"""
   }
 
   test("sweep and isolated medians parse from matching full-surface lines") {
@@ -60,6 +62,18 @@ class BenchHistorySpec extends AnyFunSuite {
       val (sweep, iso) = Bench.historyMedians(hist, "/data/sfX")
       assert(sweep === Map("a" -> 1.0))
       assert(iso.isEmpty)
+    }
+  }
+
+  test("a failed query's time-to-exception never enters the baseline") {
+    withHistory(Seq(
+      line("/data/sfX", Map("a" -> 2.0, "b" -> 3.0)),
+      // an OOM-cascade sweep: b died in 8ms and is listed in errors
+      line("/data/sfX", Map("a" -> 2.2, "b" -> 0.008), errors = Set("b"))
+    )) { hist =>
+      val (sweep, _) = Bench.historyMedians(hist, "/data/sfX")
+      assert(sweep("a") === 2.2) // both samples counted
+      assert(sweep("b") === 3.0) // only the honest one
     }
   }
 
