@@ -57,9 +57,23 @@ object Bench {
     * times). json4s is Spark's own bundled JSON library. Total:
     * unreadable or malformed history yields empty maps (first round,
     * fresh clone).
+    *
+    * Line admission is ATOMIC: a malformed value mid-object (a JSON null
+    * timing, a non-numeric string) drops the WHOLE line — earlier
+    * entries of the same line never leak into the baseline.
+    *
+    * Config filtering: `cpus`/`heapGb` (when >0) restrict the baseline
+    * to lines recorded under the SAME harness configuration — a sweep
+    * at SPARK_GRAFT_CPUS=4 is a different speed regime from one at 32,
+    * and a deliberate config change must not read as a box slowdown.
+    * Lines whose machine object predates the cpus field are admitted as
+    * legacy; any mixing or exclusion is logged so the reader knows what
+    * the baseline blends.
     */
   private[graft] def historyMedians(histFile: java.nio.file.Path,
-                                    sfDir: String): (Map[String, Double], Map[String, Double]) = {
+                                    sfDir: String,
+                                    cpus: Int = -1,
+                                    heapGb: Double = -1.0): (Map[String, Double], Map[String, Double]) = {
     import scala.jdk.CollectionConverters._
     import scala.util.Try
     if (!java.nio.file.Files.isReadable(histFile)) return (Map.empty, Map.empty)
@@ -75,7 +89,12 @@ object Bench {
     val canonSf = canonPath(sfDir)
     val perQuery = scala.collection.mutable.Map.empty[String, List[Double]]
     val perQueryIso = scala.collection.mutable.Map.empty[String, List[Double]]
+    var legacyLines = 0; var mismatchedLines = 0; var matchedLines = 0
     java.nio.file.Files.readAllLines(histFile).asScala.foreach { line =>
+      // Parse the whole line into LOCAL collections first and commit to
+      // the shared maps only on clean success — a partial parse (JSON
+      // null timing NPEs at toString.toDouble mid-map) must not admit
+      // the entries it already walked.
       Try {
         val j = org.json4s.jackson.JsonMethods.parse(line)
         val subset = (j \ "subset") match {
@@ -87,28 +106,57 @@ object Bench {
           case _ => ""
         }
         if (!subset && canonPath(sf) == canonSf) {
-          // a failed query's recorded time is time-to-exception (an OOM
-          // cascade logged 8ms "timings" for 115 killed queries) — it is
-          // not a measurement and must not enter the baseline
-          val failedQs: Set[String] = (j \ "errors").values match {
-            case m: Map[_, _] => m.keysIterator.map(_.toString).toSet
-            case _ => Set.empty
+          // Harness-config gate: heap is matched on whole GiB (maxMemory
+          // jitters by a few MB across identical -Xmx values).
+          def numField(path: org.json4s.JValue): Option[Double] = path match {
+            case org.json4s.JInt(v)     => Some(v.toDouble)
+            case org.json4s.JLong(v)    => Some(v.toDouble)
+            case org.json4s.JDouble(v)  => Some(v)
+            case org.json4s.JDecimal(v) => Some(v.toDouble)
+            case _                      => None
           }
-          def collectInto(field: String,
-                          into: scala.collection.mutable.Map[String, List[Double]]): Unit =
-            (j \ field).values match {
-              case m: Map[_, _] => m.foreach { case (k, v) =>
-                val d = v.toString.toDouble
-                if (!d.isNaN && !failedQs.contains(k.toString))
-                  into.updateWith(k.toString)(o => Some(d :: o.getOrElse(Nil)))
-              }
-              case _ => ()
+          val lineCpus = numField(j \ "machine" \ "cpus")
+          val lineHeap = numField(j \ "machine" \ "heap_max_gb")
+          val configKnown = lineCpus.isDefined && lineHeap.isDefined
+          val configMatches = !configKnown ||
+            ((cpus <= 0 || lineCpus.get.round.toInt == cpus) &&
+             (heapGb <= 0 || lineHeap.get.round == heapGb.round))
+          if (!configMatches) { mismatchedLines += 1 }
+          else {
+            if (configKnown) matchedLines += 1 else legacyLines += 1
+            // a failed query's recorded time is time-to-exception (an OOM
+            // cascade logged 8ms "timings" for 115 killed queries) — it is
+            // not a measurement and must not enter the baseline
+            val failedQs: Set[String] = (j \ "errors").values match {
+              case m: Map[_, _] => m.keysIterator.map(_.toString).toSet
+              case _ => Set.empty
             }
-          collectInto("queries", perQuery)
-          collectInto("isolated", perQueryIso)
-        }
+            def collectLocal(field: String): List[(String, Double)] =
+              (j \ field).values match {
+                case m: Map[_, _] => m.toList.flatMap { case (k, v) =>
+                  val d = v.toString.toDouble // throws on null/garbage -> whole line drops
+                  if (!d.isNaN && !failedQs.contains(k.toString)) Some(k.toString -> d)
+                  else None
+                }
+                case _ => Nil
+              }
+            (collectLocal("queries"), collectLocal("isolated"))
+          }
+        } else null
+      }.toOption.collect { case (qs: List[(String, Double)] @unchecked,
+                                 iso: List[(String, Double)] @unchecked) =>
+        qs.foreach { case (k, d) => perQuery.updateWith(k)(o => Some(d :: o.getOrElse(Nil))) }
+        iso.foreach { case (k, d) => perQueryIso.updateWith(k)(o => Some(d :: o.getOrElse(Nil))) }
       }
     }
+    if (mismatchedLines > 0)
+      System.err.println(s"[bench] history baseline excluded $mismatchedLines line(s) " +
+        s"recorded under a different cpus/heap configuration (current: cpus=$cpus, " +
+        f"heap=${heapGb}%.0fg)")
+    if (legacyLines > 0 && (cpus > 0 || heapGb > 0))
+      System.err.println(s"[bench] history baseline admits $legacyLines legacy line(s) " +
+        s"without recorded cpus/heap next to $matchedLines config-matched line(s) — " +
+        "medians may mix harness configurations")
     def medians(m: scala.collection.mutable.Map[String, List[Double]]) =
       m.view.mapValues { xs =>
         val s = xs.sorted
@@ -148,6 +196,131 @@ object Bench {
     once(); math.min(once(), math.min(once(), once()))
   }
 
+  /** Periodic (load-average, own-cpu) sampler covering the whole sweep.
+    * The endpoint-only contended verdict had two blind spots: (a) the
+    * sweep's own bursty tail (isolated re-measures run last) can exceed
+    * the WHOLE-RUN average own-cpu and mislabel a quiet box contended,
+    * and (b) an external burst that ends >1 min before the sweep does
+    * decays out of both endpoint samples entirely. Sampling every 5 s
+    * and subtracting the own-core usage over the TRAILING ~60 s window
+    * (the same horizon as the 1-min load EWMA) closes both: external
+    * load is evaluated where it happened, against what WE were doing
+    * right then.
+    */
+  private final class LoadSampler(
+      osBean: java.lang.management.OperatingSystemMXBean,
+      sunBean: Option[com.sun.management.OperatingSystemMXBean]) extends Thread {
+    setDaemon(true)
+    @volatile private var running = true
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long)]
+    private def sample(): Unit = {
+      val s = (System.nanoTime(), osBean.getSystemLoadAverage,
+               sunBean.map(_.getProcessCpuTime).getOrElse(-1L))
+      buf.synchronized { buf += s }
+    }
+    override def run(): Unit = {
+      sample()
+      while (running) {
+        try Thread.sleep(5000) catch { case _: InterruptedException => () }
+        if (running) sample()
+      }
+    }
+    def finish(): Vector[(Long, Double, Long)] = {
+      running = false
+      interrupt()
+      sample() // one final bracket-closing sample
+      buf.synchronized { buf.toVector }
+    }
+    /** (max load seen, max external load = load minus trailing-60s own
+      * cores), or (-1,-1) when load average is unsupported or the run
+      * was too short to difference own-cpu.
+      */
+    def verdictInputs(samples: Vector[(Long, Double, Long)]): (Double, Double) = {
+      val loads = samples.map(_._2).filter(_ >= 0)
+      val loadMax = if (loads.isEmpty) -1.0 else loads.max
+      val ext = samples.indices.flatMap { i =>
+        val (t, load, cpu) = samples(i)
+        if (load < 0 || cpu < 0) None
+        else {
+          // earliest sample within the trailing 60 s (>=1 step back)
+          val j = samples.indices.take(i).reverse
+            .takeWhile { k => t - samples(k)._1 <= 60L * 1000000000L }
+            .lastOption
+          j.flatMap { k =>
+            val (t0, _, cpu0) = samples(k)
+            val dt = (t - t0) / 1e9
+            if (dt <= 0 || cpu0 < 0) None
+            else Some(load - (cpu - cpu0) / 1e9 / dt)
+          }
+        }
+      }
+      (loadMax, if (ext.isEmpty) -1.0 else math.max(0.0, ext.max))
+    }
+  }
+
+  /** Pinned reference query: a FROZEN plan over a fixed synthetic
+    * fixture that exercises the full Spark stack (parquet scan ->
+    * shuffle -> aggregate) using ONLY vanilla Spark operators — no
+    * graft expressions, no engine code on the path. Recorded like the
+    * CPU canary, it disambiguates slow_box's one blind spot: a code
+    * change that slows many REAL queries uniformly cannot move this
+    * query (nothing of the engine executes here), while host slowdown
+    * (steal/thermal/bandwidth) moves real queries and this one alike.
+    */
+  private[graft] def writeRefFixture(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    spark.range(0, 400000, 1, 8)
+      .select((col("id") % 4096).as("k"),
+              ((col("id") * 2654435761L) % 1000003L).as("v"))
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  private[graft] def refQueryDf(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(dir)
+      .groupBy("k")
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      .agg(sum(col("sv")).as("tv"), sum(col("n")).as("tn"), count(lit(1)).as("groups"))
+  }
+
+  /** Min-of-3 wall ms for the reference query (one untimed warm pass). */
+  private[graft] def refQueryMs(spark: SparkSession, dir: String): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      refQueryDf(spark, dir).collect()
+      (System.nanoTime() - t0) / 1e6
+    }
+    once(); Seq(once(), once(), once()).min
+  }
+
+  /** Total on-disk bytes of the fixture directory (recursive). */
+  private[graft] def fixtureBytes(sfDir: String): Long =
+    try {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(java.nio.file.Paths.get(sfDir))) { st =>
+        st.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size)
+          .sum
+      }
+    } catch { case _: Exception => 0L }
+
+  /** OOM-envelope guard for the fork heap: the round-10 100x sweep
+    * (1.6 GB of parquet fixtures) OOM'd under an 8 GiB heap — a 5x
+    * heap/fixture ratio — and cascaded 111 killed queries into the
+    * artifact; the same sweep at 64 GiB (40x) completed. Below 8x the
+    * sweep is inside the observed failure envelope, so it earns a loud
+    * warning BEFORE any query runs (and a machine-object field), not a
+    * post-mortem.
+    */
+  private[graft] def heapGuard(fixtureBytes: Long, heapBytes: Long): Option[String] =
+    if (fixtureBytes > 0 && heapBytes < 8L * fixtureBytes)
+      Some(f"heap ${heapBytes / 1e9}%.1f GB is ${heapBytes.toDouble / fixtureBytes}%.1fx " +
+        f"the ${fixtureBytes / 1e9}%.1f GB fixture set — inside the observed OOM envelope " +
+        "(a 5x ratio OOM-cascaded the round-10 100x sweep; 8x is the guard floor). " +
+        "Raise SPARK_DRIVER_MEM before trusting this sweep.")
+    else None
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -165,7 +338,18 @@ object Bench {
     val psiBefore = (psiSomeAvg10("cpu"), psiSomeAvg10("memory"), psiSomeAvg10("io"))
     val canaryBefore = cpuCanaryMs()
     val procCpuT0 = sunBean.map(_.getProcessCpuTime).getOrElse(-1L)
+    // OOM-envelope check BEFORE any query runs: an undersized fork heap
+    // does not fail fast, it thrashes and then cascades (round-10
+    // post-mortem) — the warning has to precede the sweep, loudly.
+    val heapBytes = Runtime.getRuntime.maxMemory
+    val guardMsg = heapGuard(fixtureBytes(sfDir), heapBytes)
+    guardMsg.foreach { msg =>
+      val bar = "!" * 72
+      System.err.println(s"$bar\n[bench] UNDERSIZED HEAP: $msg\n$bar")
+    }
     val wallT0 = System.nanoTime()
+    val sampler = new LoadSampler(osBean, sunBean)
+    sampler.start()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -208,6 +392,15 @@ object Bench {
                  call_function("qcosine", col("embedding"), col("embedding")).as("c"))
         .count()
     }
+
+    // Pinned reference query (frozen vanilla scan->shuffle->agg over a
+    // fixed synthetic fixture): measured after warm-up and again at the
+    // end next to the CPU canary. Engine-code regressions cannot move
+    // it; host slowdown moves it together with the real queries.
+    val refDir = java.nio.file.Files.createTempDirectory("graft_refq")
+    val refPath = refDir.resolve("ref.parquet").toString
+    writeRefFixture(spark, refPath)
+    val refBefore = refQueryMs(spark, refPath)
 
     final case class QResult(secs: Double, error: Option[String])
 
@@ -267,7 +460,10 @@ object Bench {
     // just the top of the list.
     val outDir = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out"))
-    val (medians, isoMedians) = historyMedians(outDir.resolve("bench_history.jsonl"), sfDir)
+    val cpusInt = scala.util.Try(cpus.toInt).getOrElse(-1)
+    val heapGbNow = heapBytes / (1024.0 * 1024 * 1024)
+    val (medians, isoMedians) =
+      historyMedians(outDir.resolve("bench_history.jsonl"), sfDir, cpusInt, heapGbNow)
     val isolated = if (only.isEmpty) {
       val ok = results.filter(_._2.error.isEmpty)
       val top5 = ok.sortBy(-_._2.secs).take(5)
@@ -319,13 +515,19 @@ object Bench {
     val failed = results.count(_._2.error.isDefined)
 
     // Contention verdict: external load = host 1-min load average minus
-    // this process's own average busy cores over the whole timed region.
-    // Using max(before, after) catches both a sweep that STARTED next to
-    // heavy neighbors and one that picked them up mid-run; load average
-    // is a 1-min EWMA so it cannot clear faster than the sweep ends. The
-    // threshold (external > max(2 cores, 25% of the host)) is coarse on
-    // purpose — every raw input is in the JSON for re-adjudication.
+    // this process's own busy cores. Primary signal: the PERIODIC
+    // sampler — at each 5 s sample, external = load(t) minus our own
+    // average cores over the trailing <=60 s (the load EWMA's horizon),
+    // maxed over the sweep, so a mid-run external burst is caught where
+    // it happened and our own bursty tail (isolated re-measures) is
+    // subtracted against what we were using RIGHT THEN, not a whole-run
+    // average. The endpoint form is kept as fallback (sampler produced
+    // <2 usable samples) and for artifact continuity. The threshold
+    // (external > max(2 cores, 25% of the host)) is coarse on purpose —
+    // every raw input is in the JSON for re-adjudication.
     val loadAfter = osBean.getSystemLoadAverage
+    val samples = sampler.finish()
+    val (loadMax, externalLoadMax) = sampler.verdictInputs(samples)
     val wallSec = (System.nanoTime() - wallT0) / 1e9
     // getProcessCpuTime returns -1 when unsupported even on a com.sun
     // bean; propagating that as "we used 0 cores" would bill the sweep's
@@ -337,9 +539,17 @@ object Bench {
     val externalLoad =
       if (procAvgCores < 0 || (loadBefore < 0 && loadAfter < 0)) -1.0
       else math.max(0.0, math.max(loadBefore, loadAfter) - procAvgCores)
-    val contended = externalLoad > math.max(2.0, 0.25 * hostCores)
+    val contendedInput = if (externalLoadMax >= 0) externalLoadMax else externalLoad
+    val contended = contendedInput > math.max(2.0, 0.25 * hostCores)
     val psiAfter = (psiSomeAvg10("cpu"), psiSomeAvg10("memory"), psiSomeAvg10("io"))
     val canaryAfter = cpuCanaryMs()
+    val refAfter = refQueryMs(spark, refPath)
+    try { // best-effort ref-fixture cleanup
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(refDir)) { st =>
+        st.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    } catch { case _: Exception => () }
     // slow_box: the complement of "contended" for slowdowns load average
     // cannot see (hypervisor steal, thermal, memory bandwidth — the
     // round-10 close measured a 33%-slower sweep at external_load=0).
@@ -351,12 +561,16 @@ object Bench {
     // quiet, cold-cache) and falls back to its sweep median. Requires
     // >=3 re-measured queries with a trustworthy (>=0.15s) baseline.
     // Honest limit: a code change that slows MANY queries uniformly
-    // also trips this — the disambiguators are recorded alongside (a
+    // also trips this — the disambiguators are recorded alongside: the
     // register-only CPU canary and PSI move with host slowdown, never
-    // with a code regression), left to the reader rather than folded
-    // into the boolean, because a bandwidth/steal slowdown can leave
-    // the register-only canary flat. Emitted as JSON null when there
-    // is no baseline to judge against (fresh history, subset run).
+    // with a code regression, and since round 11 the pinned REFERENCE
+    // query (frozen vanilla scan->shuffle->agg, zero engine code on its
+    // path) covers the case a register-only canary misses — a
+    // bandwidth/steal slowdown moves ref_query_ms and the real queries
+    // together, while an engine regression moves only the real queries.
+    // Left to the reader rather than folded into the boolean. Emitted
+    // as JSON null when there is no baseline to judge against (fresh
+    // history, subset run).
     val isoRatios = isolated.flatMap { case (n, s) =>
       isoMedians.get(n).filter(_ >= 0.15)
         .orElse(medians.get(n).filter(_ >= 0.15))
@@ -372,9 +586,10 @@ object Bench {
     // max heap too: a 100x sweep under the default 8g fork heap OOM'd
     // where the same sweep at 64g completes — without this field the
     // artifact cannot attribute GC-thrash slowness or an OOM cascade to
-    // the JVM sizing it ran under.
-    val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
-    val machine = s"""{"host_cores":$hostCores,"heap_max_gb":${r2(heapGb)},"load_before":${r2(loadBefore)},"load_after":${r2(loadAfter)},"proc_cpu_sec":${r2(procCpuSec)},"wall_sec":${r2(wallSec)},"proc_avg_cores":${r2(procAvgCores)},"external_load":${r2(externalLoad)},"cpu_canary_ms_before":${r2(canaryBefore)},"cpu_canary_ms_after":${r2(canaryAfter)},"psi_cpu":[${r2(psiBefore._1)},${r2(psiAfter._1)}],"psi_mem":[${r2(psiBefore._2)},${r2(psiAfter._2)}],"psi_io":[${r2(psiBefore._3)},${r2(psiAfter._3)}],"iso_over_median":${r2(isoOverMedian)}}"""
+    // the JVM sizing it ran under. cpus is recorded so history medians
+    // can refuse to blend baselines across harness configurations, and
+    // heap_guard records whether THIS sweep ran inside the OOM envelope.
+    val machine = s"""{"host_cores":$hostCores,"cpus":$cpusInt,"heap_max_gb":${r2(heapGbNow)},"heap_guard":"${if (guardMsg.isDefined) "undersized" else "ok"}","load_before":${r2(loadBefore)},"load_after":${r2(loadAfter)},"load_max":${r2(loadMax)},"proc_cpu_sec":${r2(procCpuSec)},"wall_sec":${r2(wallSec)},"proc_avg_cores":${r2(procAvgCores)},"external_load":${r2(externalLoad)},"external_load_max":${r2(externalLoadMax)},"cpu_canary_ms_before":${r2(canaryBefore)},"cpu_canary_ms_after":${r2(canaryAfter)},"ref_query_ms_before":${r2(refBefore)},"ref_query_ms_after":${r2(refAfter)},"psi_cpu":[${r2(psiBefore._1)},${r2(psiAfter._1)}],"psi_mem":[${r2(psiBefore._2)},${r2(psiAfter._2)}],"psi_io":[${r2(psiBefore._3)},${r2(psiAfter._3)}],"iso_over_median":${r2(isoOverMedian)}}"""
 
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"isolated":$iso,"cache_build":$cb,"failed":$failed,"runs":2,"contended":$contended,"slow_box":$slowBox,"machine":$machine,"sf":"$sfDir"}"""
     println(fullLine)

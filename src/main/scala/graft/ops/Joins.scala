@@ -18,6 +18,27 @@ import graft.core.Tables
   */
 object Joins {
 
+  /** One PageRank superstep over the degree-annotated edge list: join
+    * ranks into edges on src, floor-divide each rank across its out-
+    * degree, aggregate contributions by dst, damp. Integer millionths
+    * throughout — exact, order-independent, hash-stable. Shared by
+    * j11's fixed-point loop AND PlanQualitySpec's direct pin on an
+    * un-truncated single-superstep build (the loop's localCheckpoint
+    * truncation hides iterations 1-2 from plan walkers; the shared
+    * body keeps the audited shape and the executed shape one thing).
+    */
+  def pagerankSuperstep(edgesD: org.apache.spark.sql.DataFrame,
+                        rank: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val damp = 850000L; val base = 150000L; val unit = 1000000L
+    edgesD
+      .join(rank, col("src") === col("node"))
+      .select(col("dst"), expr("rank div d").as("contrib"))
+      .groupBy("dst")
+      .agg(sum(col("contrib")).as("in_sum"))
+      .select(col("dst").as("node"),
+              (lit(base) + expr(s"($damp * in_sum) div $unit")).as("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Semi join: orders having at least one high-value line (EXISTS).
@@ -276,7 +297,7 @@ object Joins {
     // once before caching, so supersteps shuffle only rank + contribs.
     "j11_pagerank" -> Q(
       fn = (s, d) => {
-        val damp = 850000L; val base = 150000L; val unit = 1000000L
+        val unit = 1000000L
         // undirected bipartite trade graph: customer 2k <-> supplier 2k+1
         val trades = Tables.orders(s, d)
           .join(Tables.lineitem(s, d),
@@ -309,14 +330,18 @@ object Joins {
           .select("src", "dst", "d").persist()
         PipelineCache.retain(edges, deg, edgesD)
         var rank = deg.select(col("src").as("node"), lit(unit).as("rank"))
+        // The i-1 checkpoint feeds ONLY the i-th materialization, so it
+        // is dead the moment localCheckpoint(true) returns — but
+        // Dataset.unpersist cannot reach an RDD-layer persist, so the
+        // blocks otherwise linger until the ContextCleaner GCs the
+        // reference (a whole bench sweep's worth of MEMORY_AND_DISK
+        // accumulation under min-of-2). The persistent-RDD id diff
+        // around the eager checkpoint identifies exactly the blocks it
+        // created; query construction is single-threaded in every
+        // runner, and a misattributed unpersist is recompute-safe.
+        var prevCpIds: Set[Int] = Set.empty
         for (i <- 1 to 3) {
-          val next = edgesD
-            .join(rank, col("src") === col("node"))
-            .select(col("dst"), expr("rank div d").as("contrib"))
-            .groupBy("dst")
-            .agg(sum(col("contrib")).as("in_sum"))
-            .select(col("dst").as("node"),
-                    (lit(base) + expr(s"($damp * in_sum) div $unit")).as("rank"))
+          val next = pagerankSuperstep(edgesD, rank)
           // Truncate lineage between supersteps (same device as
           // clusterLabels): each iteration materializes the N-row rank
           // table and the next plans against a LogicalRDD leaf — plan
@@ -327,11 +352,26 @@ object Joins {
           // edge partitioning so the join needs no rank-side exchange.
           // Audit note: the truncation hides iterations 1-2's exchanges
           // from the plan walkers, so the shuffle-count/row-bytes pins
-          // cover only the FINAL superstep — which is a faithful
-          // representative, because all three iterations execute this
-          // one loop body: any widened column or extra exchange appears
-          // in the audited iteration too.
-          rank = if (i < 3) next.localCheckpoint(true) else next
+          // here cover the FINAL superstep — a faithful representative
+          // because all three iterations execute the shared
+          // pagerankSuperstep body, whose shape PlanQualitySpec also
+          // pins directly on an UN-truncated single-superstep build.
+          rank = if (i < 3) {
+            val sc = s.sparkContext
+            val before = sc.getPersistentRDDs.keySet.toSet
+            val cp = next.localCheckpoint(true) // eager: materialized here
+            val mine = sc.getPersistentRDDs.keySet.toSet -- before
+            prevCpIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+            prevCpIds = mine
+            cp
+          } else next
+        }
+        // The last checkpoint (i=2) backs the returned lazy plan, so it
+        // must outlive construction — hand it to the cache registry,
+        // which every runner releases between queries.
+        val lastIds = prevCpIds
+        PipelineCache.retainCleanup { () =>
+          lastIds.foreach(id => s.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
         }
         rank
           .withColumn("kind", when(col("node") % 2 === 1, "supplier").otherwise("customer"))

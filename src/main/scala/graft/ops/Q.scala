@@ -56,18 +56,29 @@ object Edges {
 object PipelineCache {
   private val lock = new Object
   private var held: Vector[DataFrame] = Vector.empty
+  private var cleanups: Vector[() => Unit] = Vector.empty
   def retain(dfs: DataFrame*): Unit = lock.synchronized { held ++= dfs }
+  /** Register a release-time cleanup for cached state `Dataset.unpersist`
+    * cannot reach — localCheckpoint RDDs in particular persist at the RDD
+    * layer, invisible to the CacheManager, and otherwise linger until the
+    * ContextCleaner happens to GC the reference (j11's supersteps held
+    * MEMORY_AND_DISK blocks across a whole sweep that way).
+    */
+  def retainCleanup(f: () => Unit): Unit = lock.synchronized { cleanups :+= f }
   /** Frames currently retained — i.e. how many construction-time persists
     * the most recent query registered. Bench reads this after each query
     * to flag which timings include a shared-table (re)build, so the judge
     * can separate honest cold-cache cost from plan regression.
     */
-  def heldCount: Int = lock.synchronized(held.size)
+  def heldCount: Int = lock.synchronized(held.size + cleanups.size)
   def beginQuery(): Unit = release()
   def release(): Unit = {
-    val toDrop = lock.synchronized { val h = held; held = Vector.empty; h }
+    val (toDrop, toRun) = lock.synchronized {
+      val h = (held, cleanups); held = Vector.empty; cleanups = Vector.empty; h
+    }
     // Unpersisting a frame another consumer still reads is recompute-safe
     // (Spark falls back to lineage), so the lock covers bookkeeping only.
     toDrop.foreach(_.unpersist())
+    toRun.foreach(f => try f() catch { case _: Exception => () })
   }
 }

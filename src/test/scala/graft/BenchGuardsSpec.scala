@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the two round-11 bench safeguards:
+  *
+  *  - heapGuard: the OOM-envelope check that warns BEFORE a sweep runs
+  *    on an undersized fork heap (the round-10 100x sweep OOM'd at a 5x
+  *    heap/fixture ratio and cascaded 111 killed queries).
+  *  - the pinned reference query: a frozen vanilla scan->shuffle->agg
+  *    whose timing disambiguates slow_box — engine regressions cannot
+  *    move it (no graft code on its path), host slowdown moves it with
+  *    the real queries. The pin locks the result values (deterministic
+  *    fixture) and the plan shape (scan + exchange + aggregate, and no
+  *    graft expression anywhere).
+  */
+class BenchGuardsSpec extends AnyFunSuite {
+
+  private val GB = 1024L * 1024 * 1024
+
+  test("heapGuard fires inside the observed OOM envelope (<8x) and not outside") {
+    // the round-10 failure point: 1.6 GB fixtures under an 8 GiB heap (5x)
+    val fired = Bench.heapGuard(fixtureBytes = (1.6 * GB).toLong, heapBytes = 8 * GB)
+    assert(fired.isDefined, "the known-OOM 5x ratio must warn")
+    assert(fired.get.contains("OOM"), s"the warning should name the envelope: ${fired.get}")
+    // the known-good regime: same fixtures at 64 GiB (40x)
+    assert(Bench.heapGuard((1.6 * GB).toLong, 64 * GB).isEmpty)
+    // boundary: exactly 8x is the guard floor (warn strictly below it)
+    assert(Bench.heapGuard(GB, 8 * GB).isEmpty)
+    assert(Bench.heapGuard(GB, 8 * GB - 1).isDefined)
+    // degenerate inputs never warn (empty/unreadable fixture dir)
+    assert(Bench.heapGuard(0L, 8 * GB).isEmpty)
+  }
+
+  test("fixtureBytes sums regular files recursively; unreadable dir is 0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fixbytes")
+    try {
+      java.nio.file.Files.write(dir.resolve("a.parquet"), new Array[Byte](1000))
+      val sub = java.nio.file.Files.createDirectory(dir.resolve("nested"))
+      java.nio.file.Files.write(sub.resolve("b.parquet"), new Array[Byte](500))
+      assert(Bench.fixtureBytes(dir.toString) === 1500L)
+      assert(Bench.fixtureBytes("/nonexistent/graft/dir") === 0L)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(dir)) { s =>
+        s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+
+  test("reference query: deterministic result, scan->shuffle->agg plan, zero engine code") {
+    val spark = SparkTestBase.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_refq_spec")
+    val path = dir.resolve("ref.parquet").toString
+    try {
+      Bench.writeRefFixture(spark, path)
+      val df = Bench.refQueryDf(spark, path)
+      val row = df.collect().head
+      // the fixture is pure arithmetic over range(400000): pin exact values
+      var expTv = 0L
+      var id = 0L
+      while (id < 400000L) { expTv += (id * 2654435761L) % 1000003L; id += 1 }
+      assert(row.getAs[Long]("tv") === expTv)
+      assert(row.getAs[Long]("tn") === 400000L)
+      assert(row.getAs[Long]("groups") === 4096L)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Scan parquet"), s"must read through the parquet scan:\n$plan")
+      assert(plan.contains("Exchange"), s"must exercise the shuffle machinery:\n$plan")
+      assert(plan.contains("HashAggregate"), s"must exercise aggregation:\n$plan")
+      // frozen = vanilla: none of the engine's registered expressions may
+      // appear, otherwise a graft regression could move the reference
+      for (fn <- Seq("minhash", "shingle", "qcosine", "hyperplane", "cassandra_token"))
+        assert(!plan.toLowerCase.contains(fn), s"engine expression $fn leaked into the ref plan")
+      // and the timing harness returns a sane positive min-of-3
+      val ms = Bench.refQueryMs(spark, path)
+      assert(ms > 0.0 && ms < 60000.0)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(dir)) { s =>
+        s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+}

@@ -29,12 +29,14 @@ class BenchHistorySpec extends AnyFunSuite {
   private def line(sf: String, qs: Map[String, Double],
                    iso: Map[String, Double] = Map.empty,
                    subset: Boolean = false,
-                   errors: Set[String] = Set.empty): String = {
+                   errors: Set[String] = Set.empty,
+                   machine: String = ""): String = {
     val q = qs.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val i = iso.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val e = errors.map(k => s""""$k":"boom"""").mkString("{", ",", "}")
     val sub = if (subset) """"subset":true,""" else ""
-    s"""{"ts":"2026-08-15T00:00:00Z",$sub"metric":"total","value":1.0,"queries":$q,"isolated":$i,"errors":$e,"sf":"$sf"}"""
+    val m = if (machine.isEmpty) "" else s""""machine":$machine,"""
+    s"""{"ts":"2026-08-15T00:00:00Z",$sub"metric":"total","value":1.0,$m"queries":$q,"isolated":$i,"errors":$e,"sf":"$sf"}"""
   }
 
   test("sweep and isolated medians parse from matching full-surface lines") {
@@ -96,6 +98,38 @@ class BenchHistorySpec extends AnyFunSuite {
     } finally {
       java.nio.file.Files.deleteIfExists(link)
       java.nio.file.Files.deleteIfExists(real)
+    }
+  }
+
+  test("line admission is atomic: a malformed value drops the WHOLE line") {
+    withHistory(Seq(
+      line("/data/sfX", Map("a" -> 5.0)),
+      // a JSON null timing mid-map: under pre-r11 parsing, "a":1.0 was
+      // already ingested before the null aborted the line — a partial
+      // line silently entered the baseline
+      """{"ts":"t","metric":"total","value":1.0,"queries":{"a":1.0,"b":null},"isolated":{},"errors":{},"sf":"/data/sfX"}"""
+    )) { hist =>
+      val (sweep, _) = Bench.historyMedians(hist, "/data/sfX")
+      assert(sweep === Map("a" -> 5.0), "the half-parsed line must contribute nothing")
+    }
+  }
+
+  test("baseline admits only lines from the matching cpus/heap configuration") {
+    withHistory(Seq(
+      line("/data/sfX", Map("a" -> 1.0), machine = """{"cpus":32,"heap_max_gb":64.0}"""),
+      line("/data/sfX", Map("a" -> 2.0), machine = """{"cpus":32,"heap_max_gb":63.98}"""),
+      // a 4-cpu probe regime: must not blend into the 32-cpu baseline
+      line("/data/sfX", Map("a" -> 50.0), machine = """{"cpus":4,"heap_max_gb":64.0}"""),
+      // an 8g-heap sweep: a different GC regime at the same cpus
+      line("/data/sfX", Map("a" -> 40.0), machine = """{"cpus":32,"heap_max_gb":8.0}"""),
+      // legacy line without recorded config: admitted (logged as mixing)
+      line("/data/sfX", Map("a" -> 3.0))
+    )) { hist =>
+      val (sweep, _) = Bench.historyMedians(hist, "/data/sfX", cpus = 32, heapGb = 64.0)
+      assert(sweep("a") === 2.0, "median of [1.0, 2.0, 3.0] — mismatched configs excluded")
+      // and with no current config declared, everything still counts
+      val (all, _) = Bench.historyMedians(hist, "/data/sfX")
+      assert(all("a") === 3.0, "median of [1,2,3,40,50] when config-agnostic")
     }
   }
 

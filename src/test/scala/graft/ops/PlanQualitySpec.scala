@@ -165,6 +165,46 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"no cartesian in a superstep:\n$plan")
   }
 
+  test("j11 superstep (un-truncated): exact shape — no edge-side exchange, <=2 shuffles") {
+    // j11's loop truncates lineage between supersteps, so the query-level
+    // pins see only the final iteration. This audits the SHARED superstep
+    // body directly, with no truncation and no broadcast shortcut: one
+    // rank-side exchange into the join (satisfied edge side from the
+    // cached partitioning) plus the dst aggregation exchange, and nothing
+    // keyed on the edge table's src column.
+    import org.apache.spark.sql.functions.{col, lit}
+    val thresholds = Seq("spark.sql.autoBroadcastJoinThreshold",
+                         "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = thresholds.map(k => k -> spark.conf.getOption(k))
+    thresholds.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val pairs = spark.read.parquet(s"${SparkTestBase.Sf0001}/nation.parquet")
+        .select((col("n_nationkey") * 2).as("c"), (col("n_regionkey") * 2 + 1).as("sp"))
+        .distinct()
+      val edges = graft.ops.Edges.symmetrize(pairs, col("c"), col("sp"))
+      val deg = edges.groupBy("src").agg(
+        org.apache.spark.sql.functions.count(lit(1)).as("d")).persist()
+      val edgesD = edges.repartition(col("src")).join(deg, "src")
+        .select("src", "dst", "d").persist()
+      val rank0 = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
+      try {
+        val step = graft.ops.Joins.pagerankSuperstep(edgesD, rank0)
+        step.collect()
+        val executed = step.queryExecution.executedPlan
+        val keys = graft.tools.ScanAudit.exchangeKeys(executed)
+        assert(keys.count(_.contains("src")) == 0,
+          s"superstep re-shuffled the edge side on src (keys=$keys):\n$executed")
+        assert(keys.size <= 2,
+          s"one superstep is one join + one aggregation — at most 2 exchanges " +
+            s"outside the cache build, saw ${keys.size} (keys=$keys):\n$executed")
+      } finally {
+        edgesD.unpersist(); deg.unpersist()
+      }
+    } finally {
+      saved.foreach { case (k, v) => v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
+  }
+
   test("a20 (equi-depth): the 9 boundaries broadcast; two scans max") {
     val plan = executedPlan("a20_equidepth_hist").split("== Initial Plan ==").head
     assert(plan.contains("BroadcastExchange"), s"boundaries must broadcast:\n$plan")
