@@ -207,15 +207,33 @@ object Bench {
     * load is evaluated where it happened, against what WE were doing
     * right then.
     */
-  private final class LoadSampler(
+  private[graft] final case class LoadSample(
+      nanos: Long, load: Double, procCpuNanos: Long, hostBusyJiffies: Long)
+
+  /** Host busy jiffies from /proc/stat line 1 (user+nice+system+irq+
+    * softirq+STEAL — steal is hypervisor-external by definition), or -1
+    * off Linux. USER_HZ is 100 on every mainstream Linux; the verdict
+    * only needs deltas divided by wall time, so an exotic HZ would skew
+    * magnitude, not sign.
+    */
+  private def hostBusyJiffies(): Long =
+    try {
+      val l = java.nio.file.Files.readAllLines(java.nio.file.Paths.get("/proc/stat")).get(0)
+      val f = l.trim.split("\\s+") // "cpu" u n s idle iowait irq sirq steal ...
+      def g(i: Int): Long = if (i < f.length) f(i).toLong else 0L
+      g(1) + g(2) + g(3) + g(6) + g(7) + g(8)
+    } catch { case _: Exception => -1L }
+
+  private[graft] final class LoadSampler(
       osBean: java.lang.management.OperatingSystemMXBean,
       sunBean: Option[com.sun.management.OperatingSystemMXBean]) extends Thread {
     setDaemon(true)
     @volatile private var running = true
-    private val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long)]
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[LoadSample]
     private def sample(): Unit = {
-      val s = (System.nanoTime(), osBean.getSystemLoadAverage,
-               sunBean.map(_.getProcessCpuTime).getOrElse(-1L))
+      val s = LoadSample(System.nanoTime(), osBean.getSystemLoadAverage,
+                         sunBean.map(_.getProcessCpuTime).getOrElse(-1L),
+                         hostBusyJiffies())
       buf.synchronized { buf += s }
     }
     override def run(): Unit = {
@@ -225,36 +243,56 @@ object Bench {
         if (running) sample()
       }
     }
-    def finish(): Vector[(Long, Double, Long)] = {
+    def finish(): Vector[LoadSample] = {
       running = false
       interrupt()
       sample() // one final bracket-closing sample
       buf.synchronized { buf.toVector }
     }
-    /** (max load seen, max external load = load minus trailing-60s own
-      * cores), or (-1,-1) when load average is unsupported or the run
-      * was too short to difference own-cpu.
+    /** (max load seen,
+      *  max load-based external = load minus trailing-60s own cores,
+      *  max CONSUMPTION-based external = host busy cores minus own cores
+      *  over the same windows), each -1 when its inputs are unsupported.
+      *
+      * The consumption form is the contended verdict's primary input:
+      * load average counts RUNNABLE threads, so a local[N] sweep that
+      * saturates the box queues its own threads past N and the load
+      * surplus misreads as external (measured: a quiet 100x sweep hit
+      * load 32.7 at proc_avg 24.7 — a phantom external ~10). What
+      * others actually CONSUMED (/proc/stat busy minus our own cpu) is
+      * immune to self-queuing and is, directly, the CPU the sweep lost:
+      * an idle-but-runnable neighbor that never gets scheduled isn't
+      * slowing us either.
       */
-    def verdictInputs(samples: Vector[(Long, Double, Long)]): (Double, Double) = {
-      val loads = samples.map(_._2).filter(_ >= 0)
+    def verdictInputs(samples: Vector[LoadSample]): (Double, Double, Double) = {
+      val loads = samples.map(_.load).filter(_ >= 0)
       val loadMax = if (loads.isEmpty) -1.0 else loads.max
-      val ext = samples.indices.flatMap { i =>
-        val (t, load, cpu) = samples(i)
-        if (load < 0 || cpu < 0) None
-        else {
+      def overWindows(f: (LoadSample, LoadSample, Double) => Option[Double]): Double = {
+        val xs = samples.indices.flatMap { i =>
+          val cur = samples(i)
           // earliest sample within the trailing 60 s (>=1 step back)
           val j = samples.indices.take(i).reverse
-            .takeWhile { k => t - samples(k)._1 <= 60L * 1000000000L }
+            .takeWhile { k => cur.nanos - samples(k).nanos <= 60L * 1000000000L }
             .lastOption
           j.flatMap { k =>
-            val (t0, _, cpu0) = samples(k)
-            val dt = (t - t0) / 1e9
-            if (dt <= 0 || cpu0 < 0) None
-            else Some(load - (cpu - cpu0) / 1e9 / dt)
+            val base = samples(k)
+            val dt = (cur.nanos - base.nanos) / 1e9
+            if (dt <= 0) None else f(base, cur, dt)
           }
         }
+        if (xs.isEmpty) -1.0 else math.max(0.0, xs.max)
       }
-      (loadMax, if (ext.isEmpty) -1.0 else math.max(0.0, ext.max))
+      val extLoad = overWindows { (b, c, dt) =>
+        if (c.load < 0 || c.procCpuNanos < 0 || b.procCpuNanos < 0) None
+        else Some(c.load - (c.procCpuNanos - b.procCpuNanos) / 1e9 / dt)
+      }
+      val extCpu = overWindows { (b, c, dt) =>
+        if (c.hostBusyJiffies < 0 || b.hostBusyJiffies < 0 ||
+            c.procCpuNanos < 0 || b.procCpuNanos < 0) None
+        else Some((c.hostBusyJiffies - b.hostBusyJiffies) / 100.0 / dt -
+                  (c.procCpuNanos - b.procCpuNanos) / 1e9 / dt)
+      }
+      (loadMax, extLoad, extCpu)
     }
   }
 
@@ -514,20 +552,23 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2.secs).sum else 0.0
     val failed = results.count(_._2.error.isDefined)
 
-    // Contention verdict: external load = host 1-min load average minus
-    // this process's own busy cores. Primary signal: the PERIODIC
-    // sampler — at each 5 s sample, external = load(t) minus our own
-    // average cores over the trailing <=60 s (the load EWMA's horizon),
-    // maxed over the sweep, so a mid-run external burst is caught where
-    // it happened and our own bursty tail (isolated re-measures) is
-    // subtracted against what we were using RIGHT THEN, not a whole-run
-    // average. The endpoint form is kept as fallback (sampler produced
-    // <2 usable samples) and for artifact continuity. The threshold
+    // Contention verdict, primary signal: CONSUMPTION-based external
+    // CPU from the periodic sampler — at each 5 s sample, host busy
+    // cores (/proc/stat, steal included) minus our own cores over the
+    // trailing <=60 s window, maxed over the sweep. This is what other
+    // processes actually TOOK from the box while we ran, caught where
+    // it happened. The load-average form (load minus own cores over
+    // the same windows) is recorded alongside but demoted: load counts
+    // runnable threads, so a saturating local[N] sweep queues its own
+    // threads past N and the surplus misreads as external (a measured
+    // quiet 100x sweep showed phantom external ~10 that the
+    // consumption form correctly read as ~0). The endpoint form is
+    // kept as last fallback and for artifact continuity. The threshold
     // (external > max(2 cores, 25% of the host)) is coarse on purpose —
     // every raw input is in the JSON for re-adjudication.
     val loadAfter = osBean.getSystemLoadAverage
     val samples = sampler.finish()
-    val (loadMax, externalLoadMax) = sampler.verdictInputs(samples)
+    val (loadMax, externalLoadMax, externalCpuMax) = sampler.verdictInputs(samples)
     val wallSec = (System.nanoTime() - wallT0) / 1e9
     // getProcessCpuTime returns -1 when unsupported even on a com.sun
     // bean; propagating that as "we used 0 cores" would bill the sweep's
@@ -539,7 +580,12 @@ object Bench {
     val externalLoad =
       if (procAvgCores < 0 || (loadBefore < 0 && loadAfter < 0)) -1.0
       else math.max(0.0, math.max(loadBefore, loadAfter) - procAvgCores)
-    val contendedInput = if (externalLoadMax >= 0) externalLoadMax else externalLoad
+    // Preference order: consumption-based (immune to self-queuing) ->
+    // load-based sampler max -> endpoint fallback.
+    val contendedInput =
+      if (externalCpuMax >= 0) externalCpuMax
+      else if (externalLoadMax >= 0) externalLoadMax
+      else externalLoad
     val contended = contendedInput > math.max(2.0, 0.25 * hostCores)
     val psiAfter = (psiSomeAvg10("cpu"), psiSomeAvg10("memory"), psiSomeAvg10("io"))
     val canaryAfter = cpuCanaryMs()
@@ -589,7 +635,7 @@ object Bench {
     // the JVM sizing it ran under. cpus is recorded so history medians
     // can refuse to blend baselines across harness configurations, and
     // heap_guard records whether THIS sweep ran inside the OOM envelope.
-    val machine = s"""{"host_cores":$hostCores,"cpus":$cpusInt,"heap_max_gb":${r2(heapGbNow)},"heap_guard":"${if (guardMsg.isDefined) "undersized" else "ok"}","load_before":${r2(loadBefore)},"load_after":${r2(loadAfter)},"load_max":${r2(loadMax)},"proc_cpu_sec":${r2(procCpuSec)},"wall_sec":${r2(wallSec)},"proc_avg_cores":${r2(procAvgCores)},"external_load":${r2(externalLoad)},"external_load_max":${r2(externalLoadMax)},"cpu_canary_ms_before":${r2(canaryBefore)},"cpu_canary_ms_after":${r2(canaryAfter)},"ref_query_ms_before":${r2(refBefore)},"ref_query_ms_after":${r2(refAfter)},"psi_cpu":[${r2(psiBefore._1)},${r2(psiAfter._1)}],"psi_mem":[${r2(psiBefore._2)},${r2(psiAfter._2)}],"psi_io":[${r2(psiBefore._3)},${r2(psiAfter._3)}],"iso_over_median":${r2(isoOverMedian)}}"""
+    val machine = s"""{"host_cores":$hostCores,"cpus":$cpusInt,"heap_max_gb":${r2(heapGbNow)},"heap_guard":"${if (guardMsg.isDefined) "undersized" else "ok"}","load_before":${r2(loadBefore)},"load_after":${r2(loadAfter)},"load_max":${r2(loadMax)},"proc_cpu_sec":${r2(procCpuSec)},"wall_sec":${r2(wallSec)},"proc_avg_cores":${r2(procAvgCores)},"external_load":${r2(externalLoad)},"external_load_max":${r2(externalLoadMax)},"external_cpu_max":${r2(externalCpuMax)},"cpu_canary_ms_before":${r2(canaryBefore)},"cpu_canary_ms_after":${r2(canaryAfter)},"ref_query_ms_before":${r2(refBefore)},"ref_query_ms_after":${r2(refAfter)},"psi_cpu":[${r2(psiBefore._1)},${r2(psiAfter._1)}],"psi_mem":[${r2(psiBefore._2)},${r2(psiAfter._2)}],"psi_io":[${r2(psiBefore._3)},${r2(psiAfter._3)}],"iso_over_median":${r2(isoOverMedian)}}"""
 
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"isolated":$iso,"cache_build":$cb,"failed":$failed,"runs":2,"contended":$contended,"slow_box":$slowBox,"machine":$machine,"sf":"$sfDir"}"""
     println(fullLine)

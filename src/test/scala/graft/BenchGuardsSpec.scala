@@ -48,6 +48,41 @@ class BenchGuardsSpec extends AnyFunSuite {
     }
   }
 
+  test("contention verdict: self-queuing load is not external; real consumption is") {
+    // verdictInputs is pure over the sample vector — no thread started.
+    val sampler = new Bench.LoadSampler(
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean, None)
+    val S = 1000000000L // 1 s in nanos
+    def sample(t: Long, load: Double, ownCpuSec: Long, busyJiffies: Long) =
+      Bench.LoadSample(t * S, load, ownCpuSec * S, busyJiffies)
+    // A saturating local[32] sweep on a QUIET box: load climbs past the
+    // core count from our own queued threads, but host busy jiffies
+    // track our own cpu almost exactly (100 jiffies/core-second).
+    val selfSaturated = Vector(
+      sample(0, 1.0, 0, 0),
+      sample(10, 32.0, 300, 30000),   // we consumed 30 core-s of the 300 busy... see below
+      sample(20, 33.0, 600, 60000))   // own 30 cores avg, busy 30 cores avg
+    // own cpu 0->600 core-seconds over 20 s = 30 cores; busy 60000 jiffies
+    // = 600 core-seconds = 30 cores. Load says 33 (queued own threads).
+    val (loadMax1, extLoad1, extCpu1) = sampler.verdictInputs(selfSaturated)
+    assert(loadMax1 === 33.0)
+    assert(extLoad1 > 2.0, "the load-based form shows the phantom external (the known bias)")
+    assert(extCpu1 < 1.0, s"consumption-based must read a quiet box as quiet, got $extCpu1")
+    // A genuinely contended box: neighbors consume ~14 cores while we
+    // consume ~16 — host busy far exceeds our own cpu.
+    val contendedBox = Vector(
+      sample(0, 1.0, 0, 0),
+      sample(10, 31.0, 160, 30000),
+      sample(20, 31.0, 320, 60000)) // busy 30 cores, own 16 -> others ~14
+    val (_, _, extCpu2) = sampler.verdictInputs(contendedBox)
+    assert(extCpu2 > 10.0, s"real neighbor consumption must register, got $extCpu2")
+    // unsupported inputs degrade to -1, never to a fake verdict
+    val noProc = Vector(sample(0, 1.0, 0, -1), sample(10, 1.0, 0, -1))
+    val (_, _, extCpu3) = sampler.verdictInputs(
+      noProc.map(s => s.copy(procCpuNanos = -1L)))
+    assert(extCpu3 === -1.0)
+  }
+
   test("reference query: deterministic result, scan->shuffle->agg plan, zero engine code") {
     val spark = SparkTestBase.spark
     val dir = java.nio.file.Files.createTempDirectory("graft_refq_spec")
