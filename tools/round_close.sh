@@ -48,7 +48,10 @@ fi
 echo "== [5/5] commit the round's artifacts =="
 git add -A bench_out 2>/dev/null || true
 for f in LEAKCHECK.json COPYCHECK.json BENCH_r*.json CORRECTNESS_r*.json PLANS.md; do
-  [[ -e "$f" ]] && git add "$f"
+  # skip files covered by .gitignore (COPYCHECK.json is driver-managed
+  # and deliberately ignored) — `git add` on one fails and set -e would
+  # abort the close before the commit
+  if [[ -e "$f" ]] && ! git check-ignore -q "$f"; then git add "$f"; fi
 done
 if git diff --cached --quiet; then
   echo "nothing to commit — tree already clean"
