@@ -107,7 +107,10 @@ object Bench {
         }
         if (!subset && canonPath(sf) == canonSf) {
           // Harness-config gate: heap is matched on whole GiB (maxMemory
-          // jitters by a few MB across identical -Xmx values).
+          // jitters by a few MB across identical -Xmx values). Each
+          // field gates INDEPENDENTLY when recorded — a pre-r11 line
+          // with heap_max_gb but no cpus still fails on a heap mismatch
+          // rather than slipping in as "legacy".
           def numField(path: org.json4s.JValue): Option[Double] = path match {
             case org.json4s.JInt(v)     => Some(v.toDouble)
             case org.json4s.JLong(v)    => Some(v.toDouble)
@@ -118,12 +121,11 @@ object Bench {
           val lineCpus = numField(j \ "machine" \ "cpus")
           val lineHeap = numField(j \ "machine" \ "heap_max_gb")
           val configKnown = lineCpus.isDefined && lineHeap.isDefined
-          val configMatches = !configKnown ||
-            ((cpus <= 0 || lineCpus.get.round.toInt == cpus) &&
-             (heapGb <= 0 || lineHeap.get.round == heapGb.round))
-          if (!configMatches) { mismatchedLines += 1 }
+          val configMatches =
+            lineCpus.forall(c => cpus <= 0 || c.round.toInt == cpus) &&
+            lineHeap.forall(h => heapGb <= 0 || h.round == heapGb.round)
+          if (!configMatches) "mismatch"
           else {
-            if (configKnown) matchedLines += 1 else legacyLines += 1
             // a failed query's recorded time is time-to-exception (an OOM
             // cascade logged 8ms "timings" for 115 killed queries) — it is
             // not a measurement and must not enter the baseline
@@ -140,13 +142,20 @@ object Bench {
                 }
                 case _ => Nil
               }
-            (collectLocal("queries"), collectLocal("isolated"))
+            (configKnown, collectLocal("queries"), collectLocal("isolated"))
           }
         } else null
-      }.toOption.collect { case (qs: List[(String, Double)] @unchecked,
-                                 iso: List[(String, Double)] @unchecked) =>
-        qs.foreach { case (k, d) => perQuery.updateWith(k)(o => Some(d :: o.getOrElse(Nil))) }
-        iso.foreach { case (k, d) => perQueryIso.updateWith(k)(o => Some(d :: o.getOrElse(Nil))) }
+      }.toOption.foreach {
+        // counters move HERE, in the commit phase: a line that threw
+        // mid-parse was dropped whole and must not be reported admitted
+        case "mismatch" => mismatchedLines += 1
+        case (configKnown: Boolean,
+              qs: List[(String, Double)] @unchecked,
+              iso: List[(String, Double)] @unchecked) =>
+          if (configKnown) matchedLines += 1 else legacyLines += 1
+          qs.foreach { case (k, d) => perQuery.updateWith(k)(o => Some(d :: o.getOrElse(Nil))) }
+          iso.foreach { case (k, d) => perQueryIso.updateWith(k)(o => Some(d :: o.getOrElse(Nil))) }
+        case _ => ()
       }
     }
     if (mismatchedLines > 0)
@@ -270,10 +279,15 @@ object Bench {
       def overWindows(f: (LoadSample, LoadSample, Double) => Option[Double]): Double = {
         val xs = samples.indices.flatMap { i =>
           val cur = samples(i)
-          // earliest sample within the trailing 60 s (>=1 step back)
+          // earliest sample within the trailing 60 s — but ALWAYS at
+          // least one step back: if a GC pause or thrashing box stalls
+          // the sampler past 60 s, the gap spans exactly the most
+          // contended interval and must still be evaluated (over the
+          // longer window), not dropped.
           val j = samples.indices.take(i).reverse
             .takeWhile { k => cur.nanos - samples(k).nanos <= 60L * 1000000000L }
             .lastOption
+            .orElse(if (i > 0) Some(i - 1) else None)
           j.flatMap { k =>
             val base = samples(k)
             val dt = (cur.nanos - base.nanos) / 1e9
@@ -526,7 +540,7 @@ object Bench {
       graft.ops.PipelineCache.release()
       spark.sharedState.cacheManager.clearCache()
       System.gc()
-      slowest.flatMap { case (name, _) =>
+      val reMeasured = slowest.flatMap { case (name, _) =>
         val fn = SparkEntry.queries(name)
         val a = once(fn)
         val b = once(fn)
@@ -538,6 +552,14 @@ object Bench {
           None
         } else Some(name -> math.min(a.secs, b.secs))
       }
+      // the LAST re-measured query's retained caches would otherwise
+      // still be held while ref_query_ms_after / cpu_canary_ms_after
+      // measure — refBefore ran with nothing retained, and the
+      // before/after pair must be a like-for-like comparison
+      graft.ops.PipelineCache.release()
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+      reMeasured
     } else Seq.empty
 
     def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")

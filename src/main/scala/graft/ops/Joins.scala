@@ -39,6 +39,52 @@ object Joins {
               (lit(base) + expr(s"($damp * in_sum) div $unit")).as("rank"))
   }
 
+  /** The checkpointed fixed-point loop shared by j11 and the 100x A/B
+    * probe: `iters` supersteps with lineage truncation between them,
+    * eager cleanup of the previous iteration's checkpoint blocks, and
+    * registry-managed release of the last one (it backs the returned
+    * lazy plan, so it must outlive construction; every runner's
+    * beginQuery fires the cleanup).
+    *
+    * The i-1 checkpoint feeds ONLY the i-th materialization, so it is
+    * dead the moment localCheckpoint(true) returns — but
+    * Dataset.unpersist cannot reach an RDD-layer persist, so the blocks
+    * otherwise linger until the ContextCleaner GCs the reference. The
+    * persistent-RDD id diff around the eager checkpoint identifies the
+    * blocks it created; that attribution is only exact because the
+    * CALLER must materialize edgesD (and its upstream caches) BEFORE
+    * this loop — Dataset.persist is lazy, and an unmaterialized cache
+    * would register its buffer RDDs inside iteration 1's checkpoint
+    * job, putting the shared caches into the cleanup set (a review
+    * caught exactly that: iteration 2 destroyed the edge cache the
+    * persist exists to amortize). PlanQualitySpec pins the contract
+    * end-to-end: after j11 executes, the shared caches are still live.
+    */
+  def pagerankLoop(s: org.apache.spark.sql.SparkSession,
+                   edgesD: org.apache.spark.sql.DataFrame,
+                   rank0: org.apache.spark.sql.DataFrame,
+                   iters: Int): org.apache.spark.sql.DataFrame = {
+    var rank = rank0
+    var prevCpIds: Set[Int] = Set.empty
+    for (i <- 1 to iters) {
+      val next = pagerankSuperstep(edgesD, rank)
+      rank = if (i < iters) {
+        val sc = s.sparkContext
+        val before = sc.getPersistentRDDs.keySet.toSet
+        val cp = next.localCheckpoint(true) // eager: materialized here
+        val mine = sc.getPersistentRDDs.keySet.toSet -- before
+        prevCpIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+        prevCpIds = mine
+        cp
+      } else next
+    }
+    val lastIds = prevCpIds
+    PipelineCache.retainCleanup { () =>
+      lastIds.foreach(id => s.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    }
+    rank
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Semi join: orders having at least one high-value line (EXISTS).
@@ -329,50 +375,26 @@ object Joins {
         val edgesD = edges.repartition(col("src")).join(deg, "src")
           .select("src", "dst", "d").persist()
         PipelineCache.retain(edges, deg, edgesD)
-        var rank = deg.select(col("src").as("node"), lit(unit).as("rank"))
-        // The i-1 checkpoint feeds ONLY the i-th materialization, so it
-        // is dead the moment localCheckpoint(true) returns — but
-        // Dataset.unpersist cannot reach an RDD-layer persist, so the
-        // blocks otherwise linger until the ContextCleaner GCs the
-        // reference (a whole bench sweep's worth of MEMORY_AND_DISK
-        // accumulation under min-of-2). The persistent-RDD id diff
-        // around the eager checkpoint identifies exactly the blocks it
-        // created; query construction is single-threaded in every
-        // runner, and a misattributed unpersist is recompute-safe.
-        var prevCpIds: Set[Int] = Set.empty
-        for (i <- 1 to 3) {
-          val next = pagerankSuperstep(edgesD, rank)
-          // Truncate lineage between supersteps (same device as
-          // clusterLabels): each iteration materializes the N-row rank
-          // table and the next plans against a LogicalRDD leaf — plan
-          // size stays constant in the iteration count, the supersteps
-          // execute as separate jobs instead of one deep pipeline under
-          // peak memory, and the materialized partitioning (hash(node),
-          // preserved by localCheckpoint) still lines up with the cached
-          // edge partitioning so the join needs no rank-side exchange.
-          // Audit note: the truncation hides iterations 1-2's exchanges
-          // from the plan walkers, so the shuffle-count/row-bytes pins
-          // here cover the FINAL superstep — a faithful representative
-          // because all three iterations execute the shared
-          // pagerankSuperstep body, whose shape PlanQualitySpec also
-          // pins directly on an UN-truncated single-superstep build.
-          rank = if (i < 3) {
-            val sc = s.sparkContext
-            val before = sc.getPersistentRDDs.keySet.toSet
-            val cp = next.localCheckpoint(true) // eager: materialized here
-            val mine = sc.getPersistentRDDs.keySet.toSet -- before
-            prevCpIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-            prevCpIds = mine
-            cp
-          } else next
-        }
-        // The last checkpoint (i=2) backs the returned lazy plan, so it
-        // must outlive construction — hand it to the cache registry,
-        // which every runner releases between queries.
-        val lastIds = prevCpIds
-        PipelineCache.retainCleanup { () =>
-          lastIds.foreach(id => s.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-        }
+        // Materialize the shared caches BEFORE the loop's checkpoint
+        // id-diff brackets (persist is lazy — see pagerankLoop's doc):
+        // the count reads what iteration 1 would have built anyway.
+        edgesD.count()
+        val rank0 = deg.select(col("src").as("node"), lit(unit).as("rank"))
+        // pagerankLoop truncates lineage between supersteps (same device
+        // as clusterLabels): each iteration materializes the N-row rank
+        // table and the next plans against a LogicalRDD leaf — plan
+        // size stays constant in the iteration count, the supersteps
+        // execute as separate jobs instead of one deep pipeline under
+        // peak memory, and the materialized partitioning (hash(node),
+        // preserved by localCheckpoint) still lines up with the cached
+        // edge partitioning so the join needs no rank-side exchange.
+        // Audit note: the truncation hides iterations 1-2's exchanges
+        // from the plan walkers, so the shuffle-count/row-bytes pins
+        // here cover the FINAL superstep — a faithful representative
+        // because all three iterations execute the shared
+        // pagerankSuperstep body, whose shape PlanQualitySpec also
+        // pins directly on an UN-truncated single-superstep build.
+        val rank = pagerankLoop(s, edgesD, rank0, 3)
         rank
           .withColumn("kind", when(col("node") % 2 === 1, "supplier").otherwise("customer"))
           .withColumn("key", expr("node div 2"))

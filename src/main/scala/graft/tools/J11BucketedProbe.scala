@@ -35,12 +35,11 @@ object J11BucketedProbe {
     val edgesD = edges.repartition(col("src")).join(deg, "src")
       .select("src", "dst", "d").persist()
     PipelineCache.retain(edges, deg, edgesD)
-    var rank = deg.select(col("src").as("node"), lit(unit).as("rank"))
-    for (i <- 1 to 3) {
-      val next = Joins.pagerankSuperstep(edgesD, rank)
-      rank = if (i < 3) next.localCheckpoint(true) else next
-    }
-    rank
+    // shared hardened loop: same checkpoint cleanup as the registered
+    // j11, so the A/B measures the layout difference, not a block leak
+    edgesD.count()
+    val rank0 = deg.select(col("src").as("node"), lit(unit).as("rank"))
+    Joins.pagerankLoop(s, edgesD, rank0, 3)
       .withColumn("kind", when(col("node") % 2 === 1, "supplier").otherwise("customer"))
       .withColumn("key", expr("node div 2"))
       .orderBy(col("rank").desc, col("node"))

@@ -81,6 +81,14 @@ class BenchGuardsSpec extends AnyFunSuite {
     val (_, _, extCpu3) = sampler.verdictInputs(
       noProc.map(s => s.copy(procCpuNanos = -1L)))
     assert(extCpu3 === -1.0)
+    // a sampler stall >60s (GC pause, thrashing box) must not drop the
+    // gap from the verdict — the window falls back to one step back,
+    // spanning the stall, so consumption during it still registers
+    val stalled = Vector(
+      sample(0, 1.0, 0, 0),
+      sample(100, 31.0, 1600, 300000)) // 100s gap: own 16 cores, busy 30
+    val (_, _, extCpu4) = sampler.verdictInputs(stalled)
+    assert(extCpu4 > 10.0, s"the stall-spanning window must still be evaluated, got $extCpu4")
   }
 
   test("reference query: deterministic result, scan->shuffle->agg plan, zero engine code") {

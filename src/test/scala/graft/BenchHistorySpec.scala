@@ -123,13 +123,16 @@ class BenchHistorySpec extends AnyFunSuite {
       // an 8g-heap sweep: a different GC regime at the same cpus
       line("/data/sfX", Map("a" -> 40.0), machine = """{"cpus":32,"heap_max_gb":8.0}"""),
       // legacy line without recorded config: admitted (logged as mixing)
-      line("/data/sfX", Map("a" -> 3.0))
+      line("/data/sfX", Map("a" -> 3.0)),
+      // partial config: heap recorded (mismatched) but no cpus field —
+      // each field gates independently, so the heap mismatch excludes it
+      line("/data/sfX", Map("a" -> 89.0), machine = """{"heap_max_gb":89.0}""")
     )) { hist =>
       val (sweep, _) = Bench.historyMedians(hist, "/data/sfX", cpus = 32, heapGb = 64.0)
       assert(sweep("a") === 2.0, "median of [1.0, 2.0, 3.0] — mismatched configs excluded")
       // and with no current config declared, everything still counts
       val (all, _) = Bench.historyMedians(hist, "/data/sfX")
-      assert(all("a") === 3.0, "median of [1,2,3,40,50] when config-agnostic")
+      assert(all("a") === 40.0, "upper median of [1,2,3,40,50,89] when config-agnostic")
     }
   }
 

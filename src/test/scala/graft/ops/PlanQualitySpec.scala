@@ -165,6 +165,35 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"no cartesian in a superstep:\n$plan")
   }
 
+  test("j11: superstep checkpoint cleanup never destroys the shared edge caches") {
+    // The loop unpersists the previous iteration's localCheckpoint
+    // blocks via a persistent-RDD id diff; persist() being lazy, an
+    // unmaterialized edge cache would register its buffer RDDs inside
+    // iteration 1's checkpoint job and the diff would put the SHARED
+    // caches into the cleanup set (iteration 2 then destroyed the edge
+    // cache every later superstep depends on — review finding). The
+    // contract: after j11 executes, the three shared caches AND the
+    // final checkpoint are still live; a release() drains all of them.
+    graft.ops.PipelineCache.release()
+    spark.sharedState.cacheManager.clearCache()
+    val sc = spark.sparkContext
+    val base = sc.getPersistentRDDs.keySet
+    try {
+      val df = graft.SparkEntry.queries("j11_pagerank")(spark, SparkTestBase.Sf0001)
+      df.collect()
+      val added = sc.getPersistentRDDs.keySet -- base
+      assert(added.size >= 4,
+        s"edges/deg/edgesD buffers + the final checkpoint must be live after " +
+          s"execution, saw only ${added.size} persistent RDDs")
+    } finally {
+      graft.ops.PipelineCache.release()
+      spark.sharedState.cacheManager.clearCache()
+    }
+    val leftover = sc.getPersistentRDDs.keySet -- base
+    assert(leftover.isEmpty,
+      s"release() must drain every cache and checkpoint j11 created, left $leftover")
+  }
+
   test("j11 superstep (un-truncated): exact shape — no edge-side exchange, <=2 shuffles") {
     // j11's loop truncates lineage between supersteps, so the query-level
     // pins see only the final iteration. This audits the SHARED superstep
