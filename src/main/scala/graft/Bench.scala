@@ -163,9 +163,9 @@ object Bench {
         s"recorded under a different cpus/heap configuration (current: cpus=$cpus, " +
         f"heap=${heapGb}%.0fg)")
     if (legacyLines > 0 && (cpus > 0 || heapGb > 0))
-      System.err.println(s"[bench] history baseline admits $legacyLines legacy line(s) " +
-        s"without recorded cpus/heap next to $matchedLines config-matched line(s) — " +
-        "medians may mix harness configurations")
+      System.err.println(s"[bench] history baseline admits $legacyLines line(s) without a " +
+        s"complete cpus+heap record (any field they DID record matched) next to " +
+        s"$matchedLines fully-config-matched line(s) — medians may mix harness configurations")
     def medians(m: scala.collection.mutable.Map[String, List[Double]]) =
       m.view.mapValues { xs =>
         val s = xs.sorted
@@ -276,18 +276,23 @@ object Bench {
     def verdictInputs(samples: Vector[LoadSample]): (Double, Double, Double) = {
       val loads = samples.map(_.load).filter(_ >= 0)
       val loadMax = if (loads.isEmpty) -1.0 else loads.max
-      def overWindows(f: (LoadSample, LoadSample, Double) => Option[Double]): Double = {
+      def overWindows(allowStallSpan: Boolean)(
+          f: (LoadSample, LoadSample, Double) => Option[Double]): Double = {
         val xs = samples.indices.flatMap { i =>
           val cur = samples(i)
-          // earliest sample within the trailing 60 s — but ALWAYS at
-          // least one step back: if a GC pause or thrashing box stalls
-          // the sampler past 60 s, the gap spans exactly the most
-          // contended interval and must still be evaluated (over the
-          // longer window), not dropped.
+          // Earliest sample within the trailing 60 s. For the
+          // CONSUMPTION form only, fall back to one step back when a
+          // GC pause or thrashing box stalls the sampler past 60 s —
+          // the gap spans exactly the most contended interval, and
+          // both consumption terms are averaged over the SAME longer
+          // window so the differencing stays valid. The LOAD form must
+          // NOT span a stall: load is a ~1-min EWMA, so subtracting an
+          // own-cpu rate averaged over a multi-minute gap from it
+          // fabricates external load on an idle-then-busy quiet box.
           val j = samples.indices.take(i).reverse
             .takeWhile { k => cur.nanos - samples(k).nanos <= 60L * 1000000000L }
             .lastOption
-            .orElse(if (i > 0) Some(i - 1) else None)
+            .orElse(if (allowStallSpan && i > 0) Some(i - 1) else None)
           j.flatMap { k =>
             val base = samples(k)
             val dt = (cur.nanos - base.nanos) / 1e9
@@ -296,11 +301,11 @@ object Bench {
         }
         if (xs.isEmpty) -1.0 else math.max(0.0, xs.max)
       }
-      val extLoad = overWindows { (b, c, dt) =>
+      val extLoad = overWindows(allowStallSpan = false) { (b, c, dt) =>
         if (c.load < 0 || c.procCpuNanos < 0 || b.procCpuNanos < 0) None
         else Some(c.load - (c.procCpuNanos - b.procCpuNanos) / 1e9 / dt)
       }
-      val extCpu = overWindows { (b, c, dt) =>
+      val extCpu = overWindows(allowStallSpan = true) { (b, c, dt) =>
         if (c.hostBusyJiffies < 0 || b.hostBusyJiffies < 0 ||
             c.procCpuNanos < 0 || b.procCpuNanos < 0) None
         else Some((c.hostBusyJiffies - b.hostBusyJiffies) / 100.0 / dt -
@@ -552,15 +557,17 @@ object Bench {
           None
         } else Some(name -> math.min(a.secs, b.secs))
       }
-      // the LAST re-measured query's retained caches would otherwise
-      // still be held while ref_query_ms_after / cpu_canary_ms_after
-      // measure — refBefore ran with nothing retained, and the
-      // before/after pair must be a like-for-like comparison
-      graft.ops.PipelineCache.release()
-      spark.sharedState.cacheManager.clearCache()
-      System.gc()
       reMeasured
     } else Seq.empty
+    // The LAST executed query's retained caches (the final isolated
+    // re-measure on the judged path, the final sweep query on a
+    // SPARK_GRAFT_ONLY subset run) would otherwise still be held while
+    // ref_query_ms_after / cpu_canary_ms_after measure — refBefore ran
+    // with nothing retained, and the before/after pair must be a
+    // like-for-like comparison on EVERY path.
+    graft.ops.PipelineCache.release()
+    spark.sharedState.cacheManager.clearCache()
+    System.gc()
 
     def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v.secs }

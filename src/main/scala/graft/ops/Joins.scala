@@ -51,19 +51,64 @@ object Joins {
     * Dataset.unpersist cannot reach an RDD-layer persist, so the blocks
     * otherwise linger until the ContextCleaner GCs the reference. The
     * persistent-RDD id diff around the eager checkpoint identifies the
-    * blocks it created; that attribution is only exact because the
-    * CALLER must materialize edgesD (and its upstream caches) BEFORE
-    * this loop — Dataset.persist is lazy, and an unmaterialized cache
-    * would register its buffer RDDs inside iteration 1's checkpoint
-    * job, putting the shared caches into the cleanup set (a review
-    * caught exactly that: iteration 2 destroyed the edge cache the
-    * persist exists to amortize). PlanQualitySpec pins the contract
+    * blocks it created; that attribution is only exact when edgesD's
+    * caches are materialized BEFORE the diff brackets — Dataset.persist
+    * is lazy, and an unmaterialized cache would register its buffer
+    * RDDs inside iteration 1's checkpoint job, putting the shared
+    * caches into the cleanup set (a review caught exactly that:
+    * iteration 2 destroyed the edge cache the persist exists to
+    * amortize). The loop therefore materializes edgesD ITSELF as its
+    * first step — a cheap cached scan for callers that already counted
+    * — instead of trusting a caller-side contract that any new caller
+    * could silently violate. PlanQualitySpec pins the behavior
     * end-to-end: after j11 executes, the shared caches are still live.
     */
+  /** The FULL PageRank query body from a (c, sp) trade pair list to the
+    * ranked top-20 frame — cache discipline, fixed-point loop, output
+    * projection — shared verbatim by j11 and the layout A/B probe so
+    * the measured variant can never silently diverge from the
+    * registered query again (the probe once copied a stale loop and
+    * biased the A/B it existed to adjudicate).
+    *
+    * Shape rationale (audited by PlanQualitySpec/ExchangeBudgetSpec):
+    *  - edges explode from ONE pass over trades (Edges.symmetrize) —
+    *    the union-of-two-projections form materialized the upstream
+    *    join once per branch before the persist caught it.
+    *  - Degree is a per-src constant, folded into the edge list ONCE
+    *    (src, dst, d); that table is hash-partitioned by the join key
+    *    BEFORE the degree join so the single cache-build exchange
+    *    satisfies the join and carries through the projection into the
+    *    cache: supersteps shuffle only the N-row rank table and the
+    *    contrib aggregation, never the E-row edge list.
+    *  - pagerankLoop truncates lineage between supersteps: constant
+    *    plan depth, separate jobs, and the checkpoint's hash(node)
+    *    partitioning lines up with the cached edge partitioning, so
+    *    the superstep join needs no rank-side exchange. The truncation
+    *    hides iterations 1-2 from plan walkers; the pins cover the
+    *    final superstep plus the un-truncated shared body directly.
+    */
+  def pagerankRanked(s: org.apache.spark.sql.SparkSession,
+                     trades: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val unit = 1000000L
+    val edges = Edges.symmetrize(trades, col("c"), col("sp")).persist()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).persist()
+    val edgesD = edges.repartition(col("src")).join(deg, "src")
+      .select("src", "dst", "d").persist()
+    PipelineCache.retain(edges, deg, edgesD)
+    val rank0 = deg.select(col("src").as("node"), lit(unit).as("rank"))
+    pagerankLoop(s, edgesD, rank0, 3)
+      .withColumn("kind", when(col("node") % 2 === 1, "supplier").otherwise("customer"))
+      .withColumn("key", expr("node div 2"))
+      .orderBy(col("rank").desc, col("node"))
+      .select("kind", "key", "rank")
+      .limit(20)
+  }
+
   def pagerankLoop(s: org.apache.spark.sql.SparkSession,
                    edgesD: org.apache.spark.sql.DataFrame,
                    rank0: org.apache.spark.sql.DataFrame,
                    iters: Int): org.apache.spark.sql.DataFrame = {
+    edgesD.count() // materialize the caches before the diff brackets
     var rank = rank0
     var prevCpIds: Set[Int] = Set.empty
     for (i <- 1 to iters) {
@@ -343,7 +388,6 @@ object Joins {
     // once before caching, so supersteps shuffle only rank + contribs.
     "j11_pagerank" -> Q(
       fn = (s, d) => {
-        val unit = 1000000L
         // undirected bipartite trade graph: customer 2k <-> supplier 2k+1
         val trades = Tables.orders(s, d)
           .join(Tables.lineitem(s, d),
@@ -351,56 +395,7 @@ object Joins {
           .select((col("o_custkey") * 2).as("c"),
                   (col("l_suppkey") * 2 + 1).as("sp"))
           .distinct()
-        // explode both directions from ONE pass over trades — the
-        // union-of-two-projections form materialized the orders x lineitem
-        // distinct twice (once per branch) before the persist caught it
-        val edges = Edges.symmetrize(trades, col("c"), col("sp")).persist()
-        // Degree is a per-src constant, so fold it into the edge list ONCE
-        // (src, dst, d) and hash-partition that table by the join key
-        // before caching: every superstep's join then reuses the cached
-        // partitioning — only the N-row rank table and the contrib
-        // aggregation shuffle per iteration, never the E-row edge list,
-        // and the per-iteration deg join disappears entirely.
-        // deg feeds both the edge annotation and the rank init — cache it
-        // so the N-row degree aggregation runs once, not per consumer
-        val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).persist()
-        // Repartition BEFORE the degree join, not after: the join's own
-        // src-distribution requirement is then satisfied by this exchange
-        // and its output partitioning carries through the projection into
-        // the cache — the former join-then-repartition form moved the
-        // full 2E-row edge list through TWO src-keyed exchanges at cache
-        // build (the join's and the explicit repartition's) whenever the
-        // planner didn't broadcast deg, which at cluster scale it never
-        // does.
-        val edgesD = edges.repartition(col("src")).join(deg, "src")
-          .select("src", "dst", "d").persist()
-        PipelineCache.retain(edges, deg, edgesD)
-        // Materialize the shared caches BEFORE the loop's checkpoint
-        // id-diff brackets (persist is lazy — see pagerankLoop's doc):
-        // the count reads what iteration 1 would have built anyway.
-        edgesD.count()
-        val rank0 = deg.select(col("src").as("node"), lit(unit).as("rank"))
-        // pagerankLoop truncates lineage between supersteps (same device
-        // as clusterLabels): each iteration materializes the N-row rank
-        // table and the next plans against a LogicalRDD leaf — plan
-        // size stays constant in the iteration count, the supersteps
-        // execute as separate jobs instead of one deep pipeline under
-        // peak memory, and the materialized partitioning (hash(node),
-        // preserved by localCheckpoint) still lines up with the cached
-        // edge partitioning so the join needs no rank-side exchange.
-        // Audit note: the truncation hides iterations 1-2's exchanges
-        // from the plan walkers, so the shuffle-count/row-bytes pins
-        // here cover the FINAL superstep — a faithful representative
-        // because all three iterations execute the shared
-        // pagerankSuperstep body, whose shape PlanQualitySpec also
-        // pins directly on an UN-truncated single-superstep build.
-        val rank = pagerankLoop(s, edgesD, rank0, 3)
-        rank
-          .withColumn("kind", when(col("node") % 2 === 1, "supplier").otherwise("customer"))
-          .withColumn("key", expr("node div 2"))
-          .orderBy(col("rank").desc, col("node"))
-          .select("kind", "key", "rank")
-          .limit(20)
+        pagerankRanked(s, trades)
       },
       oracle = Some("""
         WITH trades AS (

@@ -27,25 +27,11 @@ import org.apache.spark.sql.functions._
   */
 object J11BucketedProbe {
 
-  private def pagerankFromTrades(s: SparkSession, trades: DataFrame): DataFrame = {
-    import graft.ops.{Edges, Joins, PipelineCache}
-    val unit = 1000000L
-    val edges = Edges.symmetrize(trades, col("c"), col("sp")).persist()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).persist()
-    val edgesD = edges.repartition(col("src")).join(deg, "src")
-      .select("src", "dst", "d").persist()
-    PipelineCache.retain(edges, deg, edgesD)
-    // shared hardened loop: same checkpoint cleanup as the registered
-    // j11, so the A/B measures the layout difference, not a block leak
-    edgesD.count()
-    val rank0 = deg.select(col("src").as("node"), lit(unit).as("rank"))
-    Joins.pagerankLoop(s, edgesD, rank0, 3)
-      .withColumn("kind", when(col("node") % 2 === 1, "supplier").otherwise("customer"))
-      .withColumn("key", expr("node div 2"))
-      .orderBy(col("rank").desc, col("node"))
-      .select("kind", "key", "rank")
-      .limit(20)
-  }
+  // The ENTIRE query body is the shared Joins.pagerankRanked — the A/B
+  // varies only the trades build, so it can never again measure a
+  // variant that silently diverged from the registered j11.
+  private def pagerankFromTrades(s: SparkSession, trades: DataFrame): DataFrame =
+    graft.ops.Joins.pagerankRanked(s, trades)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/sf10")

@@ -87,8 +87,13 @@ class BenchGuardsSpec extends AnyFunSuite {
     val stalled = Vector(
       sample(0, 1.0, 0, 0),
       sample(100, 31.0, 1600, 300000)) // 100s gap: own 16 cores, busy 30
-    val (_, _, extCpu4) = sampler.verdictInputs(stalled)
+    val (_, extLoad4, extCpu4) = sampler.verdictInputs(stalled)
     assert(extCpu4 > 10.0, s"the stall-spanning window must still be evaluated, got $extCpu4")
+    // ...but ONLY for the consumption form: the load form subtracting a
+    // 100s own-cpu average from a 1-min load EWMA fabricates external
+    // load on an idle-then-busy quiet box, so it drops the window
+    assert(extLoad4 === -1.0,
+      s"the load form must not difference across a stall, got $extLoad4")
   }
 
   test("reference query: deterministic result, scan->shuffle->agg plan, zero engine code") {
