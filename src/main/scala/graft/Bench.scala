@@ -44,19 +44,55 @@ import org.apache.spark.sql.SparkSession
   * one regressed query moves only its own ratio, never the median.
   * slow_box is null when no baseline exists, and a code change slowing
   * many queries uniformly also trips it — the recorded canary and PSI
-  * are the disambiguators, deliberately not folded into the boolean.
+  * are disambiguators, and since round 12 the pinned reference query's
+  * ratio against its own recency-windowed history median is folded into
+  * a second boolean, slow_box_corroborated (host slowdown moves the
+  * zero-engine-code ref query WITH the real queries; a code regression
+  * cannot), making the artifact self-adjudicating on that axis too.
   */
 object Bench {
+
+  /** What the history log establishes as "normal" for this fixture set
+    * and harness configuration: per-query sweep/isolated medians plus the
+    * reference-query median (ms; -1 when no line recorded it). See
+    * [[historyBaseline]] for admission rules.
+    */
+  private[graft] final case class HistoryBaseline(
+      sweep: Map[String, Double],
+      iso: Map[String, Double],
+      refQueryMs: Double)
+
+  /** Back-compat pair view of [[historyBaseline]] (sweep, isolated). */
+  private[graft] def historyMedians(histFile: java.nio.file.Path,
+                                    sfDir: String,
+                                    cpus: Int = -1,
+                                    heapGb: Double = -1.0,
+                                    window: Int = DefaultHistoryWindow): (Map[String, Double], Map[String, Double]) = {
+    val b = historyBaseline(histFile, sfDir, cpus, heapGb, window)
+    (b.sweep, b.iso)
+  }
+
+  /** Recency window for every history median: only the most recent N
+    * admitted observations per query (and per the ref query) enter the
+    * median. Round-11's close read iso_over_median=0.83 because the
+    * baseline still blended pre-speedup lines — a stale-SLOW baseline
+    * degrades slow_box in the false-negative direction (a real slowdown
+    * has to climb over the old slow median before the ratio moves).
+    * Five observations is enough to damp one noisy sweep while tracking
+    * a deliberate speedup within two closes.
+    */
+  private[graft] val DefaultHistoryWindow = 5
 
   /** Per-query median seconds from prior FULL-surface history lines at
     * the same fixtures (subset probes and other-sf sweeps excluded):
     * sweep medians (the baseline that decides which queries earn an
-    * isolated re-measure) and ISOLATED-run medians (the like-for-like
+    * isolated re-measure), ISOLATED-run medians (the like-for-like
     * baseline for the slow_box verdict — isolated re-runs are quiet
     * GC'd cold-cache measurements, a different regime from in-sweep
-    * times). json4s is Spark's own bundled JSON library. Total:
-    * unreadable or malformed history yields empty maps (first round,
-    * fresh clone).
+    * times), and the pinned reference query's median ms (the host-vs-
+    * engine disambiguator: min of each admitted line's before/after).
+    * json4s is Spark's own bundled JSON library. Total: unreadable or
+    * malformed history yields empty maps (first round, fresh clone).
     *
     * Line admission is ATOMIC: a malformed value mid-object (a JSON null
     * timing, a non-numeric string) drops the WHOLE line — earlier
@@ -69,14 +105,21 @@ object Bench {
     * Lines whose machine object predates the cpus field are admitted as
     * legacy; any mixing or exclusion is logged so the reader knows what
     * the baseline blends.
+    *
+    * Recency windowing (`window` > 0): only each query's most recent
+    * `window` admitted observations contribute — stale lines from before
+    * a deliberate speedup must age out rather than anchor the median
+    * (see [[DefaultHistoryWindow]]).
     */
-  private[graft] def historyMedians(histFile: java.nio.file.Path,
-                                    sfDir: String,
-                                    cpus: Int = -1,
-                                    heapGb: Double = -1.0): (Map[String, Double], Map[String, Double]) = {
+  private[graft] def historyBaseline(histFile: java.nio.file.Path,
+                                     sfDir: String,
+                                     cpus: Int = -1,
+                                     heapGb: Double = -1.0,
+                                     window: Int = DefaultHistoryWindow): HistoryBaseline = {
     import scala.jdk.CollectionConverters._
     import scala.util.Try
-    if (!java.nio.file.Files.isReadable(histFile)) return (Map.empty, Map.empty)
+    if (!java.nio.file.Files.isReadable(histFile))
+      return HistoryBaseline(Map.empty, Map.empty, -1.0)
     // Compare CANONICAL paths: the bench_latest refresh canonicalizes the
     // judged-fixture path, so a sweep invoked via a symlink writes history
     // under the alias — raw string equality would then fragment the median
@@ -89,6 +132,7 @@ object Bench {
     val canonSf = canonPath(sfDir)
     val perQuery = scala.collection.mutable.Map.empty[String, List[Double]]
     val perQueryIso = scala.collection.mutable.Map.empty[String, List[Double]]
+    var refSamples: List[Double] = Nil // newest-first, like the per-query lists
     var legacyLines = 0; var mismatchedLines = 0; var matchedLines = 0
     java.nio.file.Files.readAllLines(histFile).asScala.foreach { line =>
       // Parse the whole line into LOCAL collections first and commit to
@@ -142,7 +186,14 @@ object Bench {
                 }
                 case _ => Nil
               }
-            (configKnown, collectLocal("queries"), collectLocal("isolated"))
+            // reference-query ms for this line: min of before/after when
+            // both recorded (each is already a warmed min), whichever
+            // exists otherwise; absent on pre-r11 lines
+            val refMs = Seq(numField(j \ "machine" \ "ref_query_ms_before"),
+                            numField(j \ "machine" \ "ref_query_ms_after"))
+              .flatten.filter(v => v > 0 && !v.isNaN)
+              .reduceOption((a: Double, b: Double) => math.min(a, b))
+            (configKnown, collectLocal("queries"), collectLocal("isolated"), refMs)
           }
         } else null
       }.toOption.foreach {
@@ -151,10 +202,12 @@ object Bench {
         case "mismatch" => mismatchedLines += 1
         case (configKnown: Boolean,
               qs: List[(String, Double)] @unchecked,
-              iso: List[(String, Double)] @unchecked) =>
+              iso: List[(String, Double)] @unchecked,
+              refMs: Option[Double] @unchecked) =>
           if (configKnown) matchedLines += 1 else legacyLines += 1
           qs.foreach { case (k, d) => perQuery.updateWith(k)(o => Some(d :: o.getOrElse(Nil))) }
           iso.foreach { case (k, d) => perQueryIso.updateWith(k)(o => Some(d :: o.getOrElse(Nil))) }
+          refMs.foreach(r => refSamples = r :: refSamples)
         case _ => ()
       }
     }
@@ -166,12 +219,19 @@ object Bench {
       System.err.println(s"[bench] history baseline admits $legacyLines line(s) without a " +
         s"complete cpus+heap record (any field they DID record matched) next to " +
         s"$matchedLines fully-config-matched line(s) — medians may mix harness configurations")
+    // Lists are built newest-first (file order is append-chronological and
+    // admission prepends), so the recency window is a plain take(window).
+    def windowed(xs: List[Double]): List[Double] =
+      if (window > 0) xs.take(window) else xs
+    def medianOf(xs: List[Double]): Double = {
+      val s = xs.sorted
+      s(s.size / 2)
+    }
     def medians(m: scala.collection.mutable.Map[String, List[Double]]) =
-      m.view.mapValues { xs =>
-        val s = xs.sorted
-        s(s.size / 2)
-      }.toMap
-    (medians(perQuery), medians(perQueryIso))
+      m.view.mapValues(xs => medianOf(windowed(xs))).toMap
+    val refMedian =
+      if (refSamples.isEmpty) -1.0 else medianOf(windowed(refSamples))
+    HistoryBaseline(medians(perQuery), medians(perQueryIso), refMedian)
   }
 
   /** Linux pressure-stall "some avg10" percentage for cpu/memory/io, or
@@ -340,15 +400,79 @@ object Bench {
       .agg(sum(col("sv")).as("tv"), sum(col("n")).as("tn"), count(lit(1)).as("groups"))
   }
 
-  /** Min-of-3 wall ms for the reference query (one untimed warm pass). */
+  /** Warmed-minimum measurement: run `once` (which returns its own wall
+    * duration) until the RUNNING MIN stops improving by more than `tol`
+    * for `patience` consecutive runs, bounded at `maxRuns`; returns
+    * (min over all runs, runs executed).
+    *
+    * A single fixed warm pass is not enough on a freshly-forked JVM: the
+    * r11 close read ref_query_ms_before 260.6 ms against after 154.4 ms
+    * — pure C2 warm-up that runs in the direction that can MASK a
+    * mid-sweep host slowdown of up to ~1.7x in the before/after
+    * comparison. Nor is consecutive-run agreement a valid stop rule: C2
+    * compiles in tiers, so the descent is a STAIRCASE with multi-run
+    * plateaus (RefWarmProbe on this box: 1603, 398, 324, 320, 271, ...
+    * asymptote ~158 around run 20 — agreement-within-10% stops on the
+    * 324/320 plateau at 2x the asymptote). Patience over the running
+    * min rides through plateaus and stops only when a full window has
+    * failed to set a new floor.
+    *
+    * Defaults sized from the measured staircase: plateaus run ~5 runs
+    * wide (runs 9-13 sat at ~195 before the drop to 171), so patience=8
+    * spans one full plateau with margin; patience=4 stopped at 199 ms on
+    * a sweep whose end-state floor was 131 ms (1.52x — still enough to
+    * mask a real mid-sweep slowdown). Worst case ~60 runs x ~0.25 s =
+    * ~15 s, paid twice per multi-minute sweep.
+    */
+  private[graft] def warmedMinMs(once: () => Double,
+                                 tol: Double = 0.03,
+                                 patience: Int = 8,
+                                 maxRuns: Int = 60): (Double, Int) = {
+    var best = once()
+    var runs = 1
+    var sincImprove = 0
+    while (runs < maxRuns && sincImprove < patience) {
+      val cur = once()
+      runs += 1
+      if (cur < best * (1 - tol)) sincImprove = 0 else sincImprove += 1
+      if (cur < best) best = cur
+    }
+    (best, runs)
+  }
+
+  /** Warmed-min wall ms for the reference query (see [[warmedMinMs]]) —
+    * before/after are both asymptote-of-descent numbers, so their ratio
+    * reads host state, not JIT state.
+    */
   private[graft] def refQueryMs(spark: SparkSession, dir: String): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
       refQueryDf(spark, dir).collect()
       (System.nanoTime() - t0) / 1e6
     }
-    once(); Seq(once(), once(), once()).min
+    val (ms, runs) = warmedMinMs(() => once())
+    // diagnostic, not artifact: how deep the warm loop had to go (a
+    // maxRuns-bounded stop means the descent never flattened — the
+    // number is then still warm-up-inflated and should be read warily)
+    System.err.println(f"[bench] ref query warmed min: $ms%.1f ms after $runs runs")
+    ms
   }
+
+  /** Self-adjudicating corroboration of slow_box: slow_box trips when the
+    * isolated re-runs sit uniformly above their history medians — which
+    * happens for BOTH host slowdown and a code change that slows many
+    * queries. The pinned reference query (zero engine code on its path)
+    * splits the two: host slowdown (steal/thermal/bandwidth) moves it
+    * together with the real queries; an engine regression cannot move it.
+    * corroborated_slow_box = iso_over_median > 1.3 (slow_box's own
+    * threshold) AND the ref query's min(before, after) > 1.5x its
+    * history median. "null" when either side has no baseline. slow_box
+    * itself is unchanged — this boolean is additional, and false on a
+    * quiet sweep by construction (both ratios ~1).
+    */
+  private[graft] def slowBoxCorroborated(isoOverMedian: Double, refRatio: Double): String =
+    if (isoOverMedian < 0 || refRatio < 0) "null"
+    else (isoOverMedian > 1.3 && refRatio > 1.5).toString
 
   /** Total on-disk bytes of the fixture directory (recursive). */
   private[graft] def fixtureBytes(sfDir: String): Long =
@@ -486,9 +610,11 @@ object Bench {
         SparkEntry.queries.view.filterKeys(names).toMap
       case None => SparkEntry.queries
     }
-    // cacheBuild: whether the query registered construction-time persists
-    // with PipelineCache — its timing then includes rebuilding a shared
-    // table (signatures, survivor sets) that per-query cache hygiene
+    // cacheBuild: whether the query registered construction-time cached
+    // state with PipelineCache — persists OR RDD-layer checkpoint
+    // cleanups (a checkpoint-only query like j11 counts too) — its
+    // timing then includes rebuilding a shared table (signatures,
+    // survivor sets, superstep checkpoints) that per-query cache hygiene
     // deliberately releases between queries. Emitted per query so the
     // judge can attribute "slower than last round" to honest cold-cache
     // rebuild vs a real plan regression without forensics (VERDICT r6 #4).
@@ -519,8 +645,9 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out"))
     val cpusInt = scala.util.Try(cpus.toInt).getOrElse(-1)
     val heapGbNow = heapBytes / (1024.0 * 1024 * 1024)
-    val (medians, isoMedians) =
-      historyMedians(outDir.resolve("bench_history.jsonl"), sfDir, cpusInt, heapGbNow)
+    val baseline =
+      historyBaseline(outDir.resolve("bench_history.jsonl"), sfDir, cpusInt, heapGbNow)
+    val (medians, isoMedians) = (baseline.sweep, baseline.iso)
     val isolated = if (only.isEmpty) {
       val ok = results.filter(_._2.error.isEmpty)
       val top5 = ok.sortBy(-_._2.secs).take(5)
@@ -643,7 +770,10 @@ object Bench {
     // path) covers the case a register-only canary misses — a
     // bandwidth/steal slowdown moves ref_query_ms and the real queries
     // together, while an engine regression moves only the real queries.
-    // Left to the reader rather than folded into the boolean. Emitted
+    // The ref signal is additionally folded into its own boolean
+    // (slow_box_corroborated, see slowBoxCorroborated) now that the
+    // warmed-up before/after measurement makes its ratio trustworthy;
+    // the raw inputs stay in the JSON for re-adjudication. Emitted
     // as JSON null when there is no baseline to judge against (fresh
     // history, subset run).
     val isoRatios = isolated.flatMap { case (n, s) =>
@@ -654,6 +784,14 @@ object Bench {
     val isoOverMedian =
       if (isoRatios.size >= 3) isoRatios(isoRatios.size / 2) else -1.0
     val slowBox = if (isoOverMedian < 0) "null" else (isoOverMedian > 1.3).toString
+    // ref-query ratio vs the recency-windowed history median: min of this
+    // sweep's warmed before/after (like-for-like with how the baseline
+    // lines were folded in) over the baseline, -1 when no prior line
+    // recorded the ref query under this config.
+    val refRatio =
+      if (baseline.refQueryMs > 0) math.min(refBefore, refAfter) / baseline.refQueryMs
+      else -1.0
+    val slowBoxCorr = slowBoxCorroborated(isoOverMedian, refRatio)
     // Locale.ROOT, not the f interpolator: %.2f under the DEFAULT locale
     // emits decimal commas on de_DE-style hosts — invalid JSON that
     // historyMedians' Try then silently drops, emptying the baseline.
@@ -664,15 +802,15 @@ object Bench {
     // the JVM sizing it ran under. cpus is recorded so history medians
     // can refuse to blend baselines across harness configurations, and
     // heap_guard records whether THIS sweep ran inside the OOM envelope.
-    val machine = s"""{"host_cores":$hostCores,"cpus":$cpusInt,"heap_max_gb":${r2(heapGbNow)},"heap_guard":"${if (guardMsg.isDefined) "undersized" else "ok"}","load_before":${r2(loadBefore)},"load_after":${r2(loadAfter)},"load_max":${r2(loadMax)},"proc_cpu_sec":${r2(procCpuSec)},"wall_sec":${r2(wallSec)},"proc_avg_cores":${r2(procAvgCores)},"external_load":${r2(externalLoad)},"external_load_max":${r2(externalLoadMax)},"external_cpu_max":${r2(externalCpuMax)},"cpu_canary_ms_before":${r2(canaryBefore)},"cpu_canary_ms_after":${r2(canaryAfter)},"ref_query_ms_before":${r2(refBefore)},"ref_query_ms_after":${r2(refAfter)},"psi_cpu":[${r2(psiBefore._1)},${r2(psiAfter._1)}],"psi_mem":[${r2(psiBefore._2)},${r2(psiAfter._2)}],"psi_io":[${r2(psiBefore._3)},${r2(psiAfter._3)}],"iso_over_median":${r2(isoOverMedian)}}"""
+    val machine = s"""{"host_cores":$hostCores,"cpus":$cpusInt,"heap_max_gb":${r2(heapGbNow)},"heap_guard":"${if (guardMsg.isDefined) "undersized" else "ok"}","load_before":${r2(loadBefore)},"load_after":${r2(loadAfter)},"load_max":${r2(loadMax)},"proc_cpu_sec":${r2(procCpuSec)},"wall_sec":${r2(wallSec)},"proc_avg_cores":${r2(procAvgCores)},"external_load":${r2(externalLoad)},"external_load_max":${r2(externalLoadMax)},"external_cpu_max":${r2(externalCpuMax)},"cpu_canary_ms_before":${r2(canaryBefore)},"cpu_canary_ms_after":${r2(canaryAfter)},"ref_query_ms_before":${r2(refBefore)},"ref_query_ms_after":${r2(refAfter)},"ref_query_ratio":${r2(refRatio)},"psi_cpu":[${r2(psiBefore._1)},${r2(psiAfter._1)}],"psi_mem":[${r2(psiBefore._2)},${r2(psiAfter._2)}],"psi_io":[${r2(psiBefore._3)},${r2(psiAfter._3)}],"iso_over_median":${r2(isoOverMedian)}}"""
 
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"isolated":$iso,"cache_build":$cb,"failed":$failed,"runs":2,"contended":$contended,"slow_box":$slowBox,"machine":$machine,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"isolated":$iso,"cache_build":$cb,"failed":$failed,"runs":2,"contended":$contended,"slow_box":$slowBox,"slow_box_corroborated":$slowBoxCorr,"machine":$machine,"sf":"$sfDir"}"""
     println(fullLine)
     // Short trailer AFTER the full line: capture tools that keep only the
     // tail of the output can truncate the per-query map away, so the
     // headline numbers AND the contention verdicts are re-emitted in a
     // line that always fits.
-    println(s"""{"metric":"total_only","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"contended":$contended,"slow_box":$slowBox,"machine":$machine}""")
+    println(s"""{"metric":"total_only","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"contended":$contended,"slow_box":$slowBox,"slow_box_corroborated":$slowBoxCorr,"machine":$machine}""")
     // Durable copy: three rounds of driver artifacts (r06-r08) lost the
     // per-query map to stdout tail truncation. Write the complete JSON to
     // a repo file so the artifact is self-contained regardless of how much

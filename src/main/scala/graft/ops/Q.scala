@@ -63,12 +63,23 @@ object PipelineCache {
     * layer, invisible to the CacheManager, and otherwise linger until the
     * ContextCleaner happens to GC the reference (j11's supersteps held
     * MEMORY_AND_DISK blocks across a whole sweep that way).
+    *
+    * CONTRACT: unlike plain `unpersist` of a lineage-backed frame, these
+    * cleanups are NOT recompute-safe. A local checkpoint DISCARDS lineage,
+    * so a DataFrame built over one (j11's pagerankLoop) fails permanently
+    * with "checkpoint block not found" if executed — or re-executed —
+    * after its cleanup ran. Consumers must fully execute a query's result
+    * before the next `beginQuery()`/`release()`; build-all-then-execute
+    * over this registry is unsound by design.
     */
   def retainCleanup(f: () => Unit): Unit = lock.synchronized { cleanups :+= f }
-  /** Frames currently retained — i.e. how many construction-time persists
-    * the most recent query registered. Bench reads this after each query
-    * to flag which timings include a shared-table (re)build, so the judge
-    * can separate honest cold-cache cost from plan regression.
+  /** Cached-state registrations the most recent query left behind:
+    * construction-time persists PLUS RDD-layer checkpoint cleanups
+    * (retainCleanup) — both mean the query's timing includes building
+    * shared cached state that per-query hygiene releases between queries.
+    * Bench reads this after each query to flag which timings include such
+    * a (re)build, so the judge can separate honest cold-cache cost from
+    * plan regression.
     */
   def heldCount: Int = lock.synchronized(held.size + cleanups.size)
   def beginQuery(): Unit = release()
@@ -76,8 +87,11 @@ object PipelineCache {
     val (toDrop, toRun) = lock.synchronized {
       val h = (held, cleanups); held = Vector.empty; cleanups = Vector.empty; h
     }
-    // Unpersisting a frame another consumer still reads is recompute-safe
-    // (Spark falls back to lineage), so the lock covers bookkeeping only.
+    // Unpersisting a PERSISTED frame another consumer still reads is
+    // recompute-safe (Spark falls back to lineage), so the lock covers
+    // bookkeeping only. The cleanups are NOT: they drop localCheckpoint
+    // RDD blocks whose lineage is gone (see retainCleanup's contract), so
+    // any result built before this release must already be fully executed.
     toDrop.foreach(_.unpersist())
     toRun.foreach(f => try f() catch { case _: Exception => () })
   }

@@ -96,6 +96,65 @@ class BenchGuardsSpec extends AnyFunSuite {
       s"the load form must not difference across a stall, got $extLoad4")
   }
 
+  test("warmedMinMs: rides through staircase plateaus, stops at the floor, bounded") {
+    def feed(xs: Double*): () => Double = {
+      val it = Iterator(xs: _*) ++ Iterator.continually(xs.last)
+      () => it.next()
+    }
+    // An already-warm JVM: flat series stops after 1 + patience runs and
+    // returns the floor. (Pinned with explicit patience so the trace
+    // stays valid if defaults are retuned; a separate assert pins the
+    // defaults themselves.)
+    assert(Bench.warmedMinMs(feed(100.0), patience = 4) === ((100.0, 5)))
+    // The measured descent shape (RefWarmProbe): a multi-run PLATEAU at
+    // 2x the asymptote must NOT stop the loop — the later tier drop
+    // resets patience and the returned min is the post-drop floor, not
+    // the plateau. (Consecutive-agreement, the first attempted rule,
+    // stopped on the 324/320 plateau.)
+    val (staircase, runsUsed) = Bench.warmedMinMs(
+      feed(1603, 398, 324, 320, 319, 317, 250, 200, 197, 196, 195, 194),
+      tol = 0.05, patience = 4)
+    assert(staircase === 194.0, "must ride through the 324..317 plateau to the floor")
+    assert(runsUsed === 12)
+    // Default patience must span the measured ~5-run plateau width with
+    // margin (patience=4 left a 1.52x before/after spread on a real
+    // sweep): a 5-run plateau followed by a drop must be ridden through
+    // under the DEFAULTS.
+    val (defMin, _) = Bench.warmedMinMs(
+      feed(300, 200, 199, 198, 198, 197, 197, 150))
+    assert(defMin === 150.0, "defaults must ride through a 5-run plateau")
+    // A never-converging series is BOUNDED at maxRuns: the loop cannot
+    // hang a sweep on a thrashing box — and still returns the min seen.
+    var calls = 0
+    val descending = () => { calls += 1; 1000.0 * math.pow(0.9, calls) }
+    val (boundedMin, boundedRuns) = Bench.warmedMinMs(descending, maxRuns = 8)
+    assert(boundedRuns === 8)
+    assert(calls === 8)
+    assert(boundedMin === 1000.0 * math.pow(0.9, 8))
+    // the min is tracked even on runs that don't clear the tol threshold
+    val (m, _) = Bench.warmedMinMs(feed(100.0, 99.0, 98.0, 97.0, 96.5))
+    assert(m === 96.5)
+  }
+
+  test("slowBoxCorroborated: trips only when the zero-engine-code ref query slowed too") {
+    // quiet sweep: both ratios ~1 -> false (no behavior change when calm)
+    assert(Bench.slowBoxCorroborated(isoOverMedian = 1.0, refRatio = 1.0) === "false")
+    // host slowdown: real queries AND the frozen ref query elevated -> true
+    assert(Bench.slowBoxCorroborated(1.5, 1.8) === "true")
+    // engine regression: real queries slowed, ref query (no graft code on
+    // its path) did not -> NOT corroborated as a box problem
+    assert(Bench.slowBoxCorroborated(1.5, 1.0) === "false")
+    // ref elevated but real queries fine (e.g. one noisy ref sample):
+    // slow_box's own threshold not met -> false
+    assert(Bench.slowBoxCorroborated(1.0, 2.0) === "false")
+    // either baseline missing -> null, never a fabricated verdict
+    assert(Bench.slowBoxCorroborated(-1.0, 1.8) === "null")
+    assert(Bench.slowBoxCorroborated(1.5, -1.0) === "null")
+    // boundary semantics match slow_box: strictly-greater on both axes
+    assert(Bench.slowBoxCorroborated(1.3, 1.8) === "false")
+    assert(Bench.slowBoxCorroborated(1.5, 1.5) === "false")
+  }
+
   test("reference query: deterministic result, scan->shuffle->agg plan, zero engine code") {
     val spark = SparkTestBase.spark
     val dir = java.nio.file.Files.createTempDirectory("graft_refq_spec")
@@ -119,7 +178,7 @@ class BenchGuardsSpec extends AnyFunSuite {
       // appear, otherwise a graft regression could move the reference
       for (fn <- Seq("minhash", "shingle", "qcosine", "hyperplane", "cassandra_token"))
         assert(!plan.toLowerCase.contains(fn), s"engine expression $fn leaked into the ref plan")
-      // and the timing harness returns a sane positive min-of-3
+      // and the timing harness returns a sane positive warmed min
       val ms = Bench.refQueryMs(spark, path)
       assert(ms > 0.0 && ms < 60000.0)
     } finally {

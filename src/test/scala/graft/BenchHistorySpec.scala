@@ -132,7 +132,56 @@ class BenchHistorySpec extends AnyFunSuite {
       assert(sweep("a") === 2.0, "median of [1.0, 2.0, 3.0] — mismatched configs excluded")
       // and with no current config declared, everything still counts
       val (all, _) = Bench.historyMedians(hist, "/data/sfX")
-      assert(all("a") === 40.0, "upper median of [1,2,3,40,50,89] when config-agnostic")
+      // config-agnostic admits all six; the default recency window keeps
+      // the newest 5 (drops the oldest, 1.0) -> upper median of
+      // [2,3,40,50,89] = 40
+      assert(all("a") === 40.0, "upper median of the 5 newest when config-agnostic")
+    }
+  }
+
+  test("recency window: stale lines age out of the median baseline") {
+    // r11's close read iso_over_median=0.83: the baseline still blended
+    // pre-speedup lines, degrading slow_box toward false negatives. With
+    // windowing the median tracks the CURRENT speed regime.
+    val old = (1 to 10).map(_ => line("/data/sfX", Map("a" -> 10.0)))
+    val recent = (1 to 5).map(_ => line("/data/sfX", Map("a" -> 1.0)))
+    withHistory(old ++ recent) { hist =>
+      val (sweep, _) = Bench.historyMedians(hist, "/data/sfX")
+      assert(sweep("a") === 1.0, "the default window must see only the newest lines")
+      // window <= 0 disables: the blended median reads the stale majority
+      val all = Bench.historyBaseline(hist, "/data/sfX", window = 0)
+      assert(all.sweep("a") === 10.0)
+      // a wider window takes the NEWEST N, never a file-order prefix:
+      // newest 8 = five 1.0s + three 10.0s -> median still 1.0
+      val w8 = Bench.historyBaseline(hist, "/data/sfX", window = 8)
+      assert(w8.sweep("a") === 1.0)
+    }
+  }
+
+  test("reference-query baseline: min(before,after) per line, windowed, config-gated") {
+    def m(cpus: Int, before: Double, after: Double): String =
+      s"""{"cpus":$cpus,"heap_max_gb":64.0,"ref_query_ms_before":$before,"ref_query_ms_after":$after}"""
+    withHistory(Seq(
+      line("/data/sfX", Map("a" -> 1.0), machine = m(32, 260.0, 150.0)),
+      line("/data/sfX", Map("a" -> 1.0), machine = m(32, 160.0, 170.0)),
+      // a different harness config must not blend into the ref baseline
+      line("/data/sfX", Map("a" -> 1.0), machine = m(4, 900.0, 900.0)),
+      // pre-r11 line without ref fields: contributes queries, not ref
+      line("/data/sfX", Map("a" -> 1.0)),
+      // a sentinel -1 (unsupported measurement) must be skipped, not
+      // ingested as a tiny "fast" baseline
+      line("/data/sfX", Map("a" -> 1.0), machine = m(32, -1.0, -1.0))
+    )) { hist =>
+      val b = Bench.historyBaseline(hist, "/data/sfX", cpus = 32, heapGb = 64.0)
+      // per-line mins are [150, 160]; upper median = 160
+      assert(b.refQueryMs === 160.0)
+      // config-agnostic blends the 4-cpu line: [150, 160, 900] -> 160
+      val all = Bench.historyBaseline(hist, "/data/sfX")
+      assert(all.refQueryMs === 160.0)
+    }
+    // history with no ref fields anywhere -> -1, never a fake baseline
+    withHistory(Seq(line("/data/sfX", Map("a" -> 1.0)))) { hist =>
+      assert(Bench.historyBaseline(hist, "/data/sfX").refQueryMs === -1.0)
     }
   }
 

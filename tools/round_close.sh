@@ -40,8 +40,13 @@ fi
 
 if [[ -z "${RC_SKIP_MONSTER:-}" ]]; then
   echo "== [4/5] monster-curve exponent gate =="
+  # sbt|tee runs under pipefail with no guard, so an sbt failure — even
+  # one after all MONSTERCURVE lines were emitted — gates red instead of
+  # being masked by a trailing `|| true` on the whole pipeline; the
+  # no-match grep guard is scoped to the separate count step only
   SPARK_GRAFT_CPUS=16 sbt -batch "runMain graft.tools.EmptyInputProbe $SF001 monstercurve" \
-    2>&1 | tee /tmp/rc_monster.log | grep -c "MONSTERCURVE ok" || true
+    2>&1 | tee /tmp/rc_monster.log >/dev/null
+  grep -c "MONSTERCURVE ok" /tmp/rc_monster.log || true
   python3 tools/monstercurve_fit.py /tmp/rc_monster.log --warn 1.3
 fi
 
