@@ -402,7 +402,8 @@ object Bench {
 
   /** Warmed-minimum measurement: run `once` (which returns its own wall
     * duration) until the RUNNING MIN stops improving by more than `tol`
-    * for `patience` consecutive runs, bounded at `maxRuns`; returns
+    * for `patience` consecutive runs AND at least `minMeasuredMs` of
+    * cumulative measured time has elapsed, bounded at `maxRuns`; returns
     * (min over all runs, runs executed).
     *
     * A single fixed warm pass is not enough on a freshly-forked JVM: the
@@ -417,6 +418,37 @@ object Bench {
     * min rides through plateaus and stops only when a full window has
     * failed to set a new floor.
     *
+    * The time floor exists because the descent is TIME-driven, not
+    * run-count-driven: tier drops land when C2's BACKGROUND compile
+    * threads finish, so at ~0.2 s/run a patience window of 8 runs is
+    * only ~1.6 s of wall — the r12 gate saw a before-loop stop on a
+    * 15-run plateau at 219.9 ms whose true floor was ~165 (1.33x
+    * spread), while the same sweep's other loop ran 32 runs (~6.5 s
+    * measured) and reached 173.8. The floor is measured over the
+    * PLATEAU (time since the last >tol improvement), not from the
+    * loop's start: a cum-from-start variant was tried first and the
+    * slow early descent runs ate its budget — a fork whose first runs
+    * sat at 300+ ms banked 6 s of "evidence" while still mid-descent
+    * and stopped at 266 ms. Requiring the floor candidate itself to
+    * survive ~5 s of measured re-runs gives background compilation the
+    * wall time the run count cannot guarantee; a drop found during the
+    * extension resets the window and earns a full one. Cumulative
+    * MEASURED time (the sum of returned durations) is used rather than
+    * wall-clock so the rule is deterministic under test; runs are
+    * back-to-back, so the two agree in production.
+    *
+    * Honest limit, measured across the r12 gate sweeps: the end-of-sweep
+    * loop benefits from 200+ s of whole-stack C2 work on shared Spark
+    * internals that no per-loop warm-up can replicate on a fresh fork,
+    * so the raw before/after pair can still spread past 1.2x on a quiet
+    * box (observed 1.15x/1.33x/1.57x under the cum-from-start rule).
+    * The artifact's GATING inputs are insensitive to this by
+    * construction: ref_query_ratio = min(before, after) over the
+    * windowed history median is dominated by the well-warmed after-loop
+    * (observed 0.90/1.04/1.02 on the same three sweeps), and
+    * slow_box_corroborated consumes that ratio, not the raw pair. The
+    * pair itself stays in the JSON as descent diagnostics.
+    *
     * Defaults sized from the measured staircase: plateaus run ~5 runs
     * wide (runs 9-13 sat at ~195 before the drop to 171), so patience=8
     * spans one full plateau with margin; patience=4 stopped at 199 ms on
@@ -427,14 +459,17 @@ object Bench {
   private[graft] def warmedMinMs(once: () => Double,
                                  tol: Double = 0.03,
                                  patience: Int = 8,
-                                 maxRuns: Int = 60): (Double, Int) = {
+                                 maxRuns: Int = 60,
+                                 minPlateauMs: Double = 5000.0): (Double, Int) = {
     var best = once()
     var runs = 1
     var sincImprove = 0
-    while (runs < maxRuns && sincImprove < patience) {
+    var plateauMs = 0.0
+    while (runs < maxRuns && (sincImprove < patience || plateauMs < minPlateauMs)) {
       val cur = once()
       runs += 1
-      if (cur < best * (1 - tol)) sincImprove = 0 else sincImprove += 1
+      if (cur < best * (1 - tol)) { sincImprove = 0; plateauMs = 0.0 }
+      else { sincImprove += 1; plateauMs += cur }
       if (cur < best) best = cur
     }
     (best, runs)

@@ -102,10 +102,10 @@ class BenchGuardsSpec extends AnyFunSuite {
       () => it.next()
     }
     // An already-warm JVM: flat series stops after 1 + patience runs and
-    // returns the floor. (Pinned with explicit patience so the trace
-    // stays valid if defaults are retuned; a separate assert pins the
-    // defaults themselves.)
-    assert(Bench.warmedMinMs(feed(100.0), patience = 4) === ((100.0, 5)))
+    // returns the floor. (Pinned with explicit patience and the time
+    // floor disabled so the trace stays valid if defaults are retuned;
+    // separate asserts pin the defaults themselves.)
+    assert(Bench.warmedMinMs(feed(100.0), patience = 4, minPlateauMs = 0) === ((100.0, 5)))
     // The measured descent shape (RefWarmProbe): a multi-run PLATEAU at
     // 2x the asymptote must NOT stop the loop — the later tier drop
     // resets patience and the returned min is the post-drop floor, not
@@ -113,9 +113,24 @@ class BenchGuardsSpec extends AnyFunSuite {
     // stopped on the 324/320 plateau.)
     val (staircase, runsUsed) = Bench.warmedMinMs(
       feed(1603, 398, 324, 320, 319, 317, 250, 200, 197, 196, 195, 194),
-      tol = 0.05, patience = 4)
+      tol = 0.05, patience = 4, minPlateauMs = 0)
     assert(staircase === 194.0, "must ride through the 324..317 plateau to the floor")
     assert(runsUsed === 12)
+    // Plateau-time floor: the descent is TIME-driven (C2 background
+    // compile threads), so patience alone under-waits when runs are
+    // fast — the r12 gate saw a before-loop stop on a 15-run plateau at
+    // 219.9 ms whose floor was ~165. The floor is measured over the
+    // PLATEAU (time since the last >tol improvement), never from the
+    // loop's start — slow descent runs must not bank "evidence". A flat
+    // 100 ms series with a 1000 ms plateau floor: runs 2..11 each add
+    // 100 ms of plateau, stop at run 11.
+    assert(Bench.warmedMinMs(feed(100.0), patience = 2, minPlateauMs = 1000) ===
+      ((100.0, 11)))
+    // A drop found DURING the floor extension resets the window and
+    // earns a FULL one: 2x300 of plateau (600 ms, under the floor), the
+    // run-4 drop to 100 zeroes it, then ten 100s rebuild 1000 ms.
+    assert(Bench.warmedMinMs(feed(300, 300, 300, 100), patience = 2,
+      minPlateauMs = 1000) === ((100.0, 14)))
     // Default patience must span the measured ~5-run plateau width with
     // margin (patience=4 left a 1.52x before/after spread on a real
     // sweep): a 5-run plateau followed by a drop must be ridden through
