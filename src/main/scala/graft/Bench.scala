@@ -110,6 +110,18 @@ object Bench {
     * `window` admitted observations contribute — stale lines from before
     * a deliberate speedup must age out rather than anchor the median
     * (see [[DefaultHistoryWindow]]).
+    *
+    * Self-declared-abnormal exclusion: a line whose OWN artifact says
+    * `contended:true` or `slow_box:true` is dropped — its timings
+    * measured the box, not the engine. This also closes the window's
+    * one self-defeating path: without it, a persistent slowdown (code
+    * or host) trips slow_box once, appends its slow line, and after
+    * window-many sweeps has re-baselined itself to "normal" — repeated
+    * measurement must not legitimize a regression. The flip side is
+    * deliberate: if the box (or a deliberate trade-off) becomes
+    * permanently slower, slow_box keeps tripping until an operator
+    * resets the history — a sticky alarm is the honest failure mode,
+    * silent re-baselining is not.
     */
   private[graft] def historyBaseline(histFile: java.nio.file.Path,
                                      sfDir: String,
@@ -134,6 +146,7 @@ object Bench {
     val perQueryIso = scala.collection.mutable.Map.empty[String, List[Double]]
     var refSamples: List[Double] = Nil // newest-first, like the per-query lists
     var legacyLines = 0; var mismatchedLines = 0; var matchedLines = 0
+    var abnormalLines = 0
     java.nio.file.Files.readAllLines(histFile).asScala.foreach { line =>
       // Parse the whole line into LOCAL collections first and commit to
       // the shared maps only on clean success — a partial parse (JSON
@@ -168,7 +181,17 @@ object Bench {
           val configMatches =
             lineCpus.forall(c => cpus <= 0 || c.round.toInt == cpus) &&
             lineHeap.forall(h => heapGb <= 0 || h.round == heapGb.round)
+          // a line that adjudicated ITSELF abnormal measured the box,
+          // not the engine — see the scaladoc's self-declared-abnormal
+          // exclusion (absent/null verdicts admit: pre-r10 lines and
+          // fresh-history sweeps have nothing to declare)
+          def boolField(path: org.json4s.JValue): Boolean = path match {
+            case org.json4s.JBool(b) => b
+            case _ => false
+          }
+          val selfAbnormal = boolField(j \ "contended") || boolField(j \ "slow_box")
           if (!configMatches) "mismatch"
+          else if (selfAbnormal) "abnormal"
           else {
             // a failed query's recorded time is time-to-exception (an OOM
             // cascade logged 8ms "timings" for 115 killed queries) — it is
@@ -200,6 +223,7 @@ object Bench {
         // counters move HERE, in the commit phase: a line that threw
         // mid-parse was dropped whole and must not be reported admitted
         case "mismatch" => mismatchedLines += 1
+        case "abnormal" => abnormalLines += 1
         case (configKnown: Boolean,
               qs: List[(String, Double)] @unchecked,
               iso: List[(String, Double)] @unchecked,
@@ -215,6 +239,10 @@ object Bench {
       System.err.println(s"[bench] history baseline excluded $mismatchedLines line(s) " +
         s"recorded under a different cpus/heap configuration (current: cpus=$cpus, " +
         f"heap=${heapGb}%.0fg)")
+    if (abnormalLines > 0)
+      System.err.println(s"[bench] history baseline excluded $abnormalLines line(s) " +
+        "that self-declared contended or slow_box — abnormal sweeps must not " +
+        "re-baseline the medians")
     if (legacyLines > 0 && (cpus > 0 || heapGb > 0))
       System.err.println(s"[bench] history baseline admits $legacyLines line(s) without a " +
         s"complete cpus+heap record (any field they DID record matched) next to " +
@@ -453,20 +481,33 @@ object Bench {
     * wide (runs 9-13 sat at ~195 before the drop to 171), so patience=8
     * spans one full plateau with margin; patience=4 stopped at 199 ms on
     * a sweep whose end-state floor was 131 ms (1.52x — still enough to
-    * mask a real mid-sweep slowdown). Worst case ~60 runs x ~0.25 s =
-    * ~15 s, paid twice per multi-minute sweep.
+    * mask a real mid-sweep slowdown). Worst case = maxMeasuredMs (20 s)
+    * of measured time, paid twice per multi-minute sweep; observed
+    * descents spend 8-15 s.
     */
   private[graft] def warmedMinMs(once: () => Double,
                                  tol: Double = 0.03,
                                  patience: Int = 8,
-                                 maxRuns: Int = 60,
-                                 minPlateauMs: Double = 5000.0): (Double, Int) = {
+                                 maxRuns: Int = 200,
+                                 minPlateauMs: Double = 5000.0,
+                                 maxMeasuredMs: Double = 20000.0): (Double, Int) = {
     var best = once()
+    var cumMs = best
     var runs = 1
     var sincImprove = 0
     var plateauMs = 0.0
-    while (runs < maxRuns && (sincImprove < patience || plateauMs < minPlateauMs)) {
+    // The overall bound is maxMeasuredMs (total measured time), with
+    // maxRuns as a generous backstop: a fixed low run cap and a fixed
+    // plateau floor are incompatible — on a box whose warmed floor is
+    // 80 ms, a 5 s plateau needs 63 non-improving runs, so the old
+    // maxRuns=60 ALWAYS bound first and the stop rule silently degraded
+    // to "run 60 times and warn". A time cap scales with run cost in
+    // both directions; 20 s is ~2x what the deepest observed descent
+    // (58 runs at ~200-350 ms) actually spent.
+    while (runs < maxRuns && cumMs < maxMeasuredMs &&
+           (sincImprove < patience || plateauMs < minPlateauMs)) {
       val cur = once()
+      cumMs += cur
       runs += 1
       if (cur < best * (1 - tol)) { sincImprove = 0; plateauMs = 0.0 }
       else { sincImprove += 1; plateauMs += cur }
@@ -478,17 +519,28 @@ object Bench {
   /** Warmed-min wall ms for the reference query (see [[warmedMinMs]]) —
     * before/after are both asymptote-of-descent numbers, so their ratio
     * reads host state, not JIT state.
+    *
+    * `thorough = false` (SPARK_GRAFT_ONLY subset probes) trades depth
+    * for wall: subset lines are excluded from the history baseline and
+    * their slow_box/corroboration verdicts are always null, so the full
+    * two-loop descent (up to 2 x 20 s) would buy a probe nothing but a
+    * stderr diagnostic — a short bounded min suffices there.
     */
-  private[graft] def refQueryMs(spark: SparkSession, dir: String): Double = {
+  private[graft] def refQueryMs(spark: SparkSession, dir: String,
+                                thorough: Boolean = true): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
       refQueryDf(spark, dir).collect()
       (System.nanoTime() - t0) / 1e6
     }
-    val (ms, runs) = warmedMinMs(() => once())
+    val (ms, runs) =
+      if (thorough) warmedMinMs(() => once())
+      else warmedMinMs(() => once(), patience = 4, maxRuns = 12,
+                       minPlateauMs = 0, maxMeasuredMs = 4000)
     // diagnostic, not artifact: how deep the warm loop had to go (a
-    // maxRuns-bounded stop means the descent never flattened — the
-    // number is then still warm-up-inflated and should be read warily)
+    // bound-clipped stop — maxMeasuredMs or maxRuns — means the descent
+    // never flattened; the number is then still warm-up-inflated and
+    // should be read warily)
     System.err.println(f"[bench] ref query warmed min: $ms%.1f ms after $runs runs")
     ms
   }
@@ -500,14 +552,21 @@ object Bench {
     * splits the two: host slowdown (steal/thermal/bandwidth) moves it
     * together with the real queries; an engine regression cannot move it.
     * corroborated_slow_box = iso_over_median > 1.3 (slow_box's own
-    * threshold) AND the ref query's min(before, after) > 1.5x its
-    * history median. "null" when either side has no baseline. slow_box
-    * itself is unchanged — this boolean is additional, and false on a
-    * quiet sweep by construction (both ratios ~1).
+    * threshold) AND the ref query's min(before, after) > 1.3x its
+    * history median. The SAME threshold on both axes, deliberately: an
+    * earlier draft used 1.5 on the ref axis, which left a 1.3-1.5 dead
+    * band where a genuine uniform host slowdown (e.g. 1.4x steal)
+    * tripped slow_box, moved the ref query to 1.4x, and still read
+    * "false" — which the docs teach the judge to read as an ENGINE
+    * regression. 1.3 leaves margin over quiet-sweep ref jitter
+    * (observed 0.79-1.15 across seven r12 gate sweeps). "null" when
+    * either side has no baseline. slow_box itself is unchanged — this
+    * boolean is additional, and false on a quiet sweep by construction
+    * (both ratios ~1).
     */
   private[graft] def slowBoxCorroborated(isoOverMedian: Double, refRatio: Double): String =
     if (isoOverMedian < 0 || refRatio < 0) "null"
-    else (isoOverMedian > 1.3 && refRatio > 1.5).toString
+    else (isoOverMedian > 1.3 && refRatio > 1.3).toString
 
   /** Total on-disk bytes of the fixture directory (recursive). */
   private[graft] def fixtureBytes(sfDir: String): Long =
@@ -609,29 +668,10 @@ object Bench {
         .count()
     }
 
-    // Pinned reference query (frozen vanilla scan->shuffle->agg over a
-    // fixed synthetic fixture): measured after warm-up and again at the
-    // end next to the CPU canary. Engine-code regressions cannot move
-    // it; host slowdown moves it together with the real queries.
-    val refDir = java.nio.file.Files.createTempDirectory("graft_refq")
-    val refPath = refDir.resolve("ref.parquet").toString
-    writeRefFixture(spark, refPath)
-    val refBefore = refQueryMs(spark, refPath)
-
-    final case class QResult(secs: Double, error: Option[String])
-
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): QResult = {
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable =>
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.next().take(200))
-        }
-      QResult((System.nanoTime() - t0) / 1e9, err)
-    }
-
     // Optional subset filter (comma-separated exact names) for targeted
-    // scale probes; unset = the full judged surface, as the driver runs it.
+    // scale probes; unset = the full judged surface, as the driver runs
+    // it. Parsed before the ref measurement so a probe's ref loops can
+    // run in the cheap bounded mode (see refQueryMs's thorough flag).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
@@ -644,6 +684,27 @@ object Bench {
           s"SPARK_GRAFT_ONLY names not in the registry: ${unknown.toSeq.sorted.mkString(", ")}")
         SparkEntry.queries.view.filterKeys(names).toMap
       case None => SparkEntry.queries
+    }
+
+    // Pinned reference query (frozen vanilla scan->shuffle->agg over a
+    // fixed synthetic fixture): measured after warm-up and again at the
+    // end next to the CPU canary. Engine-code regressions cannot move
+    // it; host slowdown moves it together with the real queries.
+    val refDir = java.nio.file.Files.createTempDirectory("graft_refq")
+    val refPath = refDir.resolve("ref.parquet").toString
+    writeRefFixture(spark, refPath)
+    val refBefore = refQueryMs(spark, refPath, thorough = only.isEmpty)
+
+    final case class QResult(secs: Double, error: Option[String])
+
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): QResult = {
+      val t0 = System.nanoTime()
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.next().take(200))
+        }
+      QResult((System.nanoTime() - t0) / 1e9, err)
     }
     // cacheBuild: whether the query registered construction-time cached
     // state with PipelineCache — persists OR RDD-layer checkpoint
@@ -780,7 +841,7 @@ object Bench {
     val contended = contendedInput > math.max(2.0, 0.25 * hostCores)
     val psiAfter = (psiSomeAvg10("cpu"), psiSomeAvg10("memory"), psiSomeAvg10("io"))
     val canaryAfter = cpuCanaryMs()
-    val refAfter = refQueryMs(spark, refPath)
+    val refAfter = refQueryMs(spark, refPath, thorough = only.isEmpty)
     try { // best-effort ref-fixture cleanup
       import scala.jdk.CollectionConverters._
       scala.util.Using.resource(java.nio.file.Files.walk(refDir)) { st =>

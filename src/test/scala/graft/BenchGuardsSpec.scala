@@ -131,6 +131,21 @@ class BenchGuardsSpec extends AnyFunSuite {
     // run-4 drop to 100 zeroes it, then ten 100s rebuild 1000 ms.
     assert(Bench.warmedMinMs(feed(300, 300, 300, 100), patience = 2,
       minPlateauMs = 1000) === ((100.0, 14)))
+    // The overall bound is TOTAL MEASURED TIME, so an unreachable
+    // plateau floor cannot run away: a fixed low run cap was the wrong
+    // bound (on an 80 ms-floor box a 5 s plateau needs 63 non-improving
+    // runs — the old maxRuns=60 ALWAYS clipped first and the stop rule
+    // silently degraded to "run 60 times"). Flat 1000 ms series with an
+    // unreachable floor: 5 runs accumulate the 5000 ms cap and stop.
+    assert(Bench.warmedMinMs(feed(1000.0), patience = 1,
+      minPlateauMs = 1e9, maxMeasuredMs = 5000, maxRuns = 100) === ((1000.0, 5)))
+    // and the default plateau floor IS reachable inside the default
+    // bounds on a fast box: 80 ms floor -> 63 plateau runs, well under
+    // maxRuns=200 and 20 s measured
+    val (fastMin, fastRuns) = Bench.warmedMinMs(feed(80.0), patience = 8)
+    assert(fastMin === 80.0)
+    assert(fastRuns < 200 && fastRuns * 80.0 < 20000,
+      s"fast-box descent must exit via the plateau rule, not a bound clip (runs=$fastRuns)")
     // Default patience must span the measured ~5-run plateau width with
     // margin (patience=4 left a 1.52x before/after spread on a real
     // sweep): a 5-run plateau followed by a drop must be ridden through
@@ -165,9 +180,14 @@ class BenchGuardsSpec extends AnyFunSuite {
     // either baseline missing -> null, never a fabricated verdict
     assert(Bench.slowBoxCorroborated(-1.0, 1.8) === "null")
     assert(Bench.slowBoxCorroborated(1.5, -1.0) === "null")
+    // SAME 1.3 threshold on both axes: an asymmetric 1.5 ref threshold
+    // left a 1.3-1.5 dead band where a genuine 1.4x uniform host
+    // slowdown tripped slow_box, moved the zero-engine-code ref query
+    // to 1.4x, and still read "false" — the code-regression signature.
+    assert(Bench.slowBoxCorroborated(1.4, 1.4) === "true")
     // boundary semantics match slow_box: strictly-greater on both axes
     assert(Bench.slowBoxCorroborated(1.3, 1.8) === "false")
-    assert(Bench.slowBoxCorroborated(1.5, 1.5) === "false")
+    assert(Bench.slowBoxCorroborated(1.5, 1.3) === "false")
   }
 
   test("reference query: deterministic result, scan->shuffle->agg plan, zero engine code") {

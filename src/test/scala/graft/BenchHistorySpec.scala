@@ -30,13 +30,15 @@ class BenchHistorySpec extends AnyFunSuite {
                    iso: Map[String, Double] = Map.empty,
                    subset: Boolean = false,
                    errors: Set[String] = Set.empty,
-                   machine: String = ""): String = {
+                   machine: String = "",
+                   verdicts: String = ""): String = {
     val q = qs.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val i = iso.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val e = errors.map(k => s""""$k":"boom"""").mkString("{", ",", "}")
     val sub = if (subset) """"subset":true,""" else ""
     val m = if (machine.isEmpty) "" else s""""machine":$machine,"""
-    s"""{"ts":"2026-08-15T00:00:00Z",$sub"metric":"total","value":1.0,$m"queries":$q,"isolated":$i,"errors":$e,"sf":"$sf"}"""
+    val v = if (verdicts.isEmpty) "" else s"""$verdicts,"""
+    s"""{"ts":"2026-08-15T00:00:00Z",$sub"metric":"total","value":1.0,$m$v"queries":$q,"isolated":$i,"errors":$e,"sf":"$sf"}"""
   }
 
   test("sweep and isolated medians parse from matching full-surface lines") {
@@ -136,6 +138,41 @@ class BenchHistorySpec extends AnyFunSuite {
       // the newest 5 (drops the oldest, 1.0) -> upper median of
       // [2,3,40,50,89] = 40
       assert(all("a") === 40.0, "upper median of the 5 newest when config-agnostic")
+    }
+  }
+
+  test("self-declared abnormal lines (contended/slow_box) never enter the baseline") {
+    // The recency window's one self-defeating path: a persistent
+    // regression trips slow_box, appends its slow line, and after
+    // window-many sweeps would have re-baselined itself to "normal".
+    // Lines whose OWN artifact adjudicated contended or slow_box are
+    // therefore dropped — the alarm stays sticky until an operator
+    // resets history, rather than repeated measurement legitimizing
+    // the regression.
+    val quiet = (1 to 3).map(_ =>
+      line("/data/sfX", Map("a" -> 1.0), Map("a" -> 1.0),
+           verdicts = """"contended":false,"slow_box":false"""))
+    val regressed = (1 to 5).map(_ =>
+      line("/data/sfX", Map("a" -> 2.0), Map("a" -> 2.0),
+           verdicts = """"contended":false,"slow_box":true"""))
+    val contendedL = line("/data/sfX", Map("a" -> 9.0), Map("a" -> 9.0),
+      verdicts = """"contended":true,"slow_box":false""")
+    withHistory(quiet ++ regressed :+ contendedL) { hist =>
+      val (sweep, iso) = Bench.historyMedians(hist, "/data/sfX")
+      // even though the 5 newest-but-one lines all read 2.0 (enough to
+      // fill the recency window) and the newest reads 9.0, the baseline
+      // still reads the quiet regime
+      assert(sweep("a") === 1.0)
+      assert(iso("a") === 1.0)
+    }
+    // pre-verdict lines (no contended/slow_box fields at all) and
+    // slow_box null (fresh history) admit as before
+    withHistory(Seq(
+      line("/data/sfX", Map("a" -> 3.0)),
+      line("/data/sfX", Map("a" -> 3.0), verdicts = """"contended":false,"slow_box":null""")
+    )) { hist =>
+      val (sweep, _) = Bench.historyMedians(hist, "/data/sfX")
+      assert(sweep("a") === 3.0)
     }
   }
 

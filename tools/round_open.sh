@@ -13,6 +13,14 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 echo "== round open: driver post-close artifacts =="
+# A bare `git commit` below commits the WHOLE index — pre-staged
+# unrelated work would ship inside a commit whose message claims
+# "artifact sync only". Refuse instead of sweeping it in.
+if ! git diff --cached --quiet; then
+  echo "round_open: index already has staged changes — commit or unstage them first" >&2
+  git diff --cached --stat >&2
+  exit 1
+fi
 staged=0
 for f in BENCH_r*.json CORRECTNESS_r*.json LEAKCHECK.json COPYCHECK.json \
          VERDICT.md ADVICE.md; do
