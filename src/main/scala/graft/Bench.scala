@@ -49,6 +49,13 @@ import org.apache.spark.sql.SparkSession
   * a second boolean, slow_box_corroborated (host slowdown moves the
   * zero-engine-code ref query WITH the real queries; a code regression
   * cannot), making the artifact self-adjudicating on that axis too.
+  *
+  * Headline honesty (round-13): the raw sweep total ("value") swings
+  * ±20% on an unchanged engine, so the artifact carries a companion
+  * "total_robust" — in-sweep times with each isolated re-measure folded
+  * back in as a min (see [[robustTotal]]) — as the number cross-round
+  * tooling should difference without re-deriving the truth from the
+  * isolated map by hand.
   */
 object Bench {
 
@@ -122,14 +129,38 @@ object Bench {
     * permanently slower, slow_box keeps tripping until an operator
     * resets the history — a sticky alarm is the honest failure mode,
     * silent re-baselining is not.
+    *
+    * History reset (`sinceTs`, env `SPARK_GRAFT_HISTORY_SINCE`): the
+    * executable form of "an operator resets the history". After a
+    * deliberate permanent trade-off (or a box migration), export the
+    * env var as an ISO-8601 instant and every line stamped before it —
+    * or too old to carry a parseable `ts` at all — stops entering the
+    * medians, while the file itself keeps the old lines for audit. A
+    * malformed cutoff throws rather than silently admitting the full
+    * history: a typo'd reset that changes nothing would leave the
+    * sticky alarm firing against the stale regime it was meant to
+    * clear. The exclusion is logged with the cutoff so a baseline
+    * computed under a forgotten exported flag stays attributable.
     */
   private[graft] def historyBaseline(histFile: java.nio.file.Path,
                                      sfDir: String,
                                      cpus: Int = -1,
                                      heapGb: Double = -1.0,
-                                     window: Int = DefaultHistoryWindow): HistoryBaseline = {
+                                     window: Int = DefaultHistoryWindow,
+                                     sinceTs: String = ""): HistoryBaseline = {
     import scala.jdk.CollectionConverters._
     import scala.util.Try
+    // Parse the reset cutoff BEFORE the readability early-return: a
+    // malformed flag must throw even on a fresh clone, not lie dormant
+    // until history exists.
+    val since: Option[java.time.Instant] =
+      if (sinceTs == null || sinceTs.isEmpty) None
+      else Some(
+        try java.time.Instant.parse(sinceTs)
+        catch { case e: Exception => throw new IllegalArgumentException(
+          "SPARK_GRAFT_HISTORY_SINCE must be an ISO-8601 instant " +
+            s"(e.g. 2026-08-16T00:00:00Z), got '$sinceTs'", e)
+        })
     if (!java.nio.file.Files.isReadable(histFile))
       return HistoryBaseline(Map.empty, Map.empty, -1.0)
     // Compare CANONICAL paths: the bench_latest refresh canonicalizes the
@@ -146,7 +177,7 @@ object Bench {
     val perQueryIso = scala.collection.mutable.Map.empty[String, List[Double]]
     var refSamples: List[Double] = Nil // newest-first, like the per-query lists
     var legacyLines = 0; var mismatchedLines = 0; var matchedLines = 0
-    var abnormalLines = 0
+    var abnormalLines = 0; var preSinceLines = 0
     java.nio.file.Files.readAllLines(histFile).asScala.foreach { line =>
       // Parse the whole line into LOCAL collections first and commit to
       // the shared maps only on clean success — a partial parse (JSON
@@ -162,7 +193,17 @@ object Bench {
           case org.json4s.JString(s) => s
           case _ => ""
         }
-        if (!subset && canonPath(sf) == canonSf) {
+        // History-reset cutoff: with a cutoff set, a line stamped before
+        // it — or carrying no parseable ts (every stamped line has had
+        // one for many rounds, so an unparseable ts IS an old line) —
+        // is excluded before any other admission rule runs.
+        val lineTs: Option[java.time.Instant] = (j \ "ts") match {
+          case org.json4s.JString(s) => Try(java.time.Instant.parse(s)).toOption
+          case _ => None
+        }
+        if (!subset && canonPath(sf) == canonSf &&
+            since.exists(cut => lineTs.forall(_.isBefore(cut)))) "preSince"
+        else if (!subset && canonPath(sf) == canonSf) {
           // Harness-config gate: heap is matched on whole GiB (maxMemory
           // jitters by a few MB across identical -Xmx values). Each
           // field gates INDEPENDENTLY when recorded — a pre-r11 line
@@ -224,6 +265,7 @@ object Bench {
         // mid-parse was dropped whole and must not be reported admitted
         case "mismatch" => mismatchedLines += 1
         case "abnormal" => abnormalLines += 1
+        case "preSince" => preSinceLines += 1
         case (configKnown: Boolean,
               qs: List[(String, Double)] @unchecked,
               iso: List[(String, Double)] @unchecked,
@@ -243,6 +285,9 @@ object Bench {
       System.err.println(s"[bench] history baseline excluded $abnormalLines line(s) " +
         "that self-declared contended or slow_box — abnormal sweeps must not " +
         "re-baseline the medians")
+    if (preSinceLines > 0)
+      System.err.println(s"[bench] history baseline excluded $preSinceLines line(s) " +
+        s"stamped before the SPARK_GRAFT_HISTORY_SINCE cutoff $sinceTs (history reset)")
     if (legacyLines > 0 && (cpus > 0 || heapGb > 0))
       System.err.println(s"[bench] history baseline admits $legacyLines line(s) without a " +
         s"complete cpus+heap record (any field they DID record matched) next to " +
@@ -428,11 +473,25 @@ object Bench {
       .agg(sum(col("sv")).as("tv"), sum(col("n")).as("tn"), count(lit(1)).as("groups"))
   }
 
+  /** Result of [[warmedMinMs]]: the warmed minimum, how many runs it
+    * took, WHY the loop stopped (`"plateau"` = the stop rule was
+    * satisfied naturally; `"maxMeasuredMs"` / `"maxRuns"` = a bound
+    * clipped the descent mid-flight, so `ms` may still be warm-up-
+    * inflated), and the cumulative measured time. The exit tag exists
+    * because a natural plateau exit and a bound clip at the same run
+    * count were previously indistinguishable in the diagnostic log —
+    * the scaladoc told readers to treat bound-clipped stops warily but
+    * the artifact trail never said which kind of stop happened.
+    */
+  private[graft] final case class WarmedMin(
+      ms: Double, runs: Int, exit: String, measuredMs: Double)
+
   /** Warmed-minimum measurement: run `once` (which returns its own wall
     * duration) until the RUNNING MIN stops improving by more than `tol`
     * for `patience` consecutive runs AND at least `minMeasuredMs` of
     * cumulative measured time has elapsed, bounded at `maxRuns`; returns
-    * (min over all runs, runs executed).
+    * a [[WarmedMin]] (min over all runs, runs executed, exit reason,
+    * cumulative measured ms).
     *
     * A single fixed warm pass is not enough on a freshly-forked JVM: the
     * r11 close read ref_query_ms_before 260.6 ms against after 154.4 ms
@@ -490,7 +549,7 @@ object Bench {
                                  patience: Int = 8,
                                  maxRuns: Int = 200,
                                  minPlateauMs: Double = 5000.0,
-                                 maxMeasuredMs: Double = 20000.0): (Double, Int) = {
+                                 maxMeasuredMs: Double = 20000.0): WarmedMin = {
     var best = once()
     var cumMs = best
     var runs = 1
@@ -513,7 +572,13 @@ object Bench {
       else { sincImprove += 1; plateauMs += cur }
       if (cur < best) best = cur
     }
-    (best, runs)
+    // A simultaneously-satisfied plateau and bound reads as "plateau":
+    // the stop rule was met, the bound just happened to coincide.
+    val exit =
+      if (sincImprove >= patience && plateauMs >= minPlateauMs) "plateau"
+      else if (cumMs >= maxMeasuredMs) "maxMeasuredMs"
+      else "maxRuns"
+    WarmedMin(best, runs, exit, cumMs)
   }
 
   /** Warmed-min wall ms for the reference query (see [[warmedMinMs]]) —
@@ -533,16 +598,18 @@ object Bench {
       refQueryDf(spark, dir).collect()
       (System.nanoTime() - t0) / 1e6
     }
-    val (ms, runs) =
+    val w =
       if (thorough) warmedMinMs(() => once())
       else warmedMinMs(() => once(), patience = 4, maxRuns = 12,
                        minPlateauMs = 0, maxMeasuredMs = 4000)
-    // diagnostic, not artifact: how deep the warm loop had to go (a
-    // bound-clipped stop — maxMeasuredMs or maxRuns — means the descent
-    // never flattened; the number is then still warm-up-inflated and
-    // should be read warily)
-    System.err.println(f"[bench] ref query warmed min: $ms%.1f ms after $runs runs")
-    ms
+    // diagnostic, not artifact: how deep the warm loop had to go. The
+    // exit tag makes the promised wariness signal recoverable from the
+    // log — exit=maxMeasuredMs/maxRuns means the descent never
+    // flattened and the number is still warm-up-inflated; exit=plateau
+    // means the stop rule was satisfied naturally.
+    System.err.println(f"[bench] ref query warmed min: ${w.ms}%.1f ms after " +
+      f"${w.runs} runs (exit=${w.exit}, measured=${w.measuredMs}%.0f ms)")
+    w.ms
   }
 
   /** Self-adjudicating corroboration of slow_box: slow_box trips when the
@@ -567,6 +634,26 @@ object Bench {
   private[graft] def slowBoxCorroborated(isoOverMedian: Double, refRatio: Double): String =
     if (isoOverMedian < 0 || refRatio < 0) "null"
     else (isoOverMedian > 1.3 && refRatio > 1.3).toString
+
+  /** Noise-robust headline total: per query, min(in-sweep time,
+    * isolated re-measure if one ran), summed. The raw sweep total swings
+    * ±20% on a provably-unchanged engine (r12: 74.3–103.5 s across one
+    * round's quiet sweeps) because a single-JVM sweep bills scheduler /
+    * GC noise to whichever queries it lands on — and the isolated
+    * re-measure already re-runs exactly those queries (the 5 slowest
+    * plus everything over 2x its history median) quiet, GC'd, min-of-2.
+    * Folding those corrections back in yields a number that moves when
+    * the engine moves (a real regression elevates the isolated re-run
+    * too) and not when the scheduler sneezes (the spike triggers the
+    * re-measure and the min discards it). The min can only correct
+    * DOWNWARD: an isolated time above the in-sweep time (cold-cache
+    * rebuild of state the sweep had warm) never inflates the headline.
+    * Failed queries keep their in-sweep time-to-exception, same as the
+    * raw total — `failed` is the honest flag for those, not the sum.
+    */
+  private[graft] def robustTotal(sweepSecs: Seq[(String, Double)],
+                                 isolated: Map[String, Double]): Double =
+    sweepSecs.map { case (n, s) => isolated.get(n).map(math.min(s, _)).getOrElse(s) }.sum
 
   /** Total on-disk bytes of the fixture directory (recursive). */
   private[graft] def fixtureBytes(sfDir: String): Long =
@@ -742,7 +829,8 @@ object Bench {
     val cpusInt = scala.util.Try(cpus.toInt).getOrElse(-1)
     val heapGbNow = heapBytes / (1024.0 * 1024 * 1024)
     val baseline =
-      historyBaseline(outDir.resolve("bench_history.jsonl"), sfDir, cpusInt, heapGbNow)
+      historyBaseline(outDir.resolve("bench_history.jsonl"), sfDir, cpusInt, heapGbNow,
+        sinceTs = sys.env.getOrElse("SPARK_GRAFT_HISTORY_SINCE", ""))
     val (medians, isoMedians) = (baseline.sweep, baseline.iso)
     val isolated = if (only.isEmpty) {
       val ok = results.filter(_._2.error.isEmpty)
@@ -802,6 +890,10 @@ object Bench {
     val cb = results.map { case (k, _) => "\"" + k + "\":" + cacheBuild.getOrElse(k, false) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2.secs).sum else 0.0
+    // the noise-robust companion headline (see robustTotal): in-sweep
+    // times with each isolated re-measure folded back in as a min
+    val totalRobust =
+      robustTotal(results.map { case (n, r) => n -> r.secs }, isolated.toMap)
     val failed = results.count(_._2.error.isDefined)
 
     // Contention verdict, primary signal: CONSUMPTION-based external
@@ -900,13 +992,13 @@ object Bench {
     // heap_guard records whether THIS sweep ran inside the OOM envelope.
     val machine = s"""{"host_cores":$hostCores,"cpus":$cpusInt,"heap_max_gb":${r2(heapGbNow)},"heap_guard":"${if (guardMsg.isDefined) "undersized" else "ok"}","load_before":${r2(loadBefore)},"load_after":${r2(loadAfter)},"load_max":${r2(loadMax)},"proc_cpu_sec":${r2(procCpuSec)},"wall_sec":${r2(wallSec)},"proc_avg_cores":${r2(procAvgCores)},"external_load":${r2(externalLoad)},"external_load_max":${r2(externalLoadMax)},"external_cpu_max":${r2(externalCpuMax)},"cpu_canary_ms_before":${r2(canaryBefore)},"cpu_canary_ms_after":${r2(canaryAfter)},"ref_query_ms_before":${r2(refBefore)},"ref_query_ms_after":${r2(refAfter)},"ref_query_ratio":${r2(refRatio)},"psi_cpu":[${r2(psiBefore._1)},${r2(psiAfter._1)}],"psi_mem":[${r2(psiBefore._2)},${r2(psiAfter._2)}],"psi_io":[${r2(psiBefore._3)},${r2(psiAfter._3)}],"iso_over_median":${r2(isoOverMedian)}}"""
 
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"isolated":$iso,"cache_build":$cb,"failed":$failed,"runs":2,"contended":$contended,"slow_box":$slowBox,"slow_box_corroborated":$slowBoxCorr,"machine":$machine,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","total_robust":$totalRobust,"queries":$qs,"errors":$errs,"isolated":$iso,"cache_build":$cb,"failed":$failed,"runs":2,"contended":$contended,"slow_box":$slowBox,"slow_box_corroborated":$slowBoxCorr,"machine":$machine,"sf":"$sfDir"}"""
     println(fullLine)
     // Short trailer AFTER the full line: capture tools that keep only the
     // tail of the output can truncate the per-query map away, so the
     // headline numbers AND the contention verdicts are re-emitted in a
     // line that always fits.
-    println(s"""{"metric":"total_only","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"contended":$contended,"slow_box":$slowBox,"slow_box_corroborated":$slowBoxCorr,"machine":$machine}""")
+    println(s"""{"metric":"total_only","value":$total,"unit":"sec","total_robust":$totalRobust,"n_queries":${results.size},"failed":$failed,"contended":$contended,"slow_box":$slowBox,"slow_box_corroborated":$slowBoxCorr,"machine":$machine}""")
     // Durable copy: three rounds of driver artifacts (r06-r08) lost the
     // per-query map to stdout tail truncation. Write the complete JSON to
     // a repo file so the artifact is self-contained regardless of how much

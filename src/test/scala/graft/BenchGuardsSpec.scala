@@ -105,17 +105,19 @@ class BenchGuardsSpec extends AnyFunSuite {
     // returns the floor. (Pinned with explicit patience and the time
     // floor disabled so the trace stays valid if defaults are retuned;
     // separate asserts pin the defaults themselves.)
-    assert(Bench.warmedMinMs(feed(100.0), patience = 4, minPlateauMs = 0) === ((100.0, 5)))
+    val flat = Bench.warmedMinMs(feed(100.0), patience = 4, minPlateauMs = 0)
+    assert((flat.ms, flat.runs, flat.exit) === ((100.0, 5, "plateau")))
     // The measured descent shape (RefWarmProbe): a multi-run PLATEAU at
     // 2x the asymptote must NOT stop the loop — the later tier drop
     // resets patience and the returned min is the post-drop floor, not
     // the plateau. (Consecutive-agreement, the first attempted rule,
     // stopped on the 324/320 plateau.)
-    val (staircase, runsUsed) = Bench.warmedMinMs(
+    val stair = Bench.warmedMinMs(
       feed(1603, 398, 324, 320, 319, 317, 250, 200, 197, 196, 195, 194),
       tol = 0.05, patience = 4, minPlateauMs = 0)
-    assert(staircase === 194.0, "must ride through the 324..317 plateau to the floor")
-    assert(runsUsed === 12)
+    assert(stair.ms === 194.0, "must ride through the 324..317 plateau to the floor")
+    assert(stair.runs === 12)
+    assert(stair.exit === "plateau")
     // Plateau-time floor: the descent is TIME-driven (C2 background
     // compile threads), so patience alone under-waits when runs are
     // fast — the r12 gate saw a before-loop stop on a 15-run plateau at
@@ -124,46 +126,78 @@ class BenchGuardsSpec extends AnyFunSuite {
     // loop's start — slow descent runs must not bank "evidence". A flat
     // 100 ms series with a 1000 ms plateau floor: runs 2..11 each add
     // 100 ms of plateau, stop at run 11.
-    assert(Bench.warmedMinMs(feed(100.0), patience = 2, minPlateauMs = 1000) ===
-      ((100.0, 11)))
+    val floored = Bench.warmedMinMs(feed(100.0), patience = 2, minPlateauMs = 1000)
+    assert((floored.ms, floored.runs, floored.exit) === ((100.0, 11, "plateau")))
+    // measuredMs is the cumulative measured time: 11 runs at 100 ms
+    assert(floored.measuredMs === 1100.0)
     // A drop found DURING the floor extension resets the window and
     // earns a FULL one: 2x300 of plateau (600 ms, under the floor), the
     // run-4 drop to 100 zeroes it, then ten 100s rebuild 1000 ms.
-    assert(Bench.warmedMinMs(feed(300, 300, 300, 100), patience = 2,
-      minPlateauMs = 1000) === ((100.0, 14)))
+    val reset = Bench.warmedMinMs(feed(300, 300, 300, 100), patience = 2,
+      minPlateauMs = 1000)
+    assert((reset.ms, reset.runs, reset.exit) === ((100.0, 14, "plateau")))
     // The overall bound is TOTAL MEASURED TIME, so an unreachable
     // plateau floor cannot run away: a fixed low run cap was the wrong
     // bound (on an 80 ms-floor box a 5 s plateau needs 63 non-improving
     // runs — the old maxRuns=60 ALWAYS clipped first and the stop rule
     // silently degraded to "run 60 times"). Flat 1000 ms series with an
     // unreachable floor: 5 runs accumulate the 5000 ms cap and stop.
-    assert(Bench.warmedMinMs(feed(1000.0), patience = 1,
-      minPlateauMs = 1e9, maxMeasuredMs = 5000, maxRuns = 100) === ((1000.0, 5)))
+    val clipped = Bench.warmedMinMs(feed(1000.0), patience = 1,
+      minPlateauMs = 1e9, maxMeasuredMs = 5000, maxRuns = 100)
+    assert((clipped.ms, clipped.runs) === ((1000.0, 5)))
+    // a bound clip is no longer indistinguishable from a natural stop:
+    // the exit tag names which bound fired, and measuredMs shows the
+    // budget it spent (the wariness signal the diagnostic line promises)
+    assert(clipped.exit === "maxMeasuredMs")
+    assert(clipped.measuredMs === 5000.0)
     // and the default plateau floor IS reachable inside the default
     // bounds on a fast box: 80 ms floor -> 63 plateau runs, well under
     // maxRuns=200 and 20 s measured
-    val (fastMin, fastRuns) = Bench.warmedMinMs(feed(80.0), patience = 8)
-    assert(fastMin === 80.0)
-    assert(fastRuns < 200 && fastRuns * 80.0 < 20000,
-      s"fast-box descent must exit via the plateau rule, not a bound clip (runs=$fastRuns)")
+    val fast = Bench.warmedMinMs(feed(80.0), patience = 8)
+    assert(fast.ms === 80.0)
+    assert(fast.runs < 200 && fast.runs * 80.0 < 20000,
+      s"fast-box descent must exit via the plateau rule, not a bound clip (runs=${fast.runs})")
+    assert(fast.exit === "plateau")
     // Default patience must span the measured ~5-run plateau width with
     // margin (patience=4 left a 1.52x before/after spread on a real
     // sweep): a 5-run plateau followed by a drop must be ridden through
     // under the DEFAULTS.
-    val (defMin, _) = Bench.warmedMinMs(
-      feed(300, 200, 199, 198, 198, 197, 197, 150))
-    assert(defMin === 150.0, "defaults must ride through a 5-run plateau")
+    assert(Bench.warmedMinMs(
+      feed(300, 200, 199, 198, 198, 197, 197, 150)).ms === 150.0,
+      "defaults must ride through a 5-run plateau")
     // A never-converging series is BOUNDED at maxRuns: the loop cannot
     // hang a sweep on a thrashing box — and still returns the min seen.
     var calls = 0
     val descending = () => { calls += 1; 1000.0 * math.pow(0.9, calls) }
-    val (boundedMin, boundedRuns) = Bench.warmedMinMs(descending, maxRuns = 8)
-    assert(boundedRuns === 8)
+    val bounded = Bench.warmedMinMs(descending, maxRuns = 8)
+    assert(bounded.runs === 8)
     assert(calls === 8)
-    assert(boundedMin === 1000.0 * math.pow(0.9, 8))
+    assert(bounded.ms === 1000.0 * math.pow(0.9, 8))
+    assert(bounded.exit === "maxRuns")
     // the min is tracked even on runs that don't clear the tol threshold
-    val (m, _) = Bench.warmedMinMs(feed(100.0, 99.0, 98.0, 97.0, 96.5))
-    assert(m === 96.5)
+    assert(Bench.warmedMinMs(feed(100.0, 99.0, 98.0, 97.0, 96.5)).ms === 96.5)
+  }
+
+  test("total_robust: insensitive to an in-sweep spike, moves on real regressions") {
+    // VERDICT r12 #2: the raw sweep total swung 74.3-103.5 s (±20%) on a
+    // provably-unchanged engine; the robust headline folds each isolated
+    // re-measure back in as a min so scheduler noise cancels.
+    val quiet = Seq("a" -> 1.0, "b" -> 1.0, "c" -> 1.0)
+    // no isolated re-measures: identical to the raw total
+    assert(Bench.robustTotal(quiet, Map.empty) === 3.0)
+    // a scheduler spike: c reads 8.0 in-sweep, its isolated re-run (which
+    // the >2x-median trigger guarantees it earns) reads 1.1 -> the
+    // headline barely moves while the raw total nearly triples
+    val spiked = Seq("a" -> 1.0, "b" -> 1.0, "c" -> 8.0)
+    assert(Bench.robustTotal(spiked, Map("c" -> 1.1)) === 3.1)
+    // a genuine regression: the isolated re-run confirms the elevation,
+    // so the robust headline moves with the engine
+    assert(Bench.robustTotal(spiked, Map("c" -> 7.5)) === 9.5)
+    // the min only corrects DOWNWARD: an isolated time above the sweep
+    // time (cold-cache rebuild cost) never inflates the headline
+    assert(Bench.robustTotal(quiet, Map("b" -> 2.0)) === 3.0)
+    // empty sweep degenerates to 0, matching the raw total
+    assert(Bench.robustTotal(Seq.empty, Map.empty) === 0.0)
   }
 
   test("slowBoxCorroborated: trips only when the zero-engine-code ref query slowed too") {

@@ -31,14 +31,15 @@ class BenchHistorySpec extends AnyFunSuite {
                    subset: Boolean = false,
                    errors: Set[String] = Set.empty,
                    machine: String = "",
-                   verdicts: String = ""): String = {
+                   verdicts: String = "",
+                   ts: String = "2026-08-15T00:00:00Z"): String = {
     val q = qs.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val i = iso.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val e = errors.map(k => s""""$k":"boom"""").mkString("{", ",", "}")
     val sub = if (subset) """"subset":true,""" else ""
     val m = if (machine.isEmpty) "" else s""""machine":$machine,"""
     val v = if (verdicts.isEmpty) "" else s"""$verdicts,"""
-    s"""{"ts":"2026-08-15T00:00:00Z",$sub"metric":"total","value":1.0,$m$v"queries":$q,"isolated":$i,"errors":$e,"sf":"$sf"}"""
+    s"""{"ts":"$ts",$sub"metric":"total","value":1.0,$m$v"queries":$q,"isolated":$i,"errors":$e,"sf":"$sf"}"""
   }
 
   test("sweep and isolated medians parse from matching full-surface lines") {
@@ -219,6 +220,40 @@ class BenchHistorySpec extends AnyFunSuite {
     // history with no ref fields anywhere -> -1, never a fake baseline
     withHistory(Seq(line("/data/sfX", Map("a" -> 1.0)))) { hist =>
       assert(Bench.historyBaseline(hist, "/data/sfX").refQueryMs === -1.0)
+    }
+  }
+
+  test("history reset: the SPARK_GRAFT_HISTORY_SINCE cutoff excludes older lines") {
+    // The self-declared-abnormal exclusion makes slow_box a sticky alarm
+    // by design; the cutoff is the documented, executable reset path for
+    // the operator after a deliberate permanent trade-off — without it
+    // the only reset was hand-truncating the jsonl.
+    val old = (1 to 5).map(_ =>
+      line("/data/sfX", Map("a" -> 10.0), ts = "2026-08-10T00:00:00Z"))
+    // a line too old to carry a parseable ts is old by construction:
+    // excluded under a cutoff, admitted without one
+    val noTs = Seq("""{"metric":"total","value":1.0,"queries":{"a":50.0},"isolated":{},"errors":{},"sf":"/data/sfX"}""")
+    val fresh = Seq(line("/data/sfX", Map("a" -> 1.0), ts = "2026-08-15T00:00:00Z"))
+    withHistory(old ++ noTs ++ fresh) { hist =>
+      // no cutoff: the recency window still blends the old regime
+      // (newest 5 = [1, 50, 10, 10, 10] -> upper median 10)
+      assert(Bench.historyBaseline(hist, "/data/sfX").sweep("a") === 10.0)
+      // cutoff between the regimes: only the fresh line enters, and the
+      // old lines stay in the file for audit (nothing rewrote it)
+      val reset = Bench.historyBaseline(hist, "/data/sfX",
+        sinceTs = "2026-08-12T00:00:00Z")
+      assert(reset.sweep("a") === 1.0)
+      // a malformed cutoff throws — a typo'd reset silently admitting the
+      // full history would leave the sticky alarm firing against the
+      // stale regime it was meant to clear
+      assertThrows[IllegalArgumentException](
+        Bench.historyBaseline(hist, "/data/sfX", sinceTs = "yesterday"))
+      // boundary: a line stamped exactly AT the cutoff is admitted
+      // (isBefore is strict), so a cutoff copied from a chosen line's own
+      // ts keeps that line
+      val atCut = Bench.historyBaseline(hist, "/data/sfX",
+        sinceTs = "2026-08-15T00:00:00Z")
+      assert(atCut.sweep("a") === 1.0)
     }
   }
 

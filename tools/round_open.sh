@@ -33,6 +33,11 @@ if [[ -d bench_out ]] && [[ -n "$(git status --porcelain -- bench_out)" ]]; then
   git add -A bench_out; staged=1
 fi
 if [[ "$staged" == 1 ]]; then
+  # The script trusts every working-tree change to the listed files to be
+  # driver-authored — show exactly what is about to ship under that label
+  # so a stray manual edit is visible before it lands mislabeled.
+  echo "about to commit as driver-authored artifacts:"
+  git diff --cached --stat
   git commit -m "Open round: commit driver post-close artifacts verbatim
 
 No-Verification-Needed: artifact sync only, no code change"
