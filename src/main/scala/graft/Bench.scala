@@ -142,6 +142,23 @@ object Bench {
     * clear. The exclusion is logged with the cutoff so a baseline
     * computed under a forgotten exported flag stays attributable.
     */
+  /** Parse the history-reset cutoff (empty/null -> None); malformed
+    * values throw IllegalArgumentException. Exposed separately so
+    * main() can validate the env var EAGERLY, before the sweep runs:
+    * [[historyBaseline]] is only consulted after every query has
+    * executed, and throwing there over a typo'd cutoff would discard
+    * the whole multi-minute sweep's measurements (no JSON line, no
+    * bench_latest refresh, no history append).
+    */
+  private[graft] def parseHistorySince(s: String): Option[java.time.Instant] =
+    if (s == null || s.isEmpty) None
+    else Some(
+      try java.time.Instant.parse(s)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        "SPARK_GRAFT_HISTORY_SINCE must be an ISO-8601 instant " +
+          s"(e.g. 2026-08-16T00:00:00Z), got '$s'", e)
+      })
+
   private[graft] def historyBaseline(histFile: java.nio.file.Path,
                                      sfDir: String,
                                      cpus: Int = -1,
@@ -152,15 +169,9 @@ object Bench {
     import scala.util.Try
     // Parse the reset cutoff BEFORE the readability early-return: a
     // malformed flag must throw even on a fresh clone, not lie dormant
-    // until history exists.
-    val since: Option[java.time.Instant] =
-      if (sinceTs == null || sinceTs.isEmpty) None
-      else Some(
-        try java.time.Instant.parse(sinceTs)
-        catch { case e: Exception => throw new IllegalArgumentException(
-          "SPARK_GRAFT_HISTORY_SINCE must be an ISO-8601 instant " +
-            s"(e.g. 2026-08-16T00:00:00Z), got '$sinceTs'", e)
-        })
+    // until history exists. (main() additionally validates the env var
+    // at entry, before the sweep spends minutes measuring.)
+    val since: Option[java.time.Instant] = parseHistorySince(sinceTs)
     if (!java.nio.file.Files.isReadable(histFile))
       return HistoryBaseline(Map.empty, Map.empty, -1.0)
     // Compare CANONICAL paths: the bench_latest refresh canonicalizes the
@@ -193,17 +204,22 @@ object Bench {
           case org.json4s.JString(s) => s
           case _ => ""
         }
+        val onTarget = !subset && canonPath(sf) == canonSf
         // History-reset cutoff: with a cutoff set, a line stamped before
         // it — or carrying no parseable ts (every stamped line has had
         // one for many rounds, so an unparseable ts IS an old line) —
-        // is excluded before any other admission rule runs.
-        val lineTs: Option[java.time.Instant] = (j \ "ts") match {
-          case org.json4s.JString(s) => Try(java.time.Instant.parse(s)).toOption
-          case _ => None
+        // is excluded before any other admission rule runs. The ts is
+        // only parsed when a cutoff exists (the common no-cutoff path
+        // never looks at it).
+        def preSince = since.exists { cut =>
+          val lineTs = (j \ "ts") match {
+            case org.json4s.JString(s) => Try(java.time.Instant.parse(s)).toOption
+            case _ => None
+          }
+          lineTs.forall(_.isBefore(cut))
         }
-        if (!subset && canonPath(sf) == canonSf &&
-            since.exists(cut => lineTs.forall(_.isBefore(cut)))) "preSince"
-        else if (!subset && canonPath(sf) == canonSf) {
+        if (onTarget && preSince) "preSince"
+        else if (onTarget) {
           // Harness-config gate: heap is matched on whole GiB (maxMemory
           // jitters by a few MB across identical -Xmx values). Each
           // field gates INDEPENDENTLY when recorded — a pre-r11 line
@@ -650,6 +666,14 @@ object Bench {
     * rebuild of state the sweep had warm) never inflates the headline.
     * Failed queries keep their in-sweep time-to-exception, same as the
     * raw total — `failed` is the honest flag for those, not the sum.
+    *
+    * Honest limit: the fold-in set is whatever THIS sweep isolated
+    * (the 5 slowest + every >2x-median query, capped at 40), so a
+    * boundary query that drifts in or out of the top-5 between rounds
+    * still moves the headline by its sub-2x noise — bounded by the 2x
+    * trigger, far tighter than the raw total's unbounded exposure, but
+    * not zero. Cross-round differencing should treat sub-2x movement
+    * on individual boundary queries as within instrument resolution.
     */
   private[graft] def robustTotal(sweepSecs: Seq[(String, Double)],
                                  isolated: Map[String, Double]): Double =
@@ -686,6 +710,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Fail fast on a malformed history-reset cutoff: historyBaseline is
+    // only consulted AFTER every query has executed, and throwing there
+    // would discard the whole multi-minute sweep's measurements over a
+    // typo'd env var.
+    val historySince = sys.env.getOrElse("SPARK_GRAFT_HISTORY_SINCE", "")
+    parseHistorySince(historySince)
 
     // Machine-state capture brackets the whole timed region. Load average
     // includes THIS process, so the contention signal is external load =
@@ -830,7 +860,7 @@ object Bench {
     val heapGbNow = heapBytes / (1024.0 * 1024 * 1024)
     val baseline =
       historyBaseline(outDir.resolve("bench_history.jsonl"), sfDir, cpusInt, heapGbNow,
-        sinceTs = sys.env.getOrElse("SPARK_GRAFT_HISTORY_SINCE", ""))
+        sinceTs = historySince)
     val (medians, isoMedians) = (baseline.sweep, baseline.iso)
     val isolated = if (only.isEmpty) {
       val ok = results.filter(_._2.error.isEmpty)

@@ -248,6 +248,13 @@ class BenchHistorySpec extends AnyFunSuite {
       // stale regime it was meant to clear
       assertThrows[IllegalArgumentException](
         Bench.historyBaseline(hist, "/data/sfX", sinceTs = "yesterday"))
+      // ...and main() validates the env var through the same parser at
+      // ENTRY, before the sweep runs — throwing only at the post-sweep
+      // historyBaseline call would discard a completed sweep's
+      // measurements over a typo
+      assert(Bench.parseHistorySince("") === None)
+      assert(Bench.parseHistorySince("2026-08-12T00:00:00Z").isDefined)
+      assertThrows[IllegalArgumentException](Bench.parseHistorySince("2026-8-16"))
       // boundary: a line stamped exactly AT the cutoff is admitted
       // (isBefore is strict), so a cutoff copied from a chosen line's own
       // ts keeps that line
