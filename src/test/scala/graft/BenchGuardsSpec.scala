@@ -178,6 +178,36 @@ class BenchGuardsSpec extends AnyFunSuite {
     assert(Bench.warmedMinMs(feed(100.0, 99.0, 98.0, 97.0, 96.5)).ms === 96.5)
   }
 
+  test("isolation candidates: top-5 plus every >2x-median query, UNCAPPED") {
+    // VERDICT r13 #2: the former cap of 40 dropped six candidates from
+    // the 100x sweep, leaving their inflated in-sweep times inside
+    // total_robust as disclosed conservative bias. Every query the 2x
+    // trigger fingers must now earn its isolated re-run.
+    val ok = (1 to 60).map(i => f"q$i%02d" -> (100.0 - i)) // q01 slowest .. q60 fastest
+    // every query's history median is tiny, so all 60 trip the trigger
+    val medians = ok.map { case (n, _) => n -> 1.0 }.toMap
+    val cands = Bench.isolationCandidates(ok, medians)
+    assert(cands.size === 60, s"no cap: all 60 candidates re-measured, got ${cands.size}")
+    // sorted by descending sweep time, deduplicated
+    assert(cands.map(_._2) === cands.map(_._2).sorted.reverse)
+    assert(cands.map(_._1).distinct.size === cands.size)
+    // with no history, coverage degrades to exactly the top-5 slowest
+    val noHist = Bench.isolationCandidates(ok, Map.empty)
+    assert(noHist.map(_._1) === Seq("q01", "q02", "q03", "q04", "q05"))
+    // the 0.15s trigger floor: a 0.05s-median query observed at 0.12s is
+    // jitter (2x median = 0.1 < floor), not a regression earning a re-run
+    val jitter = Bench.isolationCandidates(
+      (1 to 9).map(i => s"big$i" -> 10.0) :+ ("tiny" -> 0.12),
+      Map("tiny" -> 0.05))
+    assert(!jitter.exists(_._1 == "tiny"), "sub-floor jitter must not earn a re-run")
+    // ...but the floor exempts only the OBSERVATION: the same median
+    // inflated to 12s on a contended box is exactly what re-measure is for
+    val inflated = Bench.isolationCandidates(
+      (1 to 9).map(i => s"big$i" -> 20.0) :+ ("tiny" -> 12.0),
+      Map("tiny" -> 0.05))
+    assert(inflated.exists(_._1 == "tiny"))
+  }
+
   test("total_robust: insensitive to an in-sweep spike, moves on real regressions") {
     // VERDICT r12 #2: the raw sweep total swung 74.3-103.5 s (±20%) on a
     // provably-unchanged engine; the robust headline folds each isolated

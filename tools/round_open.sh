@@ -34,9 +34,12 @@ if [[ -d bench_out ]] && [[ -n "$(git status --porcelain -- bench_out)" ]]; then
 fi
 if [[ "$staged" == 1 ]]; then
   # The script trusts every working-tree change to the listed files to be
-  # driver-authored — show exactly what is about to ship under that label
-  # so a stray manual edit is visible before it lands mislabeled.
-  echo "about to commit as driver-authored artifacts:"
+  # driver-authored. The stat below is POST-HOC AUDIT VISIBILITY: this is
+  # a non-interactive set -e script, so the print lands in the round log
+  # for after-the-fact review — it is not a confirmation gate, and a
+  # stray manual edit would still ship under this label (the remedy is
+  # the log making it attributable, plus the staged-index refusal above).
+  echo "about to commit as driver-authored artifacts (stat logged for audit):"
   git diff --cached --stat
   git commit -m "Open round: commit driver post-close artifacts verbatim
 
