@@ -174,7 +174,7 @@ object Dedup {
   /** LSH spam-bucket cap: buckets larger than this are dropped before
     * the candidate join (b docs -> b^2 pairs otherwise).
     */
-  private val MaxBucket = 1000L
+  private[graft] val MaxBucket = 1000L
 
   // 16 minhash permutations, 4 bands x 4 rows (twin-local — the
   // production d6 uses MinHashImpl's K/Bands/Rows); deterministic seed.
@@ -510,7 +510,31 @@ object Dedup {
     val sym = Edges.symmetrize(pairs, col("doc_a"), col("doc_b")).persist()
     val ids = sym.select(col("src").as("id")).distinct()
     val edges = sym.union(ids.select(col("id").as("src"), col("id").as("dst"))).persist()
-    var labels = ids.withColumn("label", col("id")).localCheckpoint(true)
+    // Checkpoint-block hygiene (the j11/pagerankLoop discipline, see
+    // Joins.scala): Dataset.unpersist cannot reach an RDD-layer
+    // localCheckpoint persist, so untracked supersteps leak one
+    // MEMORY_AND_DISK block set per iteration per invocation until the
+    // ContextCleaner happens to GC the reference — across a 186-query
+    // sweep the d21/d34/d40/d44/d49 family accumulated exactly such
+    // blocks (found via the r14 storage_mb trail work; the isolated
+    // re-measure's System.gc() is why the same queries read fast
+    // isolated). The persistent-RDD id diff around each EAGER checkpoint
+    // attributes its blocks; the previous iteration's blocks are dead
+    // the moment the next checkpoint materializes (lineage truncated)
+    // and are dropped right there; the FINAL set backs the returned
+    // lazy plan, so its release is registry-managed (every runner's
+    // beginQuery fires it). The diff attribution requires the shared
+    // caches to be materialized BEFORE the first bracket — else their
+    // buffer RDDs would register inside it and the cleanup would
+    // destroy the cache the loop amortizes (the j11 review lesson).
+    val sc = pairs.sparkSession.sparkContext
+    edges.count() // materializes the sym AND edges persists
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val cp = df.localCheckpoint(true) // eager: materialized here
+      (cp, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    var (labels, liveCpIds) = checkpointTracked(ids.withColumn("label", col("id")))
     // Labels only DECREASE under min-propagation (each update takes a min
     // that includes the vertex's own label via its self-loop), so
     // fixpoint <=> the label sum stops changing — a 1-row aggregate over
@@ -521,10 +545,12 @@ object Dedup {
     var done = false
     val maxIters = 20
     while (!done && iter < maxIters) {
-      val next = edges
+      val (next, mine) = checkpointTracked(edges
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
-        .groupBy(col("src").as("id")).agg(min(col("nl")).as("label"))
-        .localCheckpoint(true)
+        .groupBy(col("src").as("id")).agg(min(col("nl")).as("label")))
+      // the previous labels checkpoint fed only this materialization
+      liveCpIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      liveCpIds = mine
       // driver-sized: grouping-less aggregate, exactly 1 row. sum over an
       // EMPTY vertex set is NULL — normalize to 0 so an empty pair graph
       // converges on the second pass instead of spinning to the iteration
@@ -539,6 +565,13 @@ object Dedup {
     }
     sym.unpersist()
     edges.unpersist()
+    // the final checkpoint backs the returned lazy plan: registry-managed
+    // release (registered BEFORE the convergence check so even the error
+    // path's blocks are evicted at the next query's beginQuery)
+    val lastIds = liveCpIds
+    PipelineCache.retainCleanup { () =>
+      lastIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    }
     // Diameter > maxIters means the labels above are NOT fixed-point —
     // returning them silently would hand the caller wrong clusters.
     if (!done) sys.error(

@@ -37,4 +37,34 @@ class CacheHygieneSpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty,
       "release() after the final query must leave the cache manager empty")
   }
+
+  test("storageMb reads resident cache blocks and drops to zero after release") {
+    // The bench artifact's per-query storage_mb trail (VERDICT r13 #6)
+    // stands on this reading: nonzero while a retaining query's persists
+    // are resident, zero once the next query's Q.run (or an explicit
+    // release) evicts them — so a trail that GROWS across a sweep means
+    // leaked persists, not normal per-query cache hygiene. The status
+    // store behind getRDDStorageInfo is listener-fed, so both directions
+    // are polled with a deadline rather than asserted instantaneously.
+    def poll(pred: => Boolean): Boolean = {
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (!pred && System.nanoTime() < deadline) Thread.sleep(100)
+      pred
+    }
+    PipelineCache.release()
+    spark.sharedState.cacheManager.clearCache()
+    assert(poll(graft.Bench.storageMb(spark) == 0.0),
+      "a released cache must read as zero storage occupancy")
+
+    graft.SparkEntry.queries("d44_leakage_safe_split")(spark, SparkTestBase.Sf0001).collect()
+    assert(poll(graft.Bench.storageMb(spark) > 0.0),
+      "a retaining query's resident persists must register as storage occupancy")
+
+    // the bench loop's inter-query eviction (Q.run -> beginQuery) is what
+    // keeps the trail flat: the next query's invocation must return the
+    // reading to zero
+    graft.SparkEntry.queries("s3_range_counts")(spark, SparkTestBase.Sf0001).collect()
+    assert(poll(graft.Bench.storageMb(spark) == 0.0),
+      "the next query's invocation must evict the previous query's blocks")
+  }
 }
