@@ -1525,11 +1525,40 @@ object Dedup {
                           col("fp").as("fpa"), col("n_chars").as("na"), col("w1").as("wa"))
         val fb = f.select(col("doc_id").as("doc_b"), col("prefix").as("pb"),
                           col("fp").as("fpb"), col("n_chars").as("nb"), col("w1").as("wb"))
+        // The edit distance is the whole cost of this stage at corpus
+        // scale (r14 sf10 profile: 7,697 CPU-s scoring 46.6M surviving
+        // pairs; GC 1.5%, zero spill — pure compute). Two measures keep
+        // it to ONE DP evaluation per pair:
+        // (a) the 3-arg levenshtein bounds the DP to a 2*15+1 band of
+        //     the 60x60 matrix and early-exits on a length gap > 15,
+        //     returning -1 above the threshold — semantics unchanged
+        //     (lev<=6 <=> banded in [0,6]; lev<=15 <=> banded >= 0).
+        //     This alone measured 179.7 -> 120.5 s full-query wall /
+        //     5091 -> 3508 CPU-s at sf10 (ProfileD39, back-to-back runs;
+        //     an underestimate — the second run's box was slower on the
+        //     unchanged phases).
+        // (b) the points ride a Fellegi-Sunter-style weight TABLE
+        //     (element_at over a constant array) instead of a when-chain:
+        //     the optimizer inlines the lev alias into the pushed
+        //     score>=20 predicate (it lands in the join condition), and
+        //     a CASE chain references lev up to 3 times there — each a
+        //     fresh DP evaluation, since codegen CSE skips conditionally-
+        //     evaluated branches (the original 2-arg when-chain paid the
+        //     UNBANDED DP up to 4x per pair this way). element_at(
+        //     weights, lev + 2) references lev exactly once, so even
+        //     fully inlined the condition pays one banded DP and the
+        //     output projection one more (plan-pinned: <= 2 textual
+        //     levenshtein occurrences in the executed plan). Index map:
+        //     lev -1 (over threshold) -> slot 1 -> 0 points; 0..6 -> 30;
+        //     7..15 -> 15. coalesce keeps the old ELSE-0 on NULL
+        //     prefixes.
+        val levWeights = array(
+          (Seq(0L) ++ Seq.fill(7)(30L) ++ Seq.fill(9)(15L)).map(lit): _*)
         cand.join(fa, "doc_a").join(fb, "doc_b")
+          .withColumn("lev", levenshtein(col("pa"), col("pb"), 15))
           .withColumn("score",
             when(col("fpa") === col("fpb"), 50L).otherwise(0L) +
-            when(levenshtein(col("pa"), col("pb")) <= 6, 30L)
-              .when(levenshtein(col("pa"), col("pb")) <= 15, 15L).otherwise(0L) +
+            coalesce(element_at(levWeights, (col("lev") + 2).cast("int")), lit(0L)) +
             when(abs(col("na") - col("nb")) <= 10, 10L).otherwise(0L) +
             when(col("wa") === col("wb"), 10L).otherwise(0L))
           .where(col("score") >= 20)

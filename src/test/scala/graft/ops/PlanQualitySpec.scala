@@ -362,6 +362,20 @@ class PlanQualitySpec extends AnyFunSuite {
       s"all 6 branches must read the cached feature frame, saw $cacheReads:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"blocking and join-back must stay equi-joins:\n$plan")
+    // The edit distance is the stage's whole cost at corpus scale (r14
+    // sf10 profile: the when-chain shape paid the unbanded DP up to 4x
+    // per pair once the optimizer inlined the lev alias into the pushed
+    // score predicate — 179.7 vs 63.9 s full-query wall). Pin both
+    // halves of the fix: every occurrence is the banded 3-arg form, and
+    // there are at most 2 textual occurrences (one in the join-condition
+    // predicate, one in the output projection) — a when-chain regression
+    // reads 4+.
+    val levs = "levenshtein\\([^)]*\\)".r.findAllIn(plan).toSeq
+    assert(levs.nonEmpty && levs.forall(_.contains("Some(15)")),
+      s"edit distance must use the banded (threshold-15) levenshtein:\n$plan")
+    assert(levs.size <= 2,
+      s"lev must be referenced once per operator (saw ${levs.size} evaluations " +
+        s"— a when-chain re-expansion pays the DP per branch):\n$plan")
   }
 
   test("w5 (pattern match): one scan, one keyed window, no self-join") {
