@@ -297,9 +297,16 @@ object Dedup {
     * (minhashFromStoredSigTable): the pipeline is agnostic to where the
     * signatures live.
     */
-  private def verifiedNearDups(base: DataFrame, minJaccard: Double): DataFrame = {
+  private def verifiedNearDups(base: DataFrame, minJaccard: Double,
+                               ordered: Boolean = true): DataFrame = {
     val pairs = portableCandidatePairs(base)
     val hs = base.select(col("doc_id"), col("hpos"))
+    // Deliberately size(array_union), NOT the |A|+|B|-|A n B| identity:
+    // the identity references the intersect twice, and measured at sf10
+    // (ProfileD34, r14) codegen does NOT subexpression-eliminate the
+    // duplicate across the inlined filter + projection — the "saving"
+    // doubled the verify stage (1,543 -> 3,673 CPU-s). The plain
+    // intersect+union pair is evaluated once each per row.
     pairs
       .join(hs.select(col("doc_id").as("doc_a"), col("hpos").as("h_a")), Seq("doc_a"))
       .join(hs.select(col("doc_id").as("doc_b"), col("hpos").as("h_b")), Seq("doc_b"))
@@ -308,7 +315,33 @@ object Dedup {
           size(array_union(col("h_a"), col("h_b"))))
       .where(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+      .orderByIf(ordered, "doc_a", "doc_b")
+  }
+
+  private implicit class OrderByIf(private val df: DataFrame) {
+    /** `orderBy` only when the consumer's output contract needs it — the
+      * cluster-family consumers (dupClusters / d12 / d44 / d49) feed the
+      * pair set into joins, distinct, and min-label propagation, all
+      * order-insensitive, and the global sort + range exchange of the
+      * corpus-sized pair list would otherwise be baked below their
+      * persists (found by the r14 ProfileD34 pass).
+      */
+    def orderByIf(ordered: Boolean, cols: String*): DataFrame =
+      if (ordered) df.orderBy(cols.map(col): _*) else df
+  }
+
+  /** The near-dup PAIR SET (doc_a, doc_b) for order-insensitive
+    * consumers: same banded-candidates + exact-Jaccard-verify pipeline
+    * as [[minhashPortable]], minus the output ordering that d6b's row
+    * contract requires — connected components, anti-joins, and grouped
+    * keep-best policies don't care about pair order, so they should not
+    * pay a corpus-sized sort inside their cache builds.
+    */
+  private[graft] def minhashPortablePairs(spark: SparkSession, sfDir: String,
+                                          minJaccard: Double): DataFrame = {
+    val base = portableSigTable(spark, sfDir).persist()
+    PipelineCache.retain(base)
+    verifiedNearDups(base, minJaccard, ordered = false).select("doc_a", "doc_b")
   }
 
   def minhashPortable(spark: SparkSession, sfDir: String, minJaccard: Double): DataFrame = {
@@ -436,7 +469,7 @@ object Dedup {
       .select("doc_id", "n_words")
       .persist()
     PipelineCache.retain(e)
-    val pairs = minhashPortable(spark, sfDir, 0.5).select("doc_a", "doc_b")
+    val pairs = minhashPortablePairs(spark, sfDir, 0.5)
     val nd = pairs
       .join(e.select(col("doc_id").as("doc_a")), "doc_a")
       .join(e.select(col("doc_id").as("doc_b")), "doc_b")
@@ -485,7 +518,7 @@ object Dedup {
     */
   def dupClusters(spark: SparkSession, sfDir: String, minJaccard: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = minhashPortable(spark, sfDir, minJaccard).select("doc_a", "doc_b")
+    val pairs = minhashPortablePairs(spark, sfDir, minJaccard)
     clusterLabels(pairs)
       .withColumn("n_members",
         count(lit(1)).over(Window.partitionBy("cluster_rep")).cast("long"))
@@ -1004,7 +1037,7 @@ object Dedup {
         // ONE MinHash pass: the persisted pair graph feeds both the CC
         // labels and the cross-split leakage check (at scale this is a
         // disk-backed persist of the pair list, tiny next to the corpus).
-        val pairs = minhashPortable(s, d, 0.5).select("doc_a", "doc_b").persist()
+        val pairs = minhashPortablePairs(s, d, 0.5).persist()
         PipelineCache.retain(pairs)
         val labels = clusterLabels(pairs)
         val rep = Tables.documents(s, d).select("doc_id")
@@ -1091,7 +1124,7 @@ object Dedup {
     // one map-side-combinable max_by per cluster.
     "d49_quality_keep_dedup" -> Q(
       fn = (s, d) => {
-        val pairs = minhashPortable(s, d, 0.5).select("doc_a", "doc_b").persist()
+        val pairs = minhashPortablePairs(s, d, 0.5).persist()
         PipelineCache.retain(pairs)
         val labels = clusterLabels(pairs)
         val rep = Tables.documents(s, d).select("doc_id", "n_chars")

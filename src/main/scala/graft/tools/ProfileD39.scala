@@ -23,7 +23,7 @@ import graft.ops.Dedup
   */
 object ProfileD39 {
 
-  private final class PhaseMetrics extends SparkListener {
+  private[tools] final class PhaseMetrics extends SparkListener {
     val runMs = new AtomicLong(0)
     val gcMs = new AtomicLong(0)
     val memSpill = new AtomicLong(0)
@@ -147,6 +147,55 @@ object ProfileD39 {
     // end-to-end as registered (fresh plan, includes the orderBy)
     f.unpersist()
     phase("full-query")(graft.SparkEntry.queries("d39_entity_resolution")(spark, sfDir).count())
+    spark.stop()
+  }
+}
+
+/** Same harness pointed at the dup-cluster family's shared pipeline
+  * (VERDICT-r13-style follow-up: after the d39 fix, d34 is the 100x
+  * sweep's heaviest query at 97.3 s in-sweep / 68.9 s isolated). Phases:
+  * signature table, banded candidate pairs, exact-Jaccard verify, label
+  * propagation, and the full registered d34 — so the next fix (if any)
+  * is aimed at the measured stage, not a guess.
+  *
+  *   SPARK_DRIVER_MEM=64g sbt "runMain graft.tools.ProfileD34 /tmp/sf10"
+  */
+object ProfileD34 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.GraftExtensions.register(spark)
+    val metrics = new ProfileD39.PhaseMetrics
+    spark.sparkContext.addSparkListener(metrics)
+    def phase(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      println(f"PHASE $name%-22s wall=$wall%7.1fs rows=$rows%-12d ${metrics.snapshotAndReset()}")
+    }
+
+    val base = Dedup.portableSigTable(spark, sfDir).persist()
+    phase("sig-table")(base.count())
+    val cand = Dedup.portableCandidatePairs(base)
+    phase("candidate-pairs")(cand.count())
+    // minhashPortable persists its own signature table; the cache manager
+    // dedupes it onto `base` (identical plan), so no double storage
+    val verified = Dedup.minhashPortable(spark, sfDir, 0.5)
+    phase("verify-jaccard")(verified.count())
+    val pairs = verified.select("doc_a", "doc_b").persist()
+    pairs.count(); Thread.sleep(500); metrics.snapshotAndReset()
+    phase("label-prop")(Dedup.clusterLabels(pairs).count())
+    pairs.unpersist(); base.unpersist()
+    graft.ops.PipelineCache.release()
+    phase("full-d34")(
+      graft.SparkEntry.queries("d34_cluster_keep_best")(spark, sfDir).count())
     spark.stop()
   }
 }
