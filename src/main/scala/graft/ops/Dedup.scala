@@ -338,23 +338,30 @@ object Dedup {
     * pay a corpus-sized sort inside their cache builds.
     */
   private[graft] def minhashPortablePairs(spark: SparkSession, sfDir: String,
-                                          minJaccard: Double): DataFrame = {
-    val base = portableSigTable(spark, sfDir).persist()
-    PipelineCache.retain(base)
-    verifiedNearDups(base, minJaccard, ordered = false).select("doc_a", "doc_b")
-  }
+                                          minJaccard: Double): DataFrame =
+    cachedVerifiedNearDups(spark, sfDir, minJaccard, ordered = false)
+      .select("doc_a", "doc_b")
 
-  def minhashPortable(spark: SparkSession, sfDir: String, minJaccard: Double): DataFrame = {
-    // The signature table feeds three consumers below (band keys + both
-    // sides of the shingle-set join); persist so the shingle+minhash scan
-    // runs once, not three times. Spark's cache manager dedupes the
-    // identical plan across the six queries built on this helper, and at
-    // corpus scale this is the standard "materialize signatures once"
-    // step of every LSH pipeline (signatures are ~100 longs/doc — tiny
-    // next to the text they summarize).
+  def minhashPortable(spark: SparkSession, sfDir: String, minJaccard: Double): DataFrame =
+    cachedVerifiedNearDups(spark, sfDir, minJaccard, ordered = true)
+
+  /** Shared body of [[minhashPortable]] / [[minhashPortablePairs]] — ONE
+    * place owns the persist + retain policy so the ordered and unordered
+    * variants cannot silently diverge on storage level or cache hygiene.
+    *
+    * The signature table feeds three consumers (band keys + both sides
+    * of the shingle-set join); persist so the shingle+minhash scan runs
+    * once, not three times. Spark's cache manager dedupes the identical
+    * plan across the queries built on this helper, and at corpus scale
+    * this is the standard "materialize signatures once" step of every
+    * LSH pipeline (signatures are ~100 longs/doc — tiny next to the
+    * text they summarize).
+    */
+  private def cachedVerifiedNearDups(spark: SparkSession, sfDir: String,
+                                     minJaccard: Double, ordered: Boolean): DataFrame = {
     val base = portableSigTable(spark, sfDir).persist()
     PipelineCache.retain(base)
-    verifiedNearDups(base, minJaccard)
+    verifiedNearDups(base, minJaccard, ordered)
   }
 
   /** Write the portable signature table to parquet — the cluster-scale

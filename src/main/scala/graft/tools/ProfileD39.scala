@@ -40,18 +40,37 @@ object ProfileD39 {
         diskSpill.addAndGet(m.diskBytesSpilled)
         shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-        peakExecMem.addAndGet(m.peakExecutionMemory)
+        // a peak is combined with max, not sum (stage peaks are per-stage
+        // highs of the same executor memory, so summing over-reports)
+        peakExecMem.getAndAccumulate(m.peakExecutionMemory, Math.max(_, _))
       }
     }
     def snapshotAndReset(): String = {
       val s = f"run=${runMs.get / 1000.0}%.1fs gc=${gcMs.get / 1000.0}%.1fs " +
         f"spillMem=${memSpill.get / 1e9}%.2fGB spillDisk=${diskSpill.get / 1e9}%.2fGB " +
-        f"shufR=${shufRead.get / 1e9}%.2fGB shufW=${shufWrite.get / 1e9}%.2fGB"
+        f"shufR=${shufRead.get / 1e9}%.2fGB shufW=${shufWrite.get / 1e9}%.2fGB " +
+        f"peakExec=${peakExecMem.get / 1e9}%.2fGB"
       Seq(runMs, gcMs, memSpill, diskSpill, shufRead, shufWrite, peakExecMem)
         .foreach(_.set(0))
       s
     }
   }
+
+  /** Drain the async listener bus so stage-completed events land in the
+    * phase that ran them, not the next one. `listenerBus` is
+    * private[spark], so reach it reflectively; if the internals move in
+    * a future Spark, fall back to the old fixed sleep.
+    */
+  private[tools] def drainListenerBus(spark: SparkSession): Unit =
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethods.find(_.getName == "listenerBus").get.invoke(sc)
+      val m = bus.getClass.getMethods
+        .filter(m => m.getName == "waitUntilEmpty" && m.getParameterCount <= 1)
+        .minBy(_.getParameterCount)
+      if (m.getParameterCount == 0) m.invoke(bus)
+      else m.invoke(bus, java.lang.Long.valueOf(30000L))
+    } catch { case _: Throwable => Thread.sleep(500) }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -69,9 +88,7 @@ object ProfileD39 {
       val t0 = System.nanoTime()
       val rows = body
       val wall = (System.nanoTime() - t0) / 1e9
-      // listener events are delivered async (listenerBus is private[spark]);
-      // a short drain is accurate enough for a scratch profiler
-      Thread.sleep(500)
+      drainListenerBus(spark)
       println(f"PHASE $name%-22s wall=$wall%7.1fs rows=$rows%-12d ${metrics.snapshotAndReset()}")
     }
 
@@ -101,7 +118,7 @@ object ProfileD39 {
     }
     blockHistogram("p12 ", Seq(col("lang"), col("p12")))
     blockHistogram("len+w1", Seq(col("lang"), (col("n_chars") / 10).cast("long"), col("w1")))
-    Thread.sleep(500)
+    drainListenerBus(spark)
     metrics.snapshotAndReset() // histogram cost is not part of the query
 
     def pass(keyCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
@@ -177,7 +194,7 @@ object ProfileD34 {
       val t0 = System.nanoTime()
       val rows = body
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(500)
+      ProfileD39.drainListenerBus(spark)
       println(f"PHASE $name%-22s wall=$wall%7.1fs rows=$rows%-12d ${metrics.snapshotAndReset()}")
     }
 
@@ -190,7 +207,7 @@ object ProfileD34 {
     val verified = Dedup.minhashPortable(spark, sfDir, 0.5)
     phase("verify-jaccard")(verified.count())
     val pairs = verified.select("doc_a", "doc_b").persist()
-    pairs.count(); Thread.sleep(500); metrics.snapshotAndReset()
+    pairs.count(); ProfileD39.drainListenerBus(spark); metrics.snapshotAndReset()
     phase("label-prop")(Dedup.clusterLabels(pairs).count())
     pairs.unpersist(); base.unpersist()
     graft.ops.PipelineCache.release()

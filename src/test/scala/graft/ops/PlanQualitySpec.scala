@@ -9,6 +9,26 @@ import graft.SparkTestBase
   * silently un-pushes a filter, un-broadcasts a dimension side, or
   * introduces a shuffle into a scan-only operator fails the build
   * instead of surfacing as a 100 TB incident.
+  *
+  * == The no-CSE rule (twice-measured, r14) ==
+  * An alias referenced more than once RE-EVALUATES per reference once
+  * the optimizer inlines it through filters/joins — Catalyst/codegen
+  * does NOT common-subexpression-eliminate across an inlined projection
+  * boundary. Never assume CSE; either restructure so the expensive
+  * expression is referenced exactly once (lookup-table the consumers,
+  * as d39's Fellegi-Sunter weight array does), or keep the
+  * per-reference cost trivial. Both measurements, at sf10:
+  *  1. d39's `lev` alias consumed by a 4-branch when-chain inlined into
+  *     the pushed score predicate paid the unbanded Levenshtein DP up
+  *     to 4x per pair — 179.7 s vs 63.9 s full-query wall after the
+  *     single-reference weight-table rewrite (commit 8ef940c).
+  *  2. Replacing `size(array_union)` with the |A|+|B|-|A∩B| identity in
+  *     verifiedNearDups references the intersect twice; the inlined
+  *     filter + projection each paid it and the verify stage DOUBLED
+  *     (1,543 -> 3,673 CPU-s). Rejected; see Dedup.verifiedNearDups.
+  * Greppable symptom: the same expensive function appearing N>1 times
+  * in the executed-plan string where the source aliases it once — the
+  * d39 test below pins this structurally for Levenshtein.
   */
 class PlanQualitySpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
@@ -352,7 +372,9 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("d39 (entity resolution): features cached once; all joins equi-keyed") {
-    val plan = executedPlan("d39_entity_resolution").split("== Initial Plan ==").head
+    val df = graft.SparkEntry.queries("d39_entity_resolution")(spark, SparkTestBase.Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     // every branch (2 blocking passes x 2 sides + 2 feature join-backs)
     // must read the cached feature frame, not re-scan parquet. Each
     // InMemoryTableScan's dump re-prints the FileScan INSIDE the cached
@@ -370,11 +392,40 @@ class PlanQualitySpec extends AnyFunSuite {
     // there are at most 2 textual occurrences (one in the join-condition
     // predicate, one in the output projection) — a when-chain regression
     // reads 4+.
+    // primary, structural: collect the actual Levenshtein expressions from
+    // the executed plan (unwrapping AQE / query-stage / cache leaf nodes)
+    // and require every one to carry a threshold — immune to toString
+    // format drift across Spark upgrades
+    import org.apache.spark.sql.catalyst.expressions.Levenshtein
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val wrapped = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case c: InMemoryTableScanExec => Seq(c.relation.cachedPlan)
+        case _                        => Seq.empty
+      }
+      p +: (p.children ++ wrapped).flatMap(allNodes)
+    }
+    val levExprs = allNodes(df.queryExecution.executedPlan)
+      .flatMap(_.expressions)
+      .flatMap(_.collect { case l: Levenshtein => l })
+    assert(levExprs.nonEmpty, s"no Levenshtein expression found in the executed plan:\n$plan")
+    assert(levExprs.forall(_.threshold.isDefined),
+      s"edit distance must use the banded (threshold) levenshtein; " +
+        s"found unbanded among: ${levExprs.mkString(", ")}")
+    assert(levExprs.size <= 2,
+      s"lev must be referenced once per operator (saw ${levExprs.size} evaluations " +
+        s"— a when-chain re-expansion pays the DP per branch):\n$plan")
+    // secondary, textual (the historical pin): keep the string-level count
+    // as a cross-check while it still renders this way
     val levs = "levenshtein\\([^)]*\\)".r.findAllIn(plan).toSeq
-    assert(levs.nonEmpty && levs.forall(_.contains("Some(15)")),
+    assert(levs.forall(_.contains("Some(15)")),
       s"edit distance must use the banded (threshold-15) levenshtein:\n$plan")
     assert(levs.size <= 2,
-      s"lev must be referenced once per operator (saw ${levs.size} evaluations " +
+      s"lev must be referenced once per operator (saw ${levs.size} textual occurrences " +
         s"— a when-chain re-expansion pays the DP per branch):\n$plan")
   }
 
