@@ -24,7 +24,7 @@ object Analytics {
     * TPC-H baskets max out at 7 items, so the cap is a fixture no-op,
     * mirrored exactly in the oracle.
     */
-  private val MaxBasket = 64L
+  private[graft] val MaxBasket = 64L
 
   val queries: Map[String, Q] = Map(
 
@@ -1797,9 +1797,15 @@ object Analytics {
         val op = Tables.lineitem(s, d)
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
           .persist()
-        PipelineCache.retain(op)
+        // pc feeds THREE consumers (the a-priori frequent-item filter and
+        // both lift-denominator joins); unpersisted, each re-ran the full
+        // 60M-row partial aggregation off the op cache — ~110 of the
+        // query's 1,104 CPU-s at sf10 (r15 ProfileQuery). The cache is
+        // one row per distinct item (#parts, ~30 MB at sf10) — safe at
+        // any corpus scale, spills to disk if the vocabulary is huge.
+        val pc = op.groupBy("p").agg(count(lit(1)).as("c")).persist()
+        PipelineCache.retain(op, pc)
         val nOrders = op.select(countDistinct(col("o")).as("n_orders"))
-        val pc = op.groupBy("p").agg(count(lit(1)).as("c"))
         // pair enumeration as one basket aggregate + map-side explode:
         // the former self-join on o shuffled the pruned item list twice
         // (and re-ran its basket-size window once per side); collecting

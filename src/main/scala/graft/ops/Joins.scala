@@ -18,23 +18,38 @@ import graft.core.Tables
   */
 object Joins {
 
-  /** One PageRank superstep over the degree-annotated edge list: join
-    * ranks into edges on src, floor-divide each rank across its out-
-    * degree, aggregate contributions by dst, damp. Integer millionths
-    * throughout — exact, order-independent, hash-stable. Shared by
-    * j11's fixed-point loop AND PlanQualitySpec's direct pin on an
-    * un-truncated single-superstep build (the loop's localCheckpoint
-    * truncation hides iterations 1-2 from plan walkers; the shared
-    * body keeps the audited shape and the executed shape one thing).
+  /** One PageRank superstep: annotate the N-row RANK table with out-
+    * degree (rank ⋈ deg — both hash-partitioned on the node key, no
+    * exchange), floor-divide once per NODE, join the per-node
+    * contribution into the cached edge list on src, aggregate by dst,
+    * damp. Integer millionths throughout — exact, order-independent,
+    * hash-stable. Shared by j11's fixed-point loop AND
+    * PlanQualitySpec's direct pin on an un-truncated single-superstep
+    * build (the loop's localCheckpoint truncation hides iterations 1-2
+    * from plan walkers; the shared body keeps the audited shape and
+    * the executed shape one thing).
+    *
+    * Degree rides the rank table, NOT the edge list: the r15 sf10
+    * ProfileQuery pass attributed 264 CPU-s to building a SECOND
+    * 117M-row degree-annotated edge cache (plus 136 CPU-s for the
+    * 36M-row degree partial shuffle off the unpartitioned cache) while
+    * the three supersteps it amortized cost ~390 CPU-s total. Joining
+    * deg into the 1.6M-row rank table per superstep costs ~1-2 CPU-s
+    * an iteration and also moves the `rank div d` division from
+    * per-edge (117M evaluations) to per-node (1.6M).
     */
-  def pagerankSuperstep(edgesD: org.apache.spark.sql.DataFrame,
+  def pagerankSuperstep(edges: org.apache.spark.sql.DataFrame,
+                        deg: org.apache.spark.sql.DataFrame,
                         rank: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val damp = 850000L; val base = 150000L; val unit = 1000000L
-    edgesD
-      .join(rank, col("src") === col("node"))
-      .select(col("dst"), expr("rank div d").as("contrib"))
+    val contrib = rank
+      .join(deg, col("node") === deg("src"))
+      .select(col("node"), expr("rank div d").as("cpe"))
+    edges
+      .join(contrib, edges("src") === contrib("node"))
+      .select(col("dst"), col("cpe"))
       .groupBy("dst")
-      .agg(sum(col("contrib")).as("in_sum"))
+      .agg(sum(col("cpe")).as("in_sum"))
       .select(col("dst").as("node"),
               (lit(base) + expr(s"($damp * in_sum) div $unit")).as("rank"))
   }
@@ -74,12 +89,16 @@ object Joins {
     *  - edges explode from ONE pass over trades (Edges.symmetrize) —
     *    the union-of-two-projections form materialized the upstream
     *    join once per branch before the persist caught it.
-    *  - Degree is a per-src constant, folded into the edge list ONCE
-    *    (src, dst, d); that table is hash-partitioned by the join key
-    *    BEFORE the degree join so the single cache-build exchange
-    *    satisfies the join and carries through the projection into the
-    *    cache: supersteps shuffle only the N-row rank table and the
-    *    contrib aggregation, never the E-row edge list.
+    *  - ONE corpus-scale cache: the symmetrized edge list is hash-
+    *    partitioned by src BEFORE the persist, so deg aggregates off
+    *    the cache with ZERO exchange and every superstep join reads
+    *    co-located edges. The r14-era shape held TWO 117M-row caches
+    *    (raw edges + a degree-annotated copy, 2.65 GB resident at
+    *    sf10) and paid a 36M-row degree partial shuffle plus a second
+    *    cache build (264 CPU-s) — the r15 ProfileQuery pass measured
+    *    the whole second cache as costing ~70% of what the three
+    *    supersteps it served cost. Degree now rides the rank table
+    *    per superstep (see pagerankSuperstep).
     *  - pagerankLoop truncates lineage between supersteps: constant
     *    plan depth, separate jobs, and the checkpoint's hash(node)
     *    partitioning lines up with the cached edge partitioning, so
@@ -90,13 +109,12 @@ object Joins {
   def pagerankRanked(s: org.apache.spark.sql.SparkSession,
                      trades: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val unit = 1000000L
-    val edges = Edges.symmetrize(trades, col("c"), col("sp")).persist()
+    val edges = Edges.symmetrize(trades, col("c"), col("sp"))
+      .repartition(col("src")).persist()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).persist()
-    val edgesD = edges.repartition(col("src")).join(deg, "src")
-      .select("src", "dst", "d").persist()
-    PipelineCache.retain(edges, deg, edgesD)
+    PipelineCache.retain(edges, deg)
     val rank0 = deg.select(col("src").as("node"), lit(unit).as("rank"))
-    pagerankLoop(s, edgesD, rank0, 3)
+    pagerankLoop(s, edges, deg, rank0, 3)
       .withColumn("kind", when(col("node") % 2 === 1, "supplier").otherwise("customer"))
       .withColumn("key", expr("node div 2"))
       .orderBy(col("rank").desc, col("node"))
@@ -105,14 +123,15 @@ object Joins {
   }
 
   def pagerankLoop(s: org.apache.spark.sql.SparkSession,
-                   edgesD: org.apache.spark.sql.DataFrame,
+                   edges: org.apache.spark.sql.DataFrame,
+                   deg: org.apache.spark.sql.DataFrame,
                    rank0: org.apache.spark.sql.DataFrame,
                    iters: Int): org.apache.spark.sql.DataFrame = {
-    edgesD.count() // materialize the caches before the diff brackets
+    deg.count() // materialize BOTH caches (deg builds off edges) before the diff brackets
     var rank = rank0
     var prevCpIds: Set[Int] = Set.empty
     for (i <- 1 to iters) {
-      val next = pagerankSuperstep(edgesD, rank)
+      val next = pagerankSuperstep(edges, deg, rank)
       rank = if (i < iters) {
         val sc = s.sparkContext
         val before = sc.getPersistentRDDs.keySet.toSet

@@ -57,7 +57,7 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "a24_benford" -> (3, 1),
     "a25_gini" -> (2, 0),
     "a25b_gini_bucketed" -> (4, 0),
-    "a26_market_basket" -> (5, 0),
+    "a26_market_basket" -> (4, 0),
     "a6_checkpoint_states" -> (2, 0),
     "a8_rollup" -> (2, 1),
     "a9_approx_distinct" -> (2, 0),

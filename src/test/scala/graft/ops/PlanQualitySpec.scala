@@ -192,7 +192,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // iteration 1's checkpoint job and the diff would put the SHARED
     // caches into the cleanup set (iteration 2 then destroyed the edge
     // cache every later superstep depends on — review finding). The
-    // contract: after j11 executes, the three shared caches AND the
+    // contract: after j11 executes, the two shared caches AND the
     // final checkpoint are still live; a release() drains all of them.
     graft.ops.PipelineCache.release()
     spark.sharedState.cacheManager.clearCache()
@@ -202,8 +202,8 @@ class PlanQualitySpec extends AnyFunSuite {
       val df = graft.SparkEntry.queries("j11_pagerank")(spark, SparkTestBase.Sf0001)
       df.collect()
       val added = sc.getPersistentRDDs.keySet -- base
-      assert(added.size >= 4,
-        s"edges/deg/edgesD buffers + the final checkpoint must be live after " +
+      assert(added.size >= 3,
+        s"edges/deg buffers + the final checkpoint must be live after " +
           s"execution, saw only ${added.size} persistent RDDs")
     } finally {
       graft.ops.PipelineCache.release()
@@ -230,24 +230,26 @@ class PlanQualitySpec extends AnyFunSuite {
       val pairs = spark.read.parquet(s"${SparkTestBase.Sf0001}/nation.parquet")
         .select((col("n_nationkey") * 2).as("c"), (col("n_regionkey") * 2 + 1).as("sp"))
         .distinct()
+      // mirrors pagerankRanked's cache layout: one edge cache, hash-
+      // partitioned by src BEFORE the persist; deg aggregates off it
       val edges = graft.ops.Edges.symmetrize(pairs, col("c"), col("sp"))
+        .repartition(col("src")).persist()
       val deg = edges.groupBy("src").agg(
         org.apache.spark.sql.functions.count(lit(1)).as("d")).persist()
-      val edgesD = edges.repartition(col("src")).join(deg, "src")
-        .select("src", "dst", "d").persist()
       val rank0 = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
       try {
-        val step = graft.ops.Joins.pagerankSuperstep(edgesD, rank0)
+        val step = graft.ops.Joins.pagerankSuperstep(edges, deg, rank0)
         step.collect()
         val executed = step.queryExecution.executedPlan
         val keys = graft.tools.ScanAudit.exchangeKeys(executed)
         assert(keys.count(_.contains("src")) == 0,
           s"superstep re-shuffled the edge side on src (keys=$keys):\n$executed")
         assert(keys.size <= 2,
-          s"one superstep is one join + one aggregation — at most 2 exchanges " +
-            s"outside the cache build, saw ${keys.size} (keys=$keys):\n$executed")
+          s"one superstep is two pre-partitioned joins + one aggregation — at " +
+            s"most 2 exchanges outside the cache build, saw ${keys.size} " +
+            s"(keys=$keys):\n$executed")
       } finally {
-        edgesD.unpersist(); deg.unpersist()
+        edges.unpersist(); deg.unpersist()
       }
     } finally {
       saved.foreach { case (k, v) => v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
