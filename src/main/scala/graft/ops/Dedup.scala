@@ -126,14 +126,14 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
     // Exact verification on the surviving pairs, over hashed shingle sets
     // (collision probability ~|shingles|^2 / 2^31 per pair — negligible):
-    // long-array intersections, no string arrays in the join.
-    val hs = base.select(col("doc_id"), col("hpos"))
+    // long-array merge walks (jaccard_sorted, sets sorted once per doc
+    // side — see verifiedNearDups for the r15 sf10 A/B), no string
+    // arrays and no per-pair hash sets in the join.
+    val hs = base.select(col("doc_id"), sort_array(col("hpos")).as("hpos"))
     pairs
       .join(hs.select(col("doc_id").as("doc_a"), col("hpos").as("h_a")), Seq("doc_a"))
       .join(hs.select(col("doc_id").as("doc_b"), col("hpos").as("h_b")), Seq("doc_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("h_a"), col("h_b"))).cast("double") /
-          size(array_union(col("h_a"), col("h_b"))))
+      .withColumn("jaccard", call_function("jaccard_sorted", col("h_a"), col("h_b")))
       .where(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
               (col("doc_b") - col("doc_a") === 1000000L).as("is_planted"))
@@ -299,20 +299,25 @@ object Dedup {
     */
   private def verifiedNearDups(base: DataFrame, minJaccard: Double,
                                ordered: Boolean = true): DataFrame = {
+    graft.GraftExtensions.register(base.sparkSession)
     val pairs = portableCandidatePairs(base)
-    val hs = base.select(col("doc_id"), col("hpos"))
-    // Deliberately size(array_union), NOT the |A|+|B|-|A n B| identity:
-    // the identity references the intersect twice, and measured at sf10
-    // (ProfileD34, r14) codegen does NOT subexpression-eliminate the
-    // duplicate across the inlined filter + projection — the "saving"
-    // doubled the verify stage (1,543 -> 3,673 CPU-s). The plain
-    // intersect+union pair is evaluated once each per row.
+    // jaccard_sorted (custom codegen expression): one allocation-free
+    // merge walk per pair over shingle sets sorted once per DOCUMENT
+    // side — r15 interleaved A/B at sf10 (VerifyJaccardAB, identical
+    // 27.31M pairs + checksum): 761 -> 301 CPU-s / 26.3 -> 10.9 s best
+    // wall for the whole candidates+verify pipeline, GC 17 -> 2.5 s.
+    // History of this expression site: the r14 pass rejected the
+    // |A|+|B|-|A n B| identity over intersect/union because the twice-
+    // referenced intersect re-evaluates once inlined (1,543 -> 3,673
+    // CPU-s); the single fused expression sidesteps that trap — even
+    // with the jaccard alias inlined into both the filter and the
+    // projection, two merge walks still cost far less than one
+    // hash-set intersect+union.
+    val hs = base.select(col("doc_id"), sort_array(col("hpos")).as("hpos"))
     pairs
       .join(hs.select(col("doc_id").as("doc_a"), col("hpos").as("h_a")), Seq("doc_a"))
       .join(hs.select(col("doc_id").as("doc_b"), col("hpos").as("h_b")), Seq("doc_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("h_a"), col("h_b"))).cast("double") /
-          size(array_union(col("h_a"), col("h_b"))))
+      .withColumn("jaccard", call_function("jaccard_sorted", col("h_a"), col("h_b")))
       .where(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
       .orderByIf(ordered, "doc_a", "doc_b")
@@ -793,7 +798,9 @@ object Dedup {
         val base = portableSigTable(s, d).persist()
         PipelineCache.retain(base)
         val pairs = portableCandidatePairs(base)
-        val sigs = base.select(col("doc_id"), col("sig"), col("hpos"))
+        // sort once per document side (jaccard_sorted contract), not per pair
+        val sigs = base.select(col("doc_id"), col("sig"),
+                               sort_array(col("hpos")).as("hpos"))
         pairs
           .join(sigs.select(col("doc_id").as("doc_a"),
                             col("sig").as("sig_a"), col("hpos").as("h_a")), Seq("doc_a"))
@@ -804,8 +811,7 @@ object Dedup {
                         m => m)).cast("long"))
           .withColumn("est_jaccard", col("n_match").cast("double") / PermA.length)
           .withColumn("jaccard",
-            size(array_intersect(col("h_a"), col("h_b"))).cast("double") /
-              size(array_union(col("h_a"), col("h_b"))))
+            call_function("jaccard_sorted", col("h_a"), col("h_b")))
           .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
           .select("doc_a", "doc_b", "n_match", "est_jaccard", "jaccard", "abs_err")
           .orderBy("doc_a", "doc_b")
@@ -1681,13 +1687,13 @@ object Dedup {
           .select(col("band"), col("bh"), col("doc_id").as("doc_existing"))
         val cand = newK.join(oldK, Seq("band", "bh"))
           .select("doc_new", "doc_existing").distinct()
-        val hs = base.select(col("doc_id"), col("hpos"))
+        // sort once per document side (jaccard_sorted contract), not per pair
+        val hs = base.select(col("doc_id"), sort_array(col("hpos")).as("hpos"))
         cand
           .join(hs.select(col("doc_id").as("doc_new"), col("hpos").as("h_n")), Seq("doc_new"))
           .join(hs.select(col("doc_id").as("doc_existing"), col("hpos").as("h_e")), Seq("doc_existing"))
           .withColumn("jaccard",
-            size(array_intersect(col("h_n"), col("h_e"))).cast("double") /
-              size(array_union(col("h_n"), col("h_e"))))
+            call_function("jaccard_sorted", col("h_n"), col("h_e")))
           .where(col("jaccard") >= 0.5)
           .select("doc_new", "doc_existing", "jaccard")
           .orderBy("doc_new", "doc_existing")

@@ -62,7 +62,9 @@ class CodegenParitySpec extends AnyFunSuite {
       "portable_word_hashes(text) AS wh",
       "minhash_sig(portable_word_hashes(text)) AS sig",
       "shingle_hashes(text) AS sh",
-      "rolling_fingerprint(text) AS rf"
+      "rolling_fingerprint(text) AS rf",
+      "jaccard_sorted(sort_array(shingle_hashes(text)), " +
+        "sort_array(shingle_hashes(substr(text, 1, 50)))) AS js"
     ).orderBy("doc_id")
     assertParity(df, "text expression family")
   }

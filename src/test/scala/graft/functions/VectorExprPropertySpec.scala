@@ -83,4 +83,25 @@ class VectorExprPropertySpec extends AnyFunSuite {
     val neg = Array(-0.00015f)
     assert(QDotLongImpl.norm2(arr(neg)) == 4L)
   }
+
+  test("jaccard_sorted matches the set formulation on random sorted-distinct arrays") {
+    val rnd = new scala.util.Random(99)
+    for (i <- 0 until 2000) {
+      // overlapping draws from a small domain force real intersections
+      val dom = 1 + rnd.nextInt(400)
+      val a = Array.fill(1 + rnd.nextInt(250))(rnd.nextInt(dom).toLong).distinct.sorted
+      val b = Array.fill(1 + rnd.nextInt(250))(rnd.nextInt(dom).toLong).distinct.sorted
+      val sa = a.toSet; val sb = b.toSet
+      val ref = sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+      val got = JaccardSortedImpl.jaccard(arrL(a), arrL(b))
+      assert(got == ref, s"jaccard diverged at trial $i: got $got want $ref")
+    }
+    // empty edges: the SQL 0/0 would raise under ANSI; the expression is
+    // total and returns 0.0 (documented contract)
+    assert(JaccardSortedImpl.jaccard(arrL(Array.empty[Long]), arrL(Array.empty[Long])) == 0.0)
+    assert(JaccardSortedImpl.jaccard(arrL(Array(1L, 2L)), arrL(Array.empty[Long])) == 0.0)
+    // disjoint and identical
+    assert(JaccardSortedImpl.jaccard(arrL(Array(1L, 2L)), arrL(Array(3L, 4L))) == 0.0)
+    assert(JaccardSortedImpl.jaccard(arrL(Array(1L, 2L, 3L)), arrL(Array(1L, 2L, 3L))) == 1.0)
+  }
 }
