@@ -48,10 +48,21 @@ object JaccardSortedImpl {
 }
 
 case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpression {
+  // containsNull=true is REJECTED, not tolerated: the merge walk reads
+  // elements with ArrayData.getLong, which silently yields 0 for a null
+  // slot and would corrupt the similarity instead of failing (r15 ADVICE).
+  // Failing at analysis time costs nothing in the hot walk; producers
+  // type non-null (ShingleHashes natively; portableShingleHashes via its
+  // typing coalesce).
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "jaccard_sorted requires element-non-null arrays " +
+            "(containsNull=false): a null element would be read as 0 by the " +
+            "merge walk and silently corrupt the similarity")
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"jaccard_sorted expects (array<bigint>, array<bigint>), got $other")

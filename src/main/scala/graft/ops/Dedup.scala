@@ -126,14 +126,10 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
     // Exact verification on the surviving pairs, over hashed shingle sets
     // (collision probability ~|shingles|^2 / 2^31 per pair — negligible):
-    // long-array merge walks (jaccard_sorted, sets sorted once per doc
-    // side — see verifiedNearDups for the r15 sf10 A/B), no string
-    // arrays and no per-pair hash sets in the join.
-    val hs = base.select(col("doc_id"), sort_array(col("hpos")).as("hpos"))
-    pairs
-      .join(hs.select(col("doc_id").as("doc_a"), col("hpos").as("h_a")), Seq("doc_a"))
-      .join(hs.select(col("doc_id").as("doc_b"), col("hpos").as("h_b")), Seq("doc_b"))
-      .withColumn("jaccard", call_function("jaccard_sorted", col("h_a"), col("h_b")))
+    // long-array merge walks (jaccard_sorted via exactJaccardOnPairs,
+    // sets sorted once per doc side — see verifiedNearDups for the r15
+    // sf10 A/B), no string arrays and no per-pair hash sets in the join.
+    exactJaccardOnPairs(pairs, base, "doc_a", "doc_b")
       .where(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
               (col("doc_b") - col("doc_a") === 1000000L).as("is_planted"))
@@ -217,12 +213,22 @@ object Dedup {
     * (empty, whitespace-only, punctuation blob) would index positions 0
     * and below and crash under ANSI. DuckDB's half-open range(1, n) is
     * already empty there, so the oracle mirror needs no guard.
+    *
+    * The single coalesce around the lambda body exists for TYPING, not
+    * values: element_at and % are nullable expressions, so without it
+    * the output is array<bigint> containsNull=true and jaccard_sorted
+    * (which requires containsNull=false since its merge walk would read
+    * a null element as 0) rejects it at analysis time. The branch never
+    * fires — every index is in range by the size guard and SigP > 0 —
+    * so the value program is unchanged; the coalesce costs one no-op
+    * check per shingle at scan time, not in the per-pair verify walk.
+    * PlanQualitySpec pins the resulting containsNull=false schema.
     */
   private def portableShingleHashes(whCol: String): Column = expr(
     s"""CASE WHEN size($whCol) >= 3 THEN
           array_distinct(transform(sequence(1, size($whCol) - 2), i ->
-            ((((element_at($whCol, i) * $Mul + element_at($whCol, i + 1)) % $SigP)
-               * $Mul + element_at($whCol, i + 2)) % $SigP)))
+            coalesce(((((element_at($whCol, i) * $Mul + element_at($whCol, i + 1)) % $SigP)
+               * $Mul + element_at($whCol, i + 2)) % $SigP), 0L)))
         ELSE array() END""")
 
   private def shingleHashesSql(whExpr: String): String =
@@ -292,6 +298,31 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** THE single point where shingle sets meet `jaccard_sorted`: joins
+    * the per-document sorted shingle sets of `base` (doc_id, hpos, ...)
+    * onto a candidate-pair table and appends the exact `jaccard` column.
+    * Centralizing the join pairs the expression's sorted-distinct
+    * precondition (sort_array ONCE per document side, never per pair)
+    * with every call — a new consumer cannot reach jaccard_sorted with
+    * unsorted hpos and silently undercount (r15 ADVICE low; same
+    * rationale as cachedVerifiedNearDups sharing one persist policy).
+    * `carry` columns ride the two side joins with _a/_b suffixes (d25
+    * carries sig for its estimator-vs-exact comparison).
+    */
+  private def exactJaccardOnPairs(pairs: DataFrame, base: DataFrame,
+                                  leftId: String, rightId: String,
+                                  carry: Seq[String] = Nil): DataFrame = {
+    val hs = base.select(
+      col("doc_id") +: sort_array(col("hpos")).as("hpos") +: carry.map(col): _*)
+    def side(id: String, sfx: String) = hs.select(
+      col("doc_id").as(id) +: col("hpos").as("h" + sfx) +:
+        carry.map(c => col(c).as(c + sfx)): _*)
+    pairs
+      .join(side(leftId, "_a"), Seq(leftId))
+      .join(side(rightId, "_b"), Seq(rightId))
+      .withColumn("jaccard", call_function("jaccard_sorted", col("h_a"), col("h_b")))
+  }
+
   /** Band candidates + exact-Jaccard verification over any signature
     * table relation — cached (minhashPortable) or read back from storage
     * (minhashFromStoredSigTable): the pipeline is agnostic to where the
@@ -313,11 +344,7 @@ object Dedup {
     // with the jaccard alias inlined into both the filter and the
     // projection, two merge walks still cost far less than one
     // hash-set intersect+union.
-    val hs = base.select(col("doc_id"), sort_array(col("hpos")).as("hpos"))
-    pairs
-      .join(hs.select(col("doc_id").as("doc_a"), col("hpos").as("h_a")), Seq("doc_a"))
-      .join(hs.select(col("doc_id").as("doc_b"), col("hpos").as("h_b")), Seq("doc_b"))
-      .withColumn("jaccard", call_function("jaccard_sorted", col("h_a"), col("h_b")))
+    exactJaccardOnPairs(pairs, base, "doc_a", "doc_b")
       .where(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
       .orderByIf(ordered, "doc_a", "doc_b")
@@ -390,8 +417,19 @@ object Dedup {
     * the build).
     */
   private[graft] def nearDupsFromStored(spark: SparkSession, path: String,
-                                        minJaccard: Double): DataFrame =
-    verifiedNearDups(spark.read.parquet(path), minJaccard)
+                                        minJaccard: Double): DataFrame = {
+    // File sources force nullable-on-read recursively (Spark applies
+    // asNullable to the whole schema), so hpos reads back typed
+    // containsNull=true even though writeSigTable's input schema — and
+    // jaccard_sorted's analysis-time check — guarantee non-null
+    // elements. Re-assert the typing at this ONE read boundary (the
+    // coalesce branch never fires on tables written by writeSigTable);
+    // everywhere else jaccard_sorted's containsNull=false requirement
+    // stays strict.
+    val stored = spark.read.parquet(path)
+      .withColumn("hpos", transform(col("hpos"), x => coalesce(x, lit(0L))))
+    verifiedNearDups(stored, minJaccard)
+  }
 
   def minhashFromStoredSigTable(spark: SparkSession, sfDir: String,
                                 minJaccard: Double): DataFrame = {
@@ -798,20 +836,13 @@ object Dedup {
         val base = portableSigTable(s, d).persist()
         PipelineCache.retain(base)
         val pairs = portableCandidatePairs(base)
-        // sort once per document side (jaccard_sorted contract), not per pair
-        val sigs = base.select(col("doc_id"), col("sig"),
-                               sort_array(col("hpos")).as("hpos"))
-        pairs
-          .join(sigs.select(col("doc_id").as("doc_a"),
-                            col("sig").as("sig_a"), col("hpos").as("h_a")), Seq("doc_a"))
-          .join(sigs.select(col("doc_id").as("doc_b"),
-                            col("sig").as("sig_b"), col("hpos").as("h_b")), Seq("doc_b"))
+        // exactJaccardOnPairs sorts once per document side (jaccard_sorted
+        // contract) and carries sig for the estimator comparison
+        exactJaccardOnPairs(pairs, base, "doc_a", "doc_b", carry = Seq("sig"))
           .withColumn("n_match",
             size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
                         m => m)).cast("long"))
           .withColumn("est_jaccard", col("n_match").cast("double") / PermA.length)
-          .withColumn("jaccard",
-            call_function("jaccard_sorted", col("h_a"), col("h_b")))
           .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
           .select("doc_a", "doc_b", "n_match", "est_jaccard", "jaccard", "abs_err")
           .orderBy("doc_a", "doc_b")
@@ -1687,13 +1718,8 @@ object Dedup {
           .select(col("band"), col("bh"), col("doc_id").as("doc_existing"))
         val cand = newK.join(oldK, Seq("band", "bh"))
           .select("doc_new", "doc_existing").distinct()
-        // sort once per document side (jaccard_sorted contract), not per pair
-        val hs = base.select(col("doc_id"), sort_array(col("hpos")).as("hpos"))
-        cand
-          .join(hs.select(col("doc_id").as("doc_new"), col("hpos").as("h_n")), Seq("doc_new"))
-          .join(hs.select(col("doc_id").as("doc_existing"), col("hpos").as("h_e")), Seq("doc_existing"))
-          .withColumn("jaccard",
-            call_function("jaccard_sorted", col("h_n"), col("h_e")))
+        // exactJaccardOnPairs sorts once per document side (jaccard_sorted contract)
+        exactJaccardOnPairs(cand, base, "doc_new", "doc_existing")
           .where(col("jaccard") >= 0.5)
           .select("doc_new", "doc_existing", "jaccard")
           .orderBy("doc_new", "doc_existing")

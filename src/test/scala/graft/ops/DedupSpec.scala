@@ -247,6 +247,86 @@ class DedupSpec extends AnyFunSuite {
     graft.ops.PipelineCache.release()
     spark.sharedState.cacheManager.clearCache()
   }
+
+  // --- jaccard_sorted producer/typing contract (r15 ADVICE lows) -------
+
+  test("shingle-hash producers type hpos element-non-null (jaccard_sorted contract)") {
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    graft.GraftExtensions.register(spark)
+    // portable pipeline: the typing coalesce in portableShingleHashes must
+    // survive transform + array_distinct + the CASE ELSE array() branch
+    val sig = Dedup.portableSigTable(spark, SparkTestBase.Sf0001)
+    assert(sig.schema("hpos").dataType == ArrayType(LongType, containsNull = false),
+      s"portable hpos typed ${sig.schema("hpos").dataType}")
+    // sort_array (the per-document-side sort every verify join applies)
+    // must preserve containsNull=false, or every call site would fail
+    val sorted = sig.select(sort_array(col("hpos")).as("hpos"))
+    assert(sorted.schema("hpos").dataType == ArrayType(LongType, containsNull = false))
+    // native expression path (d6's xxhash variant)
+    val nat = graft.core.Tables.documents(spark, SparkTestBase.Sf0001)
+      .select(call_function("shingle_hashes", col("text")).as("hpos"))
+    assert(nat.schema("hpos").dataType == ArrayType(LongType, containsNull = false))
+  }
+
+  test("jaccard_sorted rejects element-nullable arrays at analysis time") {
+    graft.GraftExtensions.register(spark)
+    // a null element would be read as 0 by the merge walk, so an
+    // element-nullable input type must FAIL analysis, not silently
+    // corrupt the similarity
+    val nullable = spark.range(1).select(
+      expr("array(1L, cast(null as bigint), 3L)").as("a"))
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      nullable.select(call_function("jaccard_sorted", col("a"), col("a"))).collect()
+    }
+    assert(err.getMessage.contains("containsNull=false") ||
+           err.getMessage.toLowerCase.contains("non-null"),
+      s"unexpected analysis error: ${err.getMessage}")
+  }
+
+  test("stored sig-table read boundary re-types hpos for jaccard_sorted (d6c path)") {
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigtable_spec").toString
+    Dedup.writeSigTable(spark, SparkTestBase.Sf0001, dir)
+    // Spark file sources force nullable-on-read recursively, so the raw
+    // read is element-nullable REGARDLESS of the writer schema — this
+    // pin documents why nearDupsFromStored re-types at the boundary
+    val back = spark.read.parquet(dir)
+    assert(back.schema("hpos").dataType == ArrayType(LongType, containsNull = true),
+      s"expected file-source nullable-on-read, got ${back.schema("hpos").dataType}")
+    // no actual null element was written
+    assert(back.where(exists(col("hpos"), _.isNull)).count() == 0)
+    // and the consume side analyzes + runs against the stored table
+    // (would throw AnalysisException without the boundary re-typing)
+    val n = Dedup.nearDupsFromStored(spark, dir, minJaccard = 0.5).count()
+    assert(n > 0)
+    graft.ops.PipelineCache.release()
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("degenerate docs never reach a verify join with empty hpos") {
+    // jaccard_sorted(empty, empty) returns 0.0 where the SQL oracle's
+    // 0/0 would NaN — totality documented at the expression, but d25
+    // emits jaccard unfiltered, so the guard that matters is upstream:
+    // sub-3-word docs are dropped by the size(wh) >= 3 filter BEFORE
+    // signatures, so no empty (or any sub-1-shingle) hpos can reach any
+    // verify join (r15 ADVICE low 2 regression).
+    import spark.implicits._
+    val degenerate = Seq(
+      (1L, ""), (2L, "   "), (3L, "one"), (4L, "two words"),
+      (5L, "... !!! ???"), (6L, "\t\n")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.portableSignatures(degenerate)
+      .select(col("doc_id"), size(col("hpos")).as("n")).collect()
+    // sub-3-token docs (1,2,3,4,6) dropped; the 3-token punctuation blob
+    // legitimately survives with exactly one shingle — never zero
+    assert(sigs.map(_.getLong(0)).toSet == Set(5L),
+      s"expected only doc 5 to survive, got ${sigs.map(_.getLong(0)).toSet}")
+    assert(sigs.forall(_.getInt(1) >= 1))
+    // and on the real fixture every surviving row has at least one shingle
+    val minLen = Dedup.portableSigTable(spark, SparkTestBase.Sf0001)
+      .select(min(size(col("hpos")))).head().getInt(0)
+    assert(minLen >= 1, s"empty hpos row survived the size(wh) guard: $minLen")
+  }
 }
 
 /** Helper: run a registered query at sf0.001. */
