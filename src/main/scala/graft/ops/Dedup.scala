@@ -581,7 +581,24 @@ object Dedup {
     * pipeline once. Returns (doc_id, cluster_rep) for every doc that
     * appears in at least one pair.
     */
-  private[graft] def clusterLabels(pairs: DataFrame): DataFrame = {
+  private[graft] def clusterLabels(pairs: DataFrame): DataFrame =
+    clusterLabels(pairs, sortedEdgeCache = true)
+
+  /** `sortedEdgeCache` lays the edge cache out co-located AND co-sorted
+    * with the superstep join key (repartition(dst) + sortWithinPartitions
+    * before the persist): every superstep's sort-merge join then reads
+    * the cache with ZERO exchange and ZERO sort on the corpus-scale edge
+    * side — only the N-row label table is shuffled+sorted per iteration.
+    * Parameterized (rather than unconditional) so the interleaved A/B
+    * harness (tools/CCShapeAB) adjudicates both layouts over the exact
+    * registered code path; the default is the measured winner — r16 sf10
+    * A/B (27.31M-pair graph, identical label sets asserted, best-of-3):
+    * sorted cache won every round, 12.0 -> 9.1 s wall, 288 -> 222 CPU-s,
+    * 1.35 -> 0.88 GB shuffle, 2.67 -> 1.34 GB spill. The r16 d49
+    * ProfileQuery that motivated it had attributed ~92 CPU-s/run to two
+    * 55M-row per-superstep edge exchanges plus 3.1 GB sort spills.
+    */
+  private[graft] def clusterLabels(pairs: DataFrame, sortedEdgeCache: Boolean): DataFrame = {
     // Symmetrize via explode, not self-union: a union of two projections
     // scans (and for unpersisted callers like d21/d34, fully recomputes)
     // the pair pipeline once per branch; the explode emits both directions
@@ -592,7 +609,10 @@ object Dedup {
     // superstep at cluster scale) just to fold the prior label back in.
     val sym = Edges.symmetrize(pairs, col("doc_a"), col("doc_b")).persist()
     val ids = sym.select(col("src").as("id")).distinct()
-    val edges = sym.union(ids.select(col("id").as("src"), col("id").as("dst"))).persist()
+    val edgesRaw = sym.union(ids.select(col("id").as("src"), col("id").as("dst")))
+    val edges =
+      (if (sortedEdgeCache) edgesRaw.repartition(col("dst")).sortWithinPartitions("dst")
+       else edgesRaw).persist()
     // Checkpoint-block hygiene (the j11/pagerankLoop discipline, see
     // Joins.scala): Dataset.unpersist cannot reach an RDD-layer
     // localCheckpoint persist, so untracked supersteps leak one
@@ -618,6 +638,11 @@ object Dedup {
       (cp, sc.getPersistentRDDs.keySet.toSet -- before)
     }
     var (labels, liveCpIds) = checkpointTracked(ids.withColumn("label", col("id")))
+    // sym fed only the edges build (materialized at edges.count) and the
+    // initial labels checkpoint just taken — release it BEFORE the
+    // supersteps instead of after, so its corpus-scale block set is not
+    // resident storage competing with the iterations' execution memory.
+    sym.unpersist()
     // Labels only DECREASE under min-propagation (each update takes a min
     // that includes the vertex's own label via its self-loop), so
     // fixpoint <=> the label sum stops changing — a 1-row aggregate over
@@ -646,7 +671,6 @@ object Dedup {
       labels = next
       iter += 1
     }
-    sym.unpersist()
     edges.unpersist()
     // the final checkpoint backs the returned lazy plan: registry-managed
     // release (registered BEFORE the convergence check so even the error

@@ -107,10 +107,27 @@ object Joins {
     *    final superstep plus the un-truncated shared body directly.
     */
   def pagerankRanked(s: org.apache.spark.sql.SparkSession,
-                     trades: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+                     trades: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    pagerankRanked(s, trades, sortedEdgeCache = true)
+
+  /** `sortedEdgeCache` additionally sorts the src-partitioned edge cache
+    * by src before the persist, so each superstep's sort-merge join reads
+    * the corpus-scale edge side with zero exchange AND zero sort (the
+    * same experiment as Dedup.clusterLabels — adjudicated by
+    * tools/J11SortAB; the public overload's default is the winner:
+    * r16 sf10 interleaved A/B, identical top-20 rows asserted, best-of-3 —
+    * sorted cache won every round, 31.7 -> 26.9 s wall, 868 -> 727 CPU-s,
+    * 41.9 -> 27.8 GB spill; shuffle unchanged at 3.27 GB since the
+    * superstep exchange was already removed by the r15 repartition).
+    */
+  private[graft] def pagerankRanked(s: org.apache.spark.sql.SparkSession,
+                     trades: org.apache.spark.sql.DataFrame,
+                     sortedEdgeCache: Boolean): org.apache.spark.sql.DataFrame = {
     val unit = 1000000L
-    val edges = Edges.symmetrize(trades, col("c"), col("sp"))
-      .repartition(col("src")).persist()
+    val edgesPart = Edges.symmetrize(trades, col("c"), col("sp"))
+      .repartition(col("src"))
+    val edges =
+      (if (sortedEdgeCache) edgesPart.sortWithinPartitions("src") else edgesPart).persist()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).persist()
     PipelineCache.retain(edges, deg)
     val rank0 = deg.select(col("src").as("node"), lit(unit).as("rank"))

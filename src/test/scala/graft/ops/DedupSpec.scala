@@ -303,6 +303,29 @@ class DedupSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("clusterLabels: sorted edge-cache layout returns identical labels (r16 layout A/B)") {
+    // The r16 layout change (repartition(dst) + sortWithinPartitions
+    // before the edge persist) must be a pure plan-shape change: both
+    // layouts produce the same fixed-point label set on a pair graph
+    // that exercises multi-hop chains (a~b, b~c without a~c).
+    val pairs = spark.createDataFrame(Seq(
+      (1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 13L),
+      (20L, 21L), (5L, 21L))).toDF("doc_a", "doc_b")
+    def labelSet(sorted: Boolean): Set[(Long, Long)] = {
+      val out = Dedup.clusterLabels(pairs, sortedEdgeCache = sorted)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      PipelineCache.release()
+      out
+    }
+    val legacy = labelSet(sorted = false)
+    val adopted = labelSet(sorted = true)
+    assert(adopted == legacy, s"layouts diverged: $adopted vs $legacy")
+    // and the labels are the true connected components
+    assert(adopted == Set(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 5L, 21L -> 5L, 5L -> 5L))
+  }
+
   test("degenerate docs never reach a verify join with empty hpos") {
     // jaccard_sorted(empty, empty) returns 0.0 where the SQL oracle's
     // 0/0 would NaN — totality documented at the expression, but d25

@@ -178,6 +178,28 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the per-part aggregate must be persisted and reused by both branches:\n$plan")
   }
 
+  test("j11 (pagerank): sorted edge-cache layout returns identical ranks (r16 layout A/B)") {
+    // The r16 layout change (sortWithinPartitions(src) added to the
+    // src-partitioned edge cache) must be a pure plan-shape change:
+    // both layouts produce the same ranked top-20 on the fixture graph.
+    import org.apache.spark.sql.functions.col
+    val trades = graft.core.Tables.orders(spark, SparkTestBase.Sf0001)
+      .join(graft.core.Tables.lineitem(spark, SparkTestBase.Sf0001),
+            col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
+      .distinct()
+    def ranked(sorted: Boolean): Seq[String] = {
+      val out = graft.ops.Joins.pagerankRanked(spark, trades, sortedEdgeCache = sorted)
+        .collect().map(_.toString).toSeq
+      graft.ops.PipelineCache.release()
+      spark.sharedState.cacheManager.clearCache()
+      out
+    }
+    val legacy = ranked(sorted = false)
+    val adopted = ranked(sorted = true)
+    assert(adopted == legacy, s"layouts diverged:\n$adopted\nvs\n$legacy")
+  }
+
   test("j11 (pagerank): supersteps join the cached edge list; no cartesian") {
     val plan = executedPlan("j11_pagerank").split("== Initial Plan ==").head
     assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
