@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CassandraToken, HyperplaneBucket, HyperplaneSig32, HyperplaneSig64, JaccardSorted, L2Long, MinHashSig, PortableWordHashes, QCosine, QDotLong, QNorm2, RollingFingerprint, ShingleHashes}
+import graft.functions.{CassandraToken, HyperplaneBucket, HyperplaneSig32, HyperplaneSig64, JaccardSorted, L2Long, MinHashSig, PortableWordHashes, QCosine, QDotLong, QNorm2, RollingFingerprint, ShingleHashes, WordWindowHashes}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions for SQL use. Attach with
@@ -57,7 +57,8 @@ object GraftExtensions {
     binary("qdot_long", classOf[QDotLong], QDotLong(_, _)),
     binary("l2_long", classOf[L2Long], L2Long(_, _)),
     binary("qcosine", classOf[QCosine], QCosine(_, _)),
-    binary("jaccard_sorted", classOf[JaccardSorted], JaccardSorted(_, _)))
+    binary("jaccard_sorted", classOf[JaccardSorted], JaccardSorted(_, _)),
+    binary("word_window_hashes", classOf[WordWindowHashes], WordWindowHashes(_, _)))
 
   /** Register directly on an existing session (tests / REPL); idempotent. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -694,8 +694,21 @@ object Dedup {
     * a crafted corpus against a brute-force reference — fixture text is
     * not guaranteed to exercise the exact-gap boundary.
     */
-  private[graft] def substringDedup(docs: DataFrame, k: Int): DataFrame = {
+  private[graft] def substringDedup(docs: DataFrame, k: Int): DataFrame =
+    substringDedup(docs, k, hofWindows = false)
+
+  /** `hofWindows = true` keeps the pre-r16 window emit (split + transform
+    * lambda + slice + concat_ws + md5 hex keys) for the interleaved A/B;
+    * the default is the one-pass `word_window_hashes` codegen expression
+    * (guide §4: no per-window slice/string/md5, and the shuffle + window
+    * sort key narrows from a 32-byte hex string to a long). Window
+    * GROUPING is unchanged: the hashed bytes are exactly the joined
+    * window string's bytes (see WordWindowHashes; parity pinned in
+    * DedupSpec on crafted multi-space corpora).
+    */
+  private[graft] def substringDedup(docs: DataFrame, k: Int, hofWindows: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.GraftExtensions.register(docs.sparkSession)
     // n_words is computed BELOW the explode on purpose: written in the
     // same select as posexplode, size(ws) lands in the Project ABOVE the
     // Generate node, which forces the whole ws array into Generate's
@@ -704,16 +717,30 @@ object Dedup {
     // quadratic per document; a single 5M-char document ground one core
     // for 20+ minutes, found by the monster-doc probe). With n_words
     // materialized first, the Generate carries only (doc_id, n_words).
-    val wins = docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .where(size(col("ws")) >= k)
-      .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"), col("ws"))
-      .select(col("doc_id"), col("n_words"),
-              posexplode(expr(
-                s"transform(sequence(0, size(ws)-$k), i -> concat_ws(' ', slice(ws, i+1, $k)))"))
-                .as(Seq("pos", "win")))
-      .select(col("doc_id"), col("n_words"), col("pos").cast("long").as("pos"),
-              md5(col("win").cast("binary")).as("wh"))
+    val wins = if (hofWindows)
+      docs
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .where(size(col("ws")) >= k)
+        .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"), col("ws"))
+        .select(col("doc_id"), col("n_words"),
+                posexplode(expr(
+                  s"transform(sequence(0, size(ws)-$k), i -> concat_ws(' ', slice(ws, i+1, $k)))"))
+                  .as(Seq("pos", "win")))
+        .select(col("doc_id"), col("n_words"), col("pos").cast("long").as("pos"),
+                md5(col("win").cast("binary")).as("wh"))
+    else
+      // n_words = spaces + 1 = size(split(text,' ')) without building the
+      // token array (java split keeps trailing empty tokens at limit -1,
+      // so the space count is exact)
+      docs
+        .select(col("doc_id"), col("text"),
+                (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1)
+                  .cast("long").as("n_words"))
+        .where(col("n_words") >= k)
+        .select(col("doc_id"), col("n_words"),
+                posexplode(call_function("word_window_hashes", col("text"), lit(k)))
+                  .as(Seq("pos", "wh")))
+        .select(col("doc_id"), col("n_words"), col("pos").cast("long").as("pos"), col("wh"))
     val ww = Window.partitionBy("wh")
     val dupOcc = wins
       .withColumn("dr", dense_rank().over(ww.orderBy("doc_id")))

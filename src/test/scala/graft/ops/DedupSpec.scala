@@ -303,6 +303,49 @@ class DedupSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("word_window_hashes equals the HOF window formulation on fixture + crafted texts") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    // crafted edges: consecutive/leading/trailing spaces (empty tokens under
+    // split-on-single-space), exactly-k words, fewer-than-k words, one word
+    val crafted = Seq(
+      "a b c d", "a  b c d", " a b c d ", "a b c", "a b", "x", "  ",
+      "w1 w2 w3 w4 w5", "same same same same").toDF("text")
+    val docs = graft.core.Tables.documents(spark, SparkTestBase.Sf0001).select("text")
+      .union(crafted)
+    val k = 3
+    val diff = docs.where(col("text").isNotNull).select(
+        call_function("word_window_hashes", col("text"), lit(k)).as("fast"),
+        expr(s"""CASE WHEN size(split(text, ' ')) >= $k THEN
+                   transform(
+                     sequence(0, size(split(text, ' ')) - $k),
+                     i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i + 1, $k))))
+                 ELSE CAST(array() AS array<bigint>) END""")
+          .as("hof"))
+      .where(not(col("fast") <=> col("hof")))
+      .count()
+    assert(diff == 0, s"$diff documents disagree between word_window_hashes and the HOF form")
+  }
+
+  test("substringDedup: codegen window keys return identical results (r16 d47 A/B)") {
+    import spark.implicits._
+    // multi-space + repeated-window corpus: the duplicated 3-word window
+    // spans docs, and the double space makes an empty token — both key
+    // paths (md5 over the joined string vs xxhash64 over the byte slice)
+    // must group windows identically
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a quick brown fox leaps high above the lazy dog"),
+      (3L, "the  quick brown fox jumps over the  lazy dog"),
+      (4L, "completely different words here nothing shared at all today")
+    ).toDF("doc_id", "text")
+    val legacy = Dedup.substringDedup(docs, k = 3, hofWindows = true)
+      .collect().map(_.toString).toSeq
+    val adopted = Dedup.substringDedup(docs, k = 3, hofWindows = false)
+      .collect().map(_.toString).toSeq
+    assert(adopted == legacy, s"window key paths diverged:\n$adopted\nvs\n$legacy")
+  }
+
   test("clusterLabels: sorted edge-cache layout returns identical labels (r16 layout A/B)") {
     // The r16 layout change (repartition(dst) + sortWithinPartitions
     // before the edge persist) must be a pure plan-shape change: both
