@@ -843,7 +843,8 @@ object Bench {
         .select(col("doc_id"), col("text"),
                 call_function("portable_word_hashes", col("text")).as("wh"))
       docs.select(call_function("minhash_sig", col("wh")).as("sig"),
-                  call_function("shingle_hashes", col("text")).as("sh"))
+                  call_function("shingle_hashes", col("text")).as("sh"),
+                  call_function("word_window_hashes", col("text"), lit(8)).as("wwh"))
         .count()
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(500)
       emb.select(call_function("hyperplane_bucket", col("embedding")).as("b"),
