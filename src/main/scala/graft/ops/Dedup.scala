@@ -109,21 +109,9 @@ object Dedup {
     val banded = base
       .select(col("doc_id"), explode(bandKeys("sig")).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bh"))
-    // Spam-bucket guard: a degenerate bucket of b docs contributes b^2
-    // candidate pairs — boilerplate/empty-ish documents at corpus scale
-    // would otherwise dominate the join. Buckets above the cap carry no
-    // near-dup signal worth quadratic cost and are dropped (standard LSH
-    // practice); a no-op at fixture scale (max bucket ~ dup-cluster size).
-    val capped = banded
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
-      .where(col("bsz") <= MaxBucket)
-      .drop("bsz")
-    val pairs = capped.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
-      .join(capped.select(col("band"), col("bh"), col("doc_id").as("doc_b")),
-            Seq("band", "bh"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    // Candidate generation (spam-bucket cap + band self-join + min-band
+    // dedup instead of a pair-scale distinct) — see minBandPairs.
+    val pairs = minBandPairs(banded, Bands)
     // Exact verification on the surviving pairs, over hashed shingle sets
     // (collision probability ~|shingles|^2 / 2^31 per pair — negligible):
     // long-array merge walks (jaccard_sorted via exactJaccardOnPairs,
@@ -280,22 +268,76 @@ object Dedup {
     portableSignatures(Tables.documents(spark, sfDir))
 
   /** Banded candidate pairs (doc_a < doc_b) from a signature table, with
-    * the spam-bucket cap applied.
+    * the spam-bucket cap applied (same cap as the production d6; mirrored
+    * in the oracle SQL via QUALIFY + DISTINCT, proving it a fixture no-op).
     */
-  private[graft] def portableCandidatePairs(base: DataFrame): DataFrame = {
-    val banded = bandedKeys(base)
-    // same spam-bucket guard as the production d6 (see minhashNearDups);
-    // mirrored in the oracle SQL via QUALIFY, proving it a fixture no-op
-    val capped = banded
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+  private[graft] def portableCandidatePairs(base: DataFrame): DataFrame =
+    minBandPairs(bandedKeys(base), TwinBands)
+
+  /** Unique candidate pairs (doc_a < doc_b) from a banded (doc_id, band,
+    * bh) table with the spam-bucket cap applied — WITHOUT the pair-scale
+    * `distinct()` the naive band self-join needs. Each surviving pair is
+    * emitted exactly once, at the LOWEST band where the two docs share an
+    * uncapped bucket: every banded row carries its document's per-band
+    * kept-bucket hashes (`mb0..mb{n-1}`, null where the doc's band bucket
+    * was capped away), and the join filter suppresses a band-b match when
+    * the pair already collided at some band b' < b. Dropping the distinct
+    * removes the pair-scale exchange plus both of its hash aggregates —
+    * the engine's single largest measured stage at sf10 (103.5M band
+    * pairs, 175 CPU-s, 9.6 GB spill; r16 VERDICT #1) — for doc-scale
+    * costs instead: one groupBy(doc_id) over #docs x nBands rows, nBands-1
+    * longs riding the band exchange, and nBands-1 flat scalar
+    * comparisons (whole-stage codegen, no HOF) per joined band pair.
+    *
+    * Equivalence with `self-join -> distinct`: a pair survives the old
+    * pipeline iff it shares an uncapped bucket in SOME band; min-band
+    * emission keeps exactly one witness per such pair. Cap interaction:
+    * a bh match at b' < b means both docs sat in the SAME (b', bh)
+    * bucket, so their cap verdicts were identical — if that bucket was
+    * capped, both mbh[b'] are null and the null-safe coalesce(=, false)
+    * does not suppress, matching the old pipeline (which generated no
+    * pair at b' either). Spam-bucket guard rationale: a degenerate
+    * bucket of b docs contributes b^2 candidate pairs — boilerplate /
+    * empty-ish documents at corpus scale would otherwise dominate the
+    * join; buckets above the cap carry no near-dup signal worth
+    * quadratic cost (standard LSH practice); a no-op at fixture scale.
+    */
+  private[ops] def minBandPairs(banded: DataFrame, nBands: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kept = banded
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bh")))
       .where(col("bsz") <= MaxBucket)
-      .drop("bsz")
-    capped.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
-      .join(capped.select(col("band"), col("bh"), col("doc_id").as("doc_b")),
-            Seq("band", "bh"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    // Per-doc kept-bucket hashes as nBands FIXED-WIDTH scalar columns
+    // (null = capped/absent): plain max(when) DeclarativeAggregates —
+    // whole-stage-codegen HashAggregate with a fixed-size buffer, no
+    // collect_list, no map probe, and (d47-class guard) no
+    // variable-width column riding the re-explode Generate below. Each
+    // (doc, band) has at most one banded row, so max() selects the one
+    // bh unchanged.
+    val aggs = (0 until nBands).map(b =>
+      max(when(col("band") === b, col("bh"))).as(s"mb$b"))
+    val flat = kept.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    // Only bands 0..nBands-2 are ever consulted as "earlier" hashes; the
+    // last band's value never rides the join.
+    val carries = (0 until nBands - 1).map(b => col(s"mb$b"))
+    val reband = flat
+      .select(Seq(col("doc_id"),
+        posexplode(array((0 until nBands).map(b => col(s"mb$b")): _*))
+          .as(Seq("band", "bh"))) ++ carries: _*)
+      .where(col("bh").isNotNull)
+    def side(id: String, sfx: String) = reband.select(
+      Seq(col("doc_id").as(id), col("band"), col("bh")) ++
+        (0 until nBands - 1).map(b => col(s"mb$b").as(s"mb${b}$sfx")): _*)
+    val earlier =
+      if (nBands <= 1) lit(false)
+      else (0 until nBands - 1).map { bp =>
+        col("band") > bp &&
+          coalesce(col(s"mb${bp}_a") === col(s"mb${bp}_b"), lit(false))
+      }.reduce(_ || _)
+    side("doc_a", "_a")
+      .join(side("doc_b", "_b"), Seq("band", "bh"))
+      .where(col("doc_a") < col("doc_b") && !earlier)
+      .select("doc_a", "doc_b")
   }
 
   /** THE single point where shingle sets meet `jaccard_sorted`: joins

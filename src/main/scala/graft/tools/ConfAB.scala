@@ -61,19 +61,25 @@ object ConfAB {
     // one untimed warm-up under defaults (codegen/classload)
     q(spark, sfDir).count(); graft.ops.PipelineCache.release()
 
-    def checksum(): (Long, Long) = {
+    // Order-insensitive but MULTIPLICITY-SENSITIVE checksum: a SUM of
+    // per-row hashes in DECIMAL(38,0), not bit_xor — xor self-cancels
+    // when a row's multiplicity changes by an even number, so a conf
+    // that duplicated rows in pairs would have passed as "identical"
+    // (r16 ADVICE).
+    def checksum(): (Long, java.math.BigDecimal) = {
       import org.apache.spark.sql.functions._
       val df = q(spark, sfDir)
       val row = df.select(
         count(lit(1)),
-        bit_xor(xxhash64(df.columns.map(col): _*))).collect()(0)
-      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+        sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)"))).collect()(0)
+      (row.getLong(0),
+       if (row.isNullAt(1)) java.math.BigDecimal.ZERO else row.getDecimal(1))
     }
 
     final case class Rep(wall: Double, cpu: Double, gc: Double, shufGb: Double, spillGb: Double)
     val repsA = mutable.ArrayBuffer.empty[Rep]
     val repsB = mutable.ArrayBuffer.empty[Rep]
-    var sig: (Long, Long) = null
+    var sig: (Long, java.math.BigDecimal) = null
 
     def runArm(arm: String): Unit = {
       if (arm == "B") confs.foreach { case (k, v) => spark.conf.set(k, v) }
@@ -85,7 +91,8 @@ object ConfAB {
       graft.ops.PipelineCache.release()
       ProfileD39.drainListenerBus(spark)
       if (sig == null) sig = s
-      else require(sig == s, s"RESULT DIVERGENCE arm=$arm: $s vs $sig")
+      else require(sig._1 == s._1 && sig._2.compareTo(s._2) == 0,
+        s"RESULT DIVERGENCE arm=$arm: $s vs $sig")
       val rep = agg.synchronized(Rep(wall, agg.runMs / 1000.0, agg.gcMs / 1000.0,
         agg.shufW / 1e9, agg.spill / 1e9))
       (if (arm == "A") repsA else repsB) += rep

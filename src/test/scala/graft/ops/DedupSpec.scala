@@ -96,6 +96,56 @@ class DedupSpec extends AnyFunSuite {
       s"only-production=${production -- portable} only-portable=${portable -- production}")
   }
 
+  test("min-band candidate dedup equals the band self-join + distinct on the fixture") {
+    // r17: minBandPairs replaced the pair-scale distinct() — emit each
+    // pair once, at the lowest band where it collides in an uncapped
+    // bucket. Pin the pair SET equal to the old shape, and uniqueness
+    // (no distinct downstream may be relied on to mop up duplicates).
+    val base = Dedup.portableSigTable(spark, SparkTestBase.Sf0001)
+    val banded = Dedup.bandedKeys(base)
+    val old = banded
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .where(col("bsz") <= Dedup.MaxBucket)
+      .drop("bsz")
+    val oldPairs = old.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+      .join(old.select(col("band"), col("bh"), col("doc_id").as("doc_b")),
+            Seq("band", "bh"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val newRows = Dedup.minBandPairs(banded, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(newRows.length == newRows.toSet.size, "min-band emitted a duplicate pair")
+    assert(newRows.toSet == oldPairs,
+      s"only-old=${oldPairs -- newRows.toSet} only-new=${newRows.toSet -- oldPairs}")
+    assert(oldPairs.nonEmpty)
+  }
+
+  test("min-band candidate dedup handles capped buckets exactly like the old shape") {
+    // Crafted banded table exercising the cap interaction the fixture
+    // never hits (MaxBucket is a no-op there): docs 1,2 share a CAPPED
+    // band-0 bucket and an uncapped band-1 bucket -> the pair must still
+    // be emitted (from band 1; both mb0 are null and must not suppress);
+    // docs 3,4 share uncapped buckets in bands 0 AND 1 -> emitted once;
+    // docs 5,6 share only the capped bucket -> not emitted at all.
+    import spark.implicits._
+    val filler = (100L until 1099L).map(id => (id, 0L, 42L)) // 999 rows
+    val rows = Seq(
+      (1L, 0L, 42L), (1L, 1L, 7L),
+      (2L, 0L, 42L), (2L, 1L, 7L),
+      (3L, 0L, 50L), (3L, 1L, 60L),
+      (4L, 0L, 50L), (4L, 1L, 60L),
+      (5L, 0L, 42L), (5L, 1L, 61L),
+      (6L, 0L, 42L), (6L, 1L, 62L)) ++ filler
+    // band-0 bucket 42 holds 1,2,5,6 + 999 fillers = 1003 > MaxBucket
+    val banded = rows.toDF("doc_id", "band", "bh")
+    val got = Dedup.minBandPairs(banded, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.toSet.size)
+    assert(got.toSet == Set((1L, 2L), (3L, 4L)), s"got ${got.toSet}")
+  }
+
   test("d6c stored-signature-table path returns exactly d6b's pairs") {
     // d6c replaces d6b's cached signature stage with a parquet write +
     // read-back; any divergence would mean the signature table does not

@@ -483,7 +483,7 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "c1_label_centroids" -> 104,
     "d10_embedding_neardup" -> 0,
     "d11_rolling_fingerprint" -> 0,
-    "d12_dataprep_pipeline" -> 36,
+    "d12_dataprep_pipeline" -> 40, // 36 -> 40: minBandPairs carries, see d6* note
     "d13_levenshtein" -> 33,
     "d14_langid_ngram" -> 89,
     "d15_decontaminate" -> 16,
@@ -529,9 +529,14 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "d50_bm25_retrieval" -> 44,
     "d51_priority_sample" -> 0,
     "d5_fingerprint" -> 0,
-    "d6_minhash_lsh" -> 25,
-    "d6b_minhash_portable" -> 24,
-    "d6c_minhash_sigtable" -> 24,
+    // d6*/d12: the min-band candidate dedup (Dedup.minBandPairs, r17)
+    // rides nBands-1 kept-bucket hash longs on the BANDED (doc-scale)
+    // exchange so the PAIR-scale distinct exchange disappears entirely —
+    // width bounded by the compile-time band count (8 prod / 4 twin),
+    // never by data: 72 = doc_id + band/bh + 7 longs, 40 = + 3 longs.
+    "d6_minhash_lsh" -> 72,
+    "d6b_minhash_portable" -> 40,
+    "d6c_minhash_sigtable" -> 40,
     "d7_simhash" -> 25,
     "d7b_simhash_portable" -> 25,
     "d8_ngram_jaccard" -> 0,
