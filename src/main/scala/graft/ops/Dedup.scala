@@ -356,9 +356,19 @@ object Dedup {
                                   carry: Seq[String] = Nil): DataFrame = {
     val hs = base.select(
       col("doc_id") +: sort_array(col("hpos")).as("hpos") +: carry.map(col): _*)
+    // SHUFFLE_HASH on the hs side (one row per doc — the natural build
+    // side): the default sort-merge plan SORTED the wide pairs+h_a probe
+    // side by the second join key — 13 GB of node-local sort spill and
+    // ~70 CPU-s at sf10 (r17 d49 baseline profile, stage 202) for rows
+    // that a per-partition hash build makes streamable. Scoped hint, not
+    // the session-wide AQE SMJ->SHJ threshold r16 measured and rejected
+    // (that conf also converted OTHER joins and shuffled +4.3 GB); here
+    // the exchanges are identical by construction, so the delta is pure
+    // sort CPU + spill: 7.2 -> 5.0 s wall, 208 -> 137 CPU-s, 13 -> 0 GB
+    // spill at sf10 (VerifyAttachAB, identical verified-pair checksums).
     def side(id: String, sfx: String) = hs.select(
       col("doc_id").as(id) +: col("hpos").as("h" + sfx) +:
-        carry.map(c => col(c).as(c + sfx)): _*)
+        carry.map(c => col(c).as(c + sfx)): _*).hint("shuffle_hash")
     pairs
       .join(side(leftId, "_a"), Seq(leftId))
       .join(side(rightId, "_b"), Seq(rightId))

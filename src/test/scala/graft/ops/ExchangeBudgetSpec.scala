@@ -64,7 +64,12 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "c1_label_centroids" -> (2, 1),
     "d10_embedding_neardup" -> (0, 0),
     "d11_rolling_fingerprint" -> (0, 0),
-    "d12_dataprep_pipeline" -> (8, 0),
+    // d12/d25/d40/d6*: +2 shuffles at spec scale from the r17 scoped
+    // SHUFFLE_HASH hint on the verify-attach hs sides (the hint preempts
+    // the size-based broadcast these joins got at toy scale; at sf10 they
+    // were already shuffled SMJs and the hint removes the 13 GB probe
+    // sort spill — VerifyAttachAB).
+    "d12_dataprep_pipeline" -> (9, 0),
     "d13_levenshtein" -> (1, 1),
     "d14_langid_ngram" -> (1, 1),
     "d15_decontaminate" -> (3, 1),
@@ -79,7 +84,7 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "d22b_embedding_lsh_wide" -> (2, 0),
     "d23_repetition" -> (1, 1),
     "d24_oov_ratio" -> (3, 1),
-    "d25_minhash_est_error" -> (3, 1),
+    "d25_minhash_est_error" -> (5, 1),
     "d26_bigram_lm" -> (2, 0),
     "d27_heavy_hitters_cms" -> (2, 0),
     "d28_hash_sample" -> (2, 1),
@@ -95,7 +100,7 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "d38_snm_neardup" -> (2, 1),
     "d39_entity_resolution" -> (4, 1),
     "d3_text_stats" -> (0, 0),
-    "d40_cross_corpus_dedup" -> (3, 1),
+    "d40_cross_corpus_dedup" -> (6, 1),
     "d41_bpe_encode" -> (3, 1),
     "d42_domain_cap" -> (2, 1),
     "d43_quality_mix" -> (3, 1),
@@ -110,9 +115,9 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "d50_bm25_retrieval" -> (3, 0),
     "d51_priority_sample" -> (0, 0),
     "d5_fingerprint" -> (0, 0),
-    "d6_minhash_lsh" -> (3, 1),
-    "d6b_minhash_portable" -> (3, 1),
-    "d6c_minhash_sigtable" -> (3, 1),
+    "d6_minhash_lsh" -> (5, 1),
+    "d6b_minhash_portable" -> (5, 1),
+    "d6c_minhash_sigtable" -> (5, 1),
     "d7_simhash" -> (1, 1),
     "d7b_simhash_portable" -> (1, 1),
     "d8_ngram_jaccard" -> (0, 0),
