@@ -1685,8 +1685,34 @@ object Analytics {
         val cr = Tables.orders(s, d)
           .groupBy("o_custkey")
           .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
-        val w = Window.orderBy(col("rev"), col("o_custkey"))
-        val r = cr.withColumn("i", row_number().over(w).cast("long"))
+        // Exact global rank WITHOUT a single-partition window (r17,
+        // VERDICT #5 — this was the engine's last unbounded `No
+        // Partition Defined` WindowExec; customer cardinality is
+        // corpus-scale): bucket-major two-pass rank. rev maps to one of
+        // 101 equal-width integer-cent buckets (monotone in rev, so
+        // global (rev, o_custkey) order == bucket-major order); global
+        // rank i = exclusive prefix of bucket counts (a window over
+        // <= 101 rows — BOUNDED by the bucket constant, the a25b
+        // precedent) + row_number within the bucket (distributed across
+        // the bucket key). Identical i for every row by construction;
+        // the oracle keeps the one-window global-rank formulation,
+        // proving the decomposition.
+        val st = cr.agg(min(col("rev")).as("mn"), max(col("rev")).as("mx"))
+        val b = cr.crossJoin(broadcast(st))
+          .withColumn("k", expr(
+            "cast((cast(rev * 100 as decimal(38,0)) - cast(mn * 100 as decimal(38,0))) * 100 " +
+              "div (cast(mx * 100 as decimal(38,0)) - cast(mn * 100 as decimal(38,0)) + 1) as int)"))
+          .select("o_custkey", "rev", "k")
+        val offs = b.groupBy("k").agg(count(lit(1)).as("bn"))
+          .withColumn("off", coalesce(
+            sum(col("bn")).over(Window.orderBy("k")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("k", "off")
+        val r = b
+          .withColumn("rw", row_number().over(
+            Window.partitionBy("k").orderBy(col("rev"), col("o_custkey"))).cast("long"))
+          .join(broadcast(offs), Seq("k"))
+          .withColumn("i", col("off") + col("rw"))
         r.agg(count(lit(1)).as("n"),
               sum(col("i") * col("rev")).as("s1"),
               sum(col("rev")).as("s2"))
