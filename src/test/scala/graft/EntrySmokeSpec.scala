@@ -97,6 +97,7 @@ class EntrySmokeSpec extends AnyFunSuite {
     "a23_chi_square" -> "row/column marginals: one row per lang / per source — category domains, not corpus-scaled",
     "d10_embedding_neardup" -> "the 200-vector sample cap (bounded-sample contract; stats can't see the semantic bound)",
     "d15_decontaminate" -> "benchmark eval-suite side: fixed suite size, independent of corpus scale",
+    "a25_gini" -> "bucket-rank offset table: one row per revenue bucket (fixed 101-bucket constant, r17 two-pass exact rank)",
     "d16_pack_sequences" -> "per-bucket offset table: one row per packing bucket ~ corpus/capacity, 4+ orders below corpus; broadcast trades the O(corpus) shuffle for O(buckets) replication (pinned in PlanQualitySpec)",
     "d20_quality_percentile" -> "two-level rank offsets: one row per score bucket (fixed bucket count)",
     "e11_late_data_audit" -> "two-level running-max offsets: one row per (day bucket), calendar-bounded",
